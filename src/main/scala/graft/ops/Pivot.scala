@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pivot / unpivot (SURVEY.md §2.3 A3–A4, §2.4 M1).
+  *
+  * A3 mirrors `pd.pivot_table(sf, index="PdDistrict", columns="Category",
+  * aggfunc=len, fill_value=0)` (/root/reference/crime.py:72-73); M1 mirrors
+  * `Xy.melt(...)` (/root/reference/crime.py:158-164).
+  */
+object Pivot {
+
+  /** Cross-tab count with an explicit pivot value list. The explicit list
+    * matters twice: it keeps the output column set deterministic (A4's
+    * reindex semantics, and the oracle's stable schema), and it skips the
+    * extra distinct-collection job Spark otherwise runs to discover pivot
+    * values — at 100 TB that discovery pass is a full extra scan.
+    */
+  def pivotCount(df: DataFrame, rowKey: String, colKey: String,
+                 colValues: Seq[String]): DataFrame =
+    df.groupBy(rowKey).pivot(colKey, colValues).count().na.fill(0L)
+
+  /** Wide→long melt. ids stay, each of `valueCols` becomes a
+    * (metric, value) row — Spark's `unpivot` has exact melt semantics.
+    */
+  def melt(df: DataFrame, ids: Seq[String], valueCols: Seq[String],
+           varName: String = "metric", valName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valName)
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{dec, table}
 
@@ -9,26 +10,327 @@ import graft.Tables.{dec, table}
   * the DuckDB oracle.
   *
   * Determinism rules (SURVEY.md §5.1, §7.4):
-  *  - every query ends in a total order on a unique key;
-  *  - double aggregates go through exact decimal (see [[graft.Tables.dec]]);
-  *  - pivot value lists are explicit so column sets are stable.
+  *  - every query ends in a total order (order-by keys are never null);
+  *  - double aggregates go through exact decimal (see [[graft.Tables.dec]])
+  *    so partial-aggregation order can't change the result;
+  *  - double expressions that can't be made exact (corr, stddev) are rounded
+  *    to 6 digits, and z-scores use one explicit single-pass formula shared
+  *    verbatim with the oracle SQL so both engines run the same IEEE ops;
+  *  - pivot value lists are explicit so column sets are stable;
+  *  - Spark-side casts align output types with DuckDB's natural types
+  *    (year/hour → BIGINT, counts already BIGINT).
+  *
+  * Scale notes (the 100 TB checklist, SURVEY.md §4): group-bys here are
+  * partial+final hash aggregates around a single shuffle on the group key;
+  * dimension joins (region/nation) are broadcast; fact-fact joins shuffle on
+  * the join key and rely on AQE for skew; every filter and projection is a
+  * `Column` expression, never a closure, so pushdown and pruning reach the
+  * parquet scan.
   */
 object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** A1/A2 (crime.py:33-37,62,67): group-by count ranked descending.
-    * Catalyst plans partial+final hash aggregate around one shuffle on the
-    * group key; the sort runs on the already-tiny aggregated side.
-    */
+  /** A1/A2 (crime.py:33-37,62,67): group-by count ranked descending. */
   def countsByType(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("event_type"))
 
+  /** A3/A4 (crime.py:72-74): cross-tab with explicit pivot values. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Pivot.pivotCount(table(spark, dir, "orders"),
+        rowKey = "o_orderpriority", colKey = "o_orderstatus",
+        colValues = Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  /** Rollup totals (engine extension noted in SURVEY §2.3): grouping-set
+    * aggregates with labelled totals instead of nulls, so ordering semantics
+    * match the oracle exactly.
+    */
+  def rollupFlags(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("n"))
+      .orderBy("rf", "ls")
+
+  /** O1 (crime.py:33,52): top-k by measure — Spark fuses orderBy+limit into
+    * TakeOrderedAndProject (per-partition heap + driver merge; no full sort,
+    * no shuffle of the full table — the shape that survives 100 TB).
+    */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+
+  /** F2 (crime.py:98,102): year extraction feeding an aggregate. */
+  def yearOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(Timeparts.yearOf(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("yr")
+
+  /** F1 (crime.py:97,101): timestamp → date / time-of-day string columns. */
+  def dateSplit(spark: SparkSession, dir: String): DataFrame =
+    Timeparts.splitTimestamp(table(spark, dir, "events"), "ts")
+      .select("event_id", "date_str", "time_str")
+      .orderBy("event_id")
+
+  /** Hour-of-day histogram over the event stream table. */
+  def hourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(Timeparts.hourOf(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("v"))
+      .orderBy("hr")
+
+  /** P5 (crime.py:85-94): dtype-driven null imputation. Nulls are induced
+    * (the corpus has none) then filled through the same na.fill path the
+    * impute op uses.
+    */
+  def fillMissing(spark: SparkSession, dir: String): DataFrame = {
+    val withNulls = table(spark, dir, "events")
+      .withColumn("etype",
+        when(col("event_type") === "click", lit(null)).otherwise(col("event_type")))
+      .withColumn("v",
+        when(col("value") > 300.0, lit(null)).otherwise(col("value")))
+      .select("event_id", "etype", "v")
+    Relational.imputeByDtype(withNulls)
+      .groupBy("etype")
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("v"))).cast("double").as("v_sum"))
+      .orderBy("etype")
+  }
+
+  /** P1–P3 (crime.py:40,99,123-124,127-133): drop + rename + select. */
+  def selectRename(spark: SparkSession, dir: String): DataFrame = {
+    val projected = Relational.dropCols(
+      table(spark, dir, "customer"), "c_acctbal", "c_nationkey")
+    Relational.selectCols(
+      Relational.renameCols(projected,
+        "c_custkey" -> "id", "c_name" -> "cust_name", "c_mktsegment" -> "segment"),
+      "id", "cust_name", "segment")
+      .orderBy("id")
+  }
+
+  /** F3/ML2 (crime.py:132-134,148-150): z-score standardization. Single
+    * aggregate pass (exact-decimal sums) broadcast back over the table —
+    * no window, no second shuffle; the formula text matches the oracle SQL
+    * so the IEEE double ops are identical.
+    */
+  def zscoreAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val stats = cust.agg(
+      sum(dec(col("c_acctbal"))).cast("double").as("s"),
+      sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).cast("double").as("ss"),
+      count(lit(1)).cast("double").as("n"))
+    cust.crossJoin(broadcast(stats))
+      .select(col("c_custkey"),
+        round((col("c_acctbal") - col("s") / col("n")) /
+          sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6)
+          .as("z"))
+      .orderBy("c_custkey")
+  }
+
+  /** J (engine joins, SURVEY §2.4): customer⋈orders revenue per segment.
+    * Shuffle join on the key; at sf0.1 AQE turns it into a broadcast of the
+    * customer side, at 100 TB it stays a co-partitioned shuffle join.
+    */
+  def mktsegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+    orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** TPC-H Q5-shaped 5-way star join: dimension tables broadcast explicitly,
+    * fact joins shuffle. Region filter prunes before any join.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(spark, dir, "nation")
+    val cust = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(cust, orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) *
+             (lit(1.0).cast("decimal(3,2)") - dec(col("l_discount"), 3, 2)))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** TPC-H Q1 shape: the canonical partial/final agg + pushed filter. */
+  def q1Lineitem(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-06-30").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1.0).cast("decimal(3,2)") - dec(col("l_discount"), 3, 2)))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1.0).cast("decimal(3,2)") - dec(col("l_discount"), 3, 2)) *
+          (lit(1.0).cast("decimal(3,2)") + dec(col("l_tax"), 3, 2)))
+          .cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"), 12, 2)).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        (sum(dec(col("l_discount"), 3, 2)).cast("double") / count(lit(1)))
+          .as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** M1 (crime.py:158-164): melt/unpivot then aggregate the long form. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Pivot.melt(table(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          dec(col("l_quantity"), 12, 2).as("l_quantity"),
+          dec(col("l_extendedprice")).as("l_extendedprice")),
+        ids = Seq("l_returnflag"), valueCols = Seq("l_quantity", "l_extendedprice"))
+      .groupBy("l_returnflag", "metric")
+      .agg(sum(col("value")).cast("double").as("total"))
+      .orderBy("l_returnflag", "metric")
+
+  /** W1 extension: rank within group — top-5 users per event type. */
+  def windowTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "events")
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(desc("n"), asc("user_id"))
+    counts.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 5)
+      .orderBy("event_type", "rk")
+  }
+
+  /** Running total per user over event time (exact decimal prefix sums). */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "events")
+      .select(col("event_id"),
+        sum(dec(col("value"))).over(w).cast("double").as("running"))
+      .orderBy("event_id")
+  }
+
+  /** lag(): microseconds since the user's previous event. */
+  def windowLagGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    table(spark, dir, "events")
+      .select(col("event_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)),
+                 lit(-1L)).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** Anti join: customers with no pending ('P') order (NOT EXISTS). The
+    * status filter keeps the result non-empty at every SF — the corpus has
+    * no fully order-less customers.
+    */
+  def antiCustomersNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val ordersP = table(spark, dir, "orders").filter(col("o_orderstatus") === "P")
+    cust.join(ordersP, cust("c_custkey") === ordersP("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: customers with at least one finished order (EXISTS). */
+  def semiCustomersWithF(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val ordersF = table(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+    cust.join(ordersF, cust("c_custkey") === ordersF("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  /** A5–A7 (crime.py:42,53,134,150): column means, sample stddev, Pearson
+    * correlation. Rounded — co-moment merge order is inherently partition-
+    * dependent, so 6 digits is the honest precision contract.
+    */
+  def corrStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+           round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+           (sum(dec(col("l_quantity"), 12, 2)).cast("double") / count(lit(1)))
+             .as("mean_qty"))
+
+  /** Distinct aggregate: exact distinct users per event type. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("nu"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** U1: union of two entity tables, top accounts overall. */
+  def unionTopAccounts(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+              lit("customer").as("kind"))
+    val supp = table(spark, dir, "supplier")
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+              lit("supplier").as("kind"))
+    cust.unionByName(supp)
+      .orderBy(desc("acctbal"), asc("name"))
+      .limit(50)
+  }
+
+  /** Semi-structured: JSON property extraction from the events props blob. */
+  def propsJson(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("k_sum"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** P8 (crime.py:100,104): bounded preview with a deterministic order. */
+  def headLimit(spark: SparkSession, dir: String): DataFrame =
+    Relational.preview(
+      table(spark, dir, "events").select("event_id", "event_type").orderBy("event_id"),
+      n = 5)
+
   val all: Map[String, Q] = Map(
-    "q_counts_by_type" -> (countsByType _)
+    "q_counts_by_type" -> (countsByType _),
+    "q_pivot_status" -> (pivotStatus _),
+    "q_rollup_flags" -> (rollupFlags _),
+    "q_topk_orders" -> (topkOrders _),
+    "q_year_orders" -> (yearOrders _),
+    "q_date_split" -> (dateSplit _),
+    "q_hourly_events" -> (hourlyEvents _),
+    "q_fill_missing" -> (fillMissing _),
+    "q_select_rename" -> (selectRename _),
+    "q_zscore_acctbal" -> (zscoreAcctbal _),
+    "q_mktsegment_revenue" -> (mktsegmentRevenue _),
+    "q_region_revenue" -> (regionRevenue _),
+    "q1_lineitem" -> (q1Lineitem _),
+    "q_unpivot_metrics" -> (unpivotMetrics _),
+    "q_window_top_users" -> (windowTopUsers _),
+    "q_window_running_sum" -> (windowRunningSum _),
+    "q_window_lag_gap" -> (windowLagGap _),
+    "q_anti_customers_no_orders" -> (antiCustomersNoOrders _),
+    "q_semi_customers_with_f" -> (semiCustomersWithF _),
+    "q_corr_stats" -> (corrStats _),
+    "q_distinct_users" -> (distinctUsers _),
+    "q_union_top_accounts" -> (unionTopAccounts _),
+    "q_props_json" -> (propsJson _),
+    "q_head_limit" -> (headLimit _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -36,6 +338,202 @@ object RelationalQueries {
       """SELECT event_type, count(*) AS n
         |FROM events
         |GROUP BY event_type
-        |ORDER BY n DESC, event_type ASC""".stripMargin
+        |ORDER BY n DESC, event_type ASC""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rollup_flags" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q_year_orders" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY yr
+        |ORDER BY yr""".stripMargin,
+
+    "q_date_split" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS date_str,
+        |       strftime(ts, '%H:%M:%S') AS time_str
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_hourly_events" ->
+      """SELECT hour(ts) AS hr, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |FROM events
+        |GROUP BY hr
+        |ORDER BY hr""".stripMargin,
+
+    "q_fill_missing" ->
+      """SELECT COALESCE(NULLIF(event_type, 'click'), 'none') AS etype,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(COALESCE(
+        |    CASE WHEN value > 300.0 THEN NULL ELSE value END, 0.0)
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS v_sum
+        |FROM events
+        |GROUP BY etype
+        |ORDER BY etype""".stripMargin,
+
+    "q_select_rename" ->
+      """SELECT c_custkey AS id, c_name AS cust_name, c_mktsegment AS segment
+        |FROM customer
+        |ORDER BY id""".stripMargin,
+
+    "q_zscore_acctbal" ->
+      """WITH st AS (
+        |  SELECT
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) *
+        |             CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  round((c_acctbal - s / n) / sqrt((ss - s * s / n) / (n - 1)), 6) AS z
+        |FROM customer, st
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_mktsegment_revenue" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q1_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+        |    AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_unpivot_metrics" ->
+      """SELECT l_returnflag, 'l_quantity' AS metric,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 'l_extendedprice' AS metric,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_window_top_users" ->
+      """SELECT * FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY count(*) DESC, user_id ASC) AS rk
+        |  FROM events
+        |  GROUP BY event_type, user_id)
+        |WHERE rk <= 5
+        |ORDER BY event_type, rk""".stripMargin,
+
+    "q_window_running_sum" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_lag_gap" ->
+      """SELECT event_id,
+        |  COALESCE(epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id)), -1) AS gap_us
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_customers_with_f" ->
+      """SELECT c_custkey
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_corr_stats" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS mean_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS nu, count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_union_top_accounts" ->
+      """SELECT name, acctbal, kind FROM (
+        |  SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
+        |ORDER BY acctbal DESC, name ASC
+        |LIMIT 50""".stripMargin,
+
+    "q_props_json" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q_head_limit" ->
+      """SELECT event_id, event_type
+        |FROM events
+        |ORDER BY event_id
+        |LIMIT 5""".stripMargin
   )
 }

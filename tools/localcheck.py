@@ -52,6 +52,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={g_cols} oracle={w_cols}")
             n_fail += 1
             continue
+        g_types = {c: str(got.schema.field(c).type) for c in g_cols}
+        w_types = {c: str(want.schema.field(c).type) for c in w_cols}
+        if g_types != w_types:
+            diff = {c: (g_types[c], w_types[c]) for c in g_cols
+                    if g_types[c] != w_types[c]}
+            print(f"WARN {name}: type mismatch (spark, oracle): {diff}")
         g_rows = [tuple(canon(r[c]) for c in g_cols) for r in got.to_pylist()]
         w_rows = [tuple(canon(r[c]) for c in w_cols) for r in want.to_pylist()]
         if len(g_rows) != len(w_rows):
