@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.llm.LlmQueries
 import graft.ops.RelationalQueries
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -8,9 +9,9 @@ object SparkEntry {
     RelationalQueries.countsByType(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all
+    RelationalQueries.all ++ LlmQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ LlmQueries.oracle
 }

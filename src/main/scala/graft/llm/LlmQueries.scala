@@ -1,0 +1,235 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.table
+
+/** Harness wiring for the LLM-data-pipeline operator family
+  * (SURVEY.md §0 third finding, §7.2.5): dedup, similarity search, text
+  * analysis, multimodal plumbing over the documents/embeddings tables.
+  *
+  * Oracle-checked where SQL-expressible; the MinHash/SimHash/LSH/decode
+  * paths are rows-only (driver's weaker check) and covered by ScalaTest
+  * instead.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup groups (fingerprint → keep-first id + copy count). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(table(spark, dir, "documents"))
+      .orderBy("keep_id")
+
+  /** Exact word-set Jaccard pairs on a bounded block (verification form of
+    * near-dup; the scale path is the MinHash query below).
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(table(spark, dir, "documents"),
+        n = 1, minJaccard = 0.9, maxId = 200L)
+      .orderBy("id_a", "id_b")
+
+  /** MinHash+LSH near-dup pairs (rows-only: MLlib hash seeds aren't
+    * SQL-reproducible).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(table(spark, dir, "documents"),
+        maxJaccardDistance = 0.1)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs on a bounded block (rows-only). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(table(spark, dir, "documents"),
+        maxHamming = 12, maxId = 200L)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
+  def knnCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.knnBruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rk")
+  }
+
+  /** LSH-bucketed cosine near-neighbor pairs (rows-only scale path). */
+  def lshCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshCosinePairs(table(spark, dir, "embeddings"), minCosine = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** Per-vector L2 norms (exact fold, rounded). */
+  def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        round(Similarity.l2Norm(col("embedding")), 6).as("l2"))
+      .orderBy("vec_id")
+
+  /** Token counting family: whitespace, distinct, regex ("BPE-ish"),
+    * chars-per-token estimate, mean token length.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        TextStats.distinctTokenCount(col("text")).as("n_distinct"),
+        TextStats.regexTokenCount(col("text")).as("n_word_tokens"),
+        TextStats.bpeTokenEstimate(col("text")).as("bpe_est"),
+        round(TextStats.meanTokenLength(col("text")), 6).as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic distribution: predicted language per doc,
+    * aggregated against the labelled lang column.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("lang"), TextStats.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  /** Quality score per document. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Content fingerprints: md5 (oracle-checked); SimHash lives in the
+    * rows-only pair query + unit tests.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Multimodal metadata columns over the binary payload. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.withBinaryPayload(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.sha").as("sha"))
+      .orderBy("doc_id")
+
+  /** Partition-parallel decode via the stubbed codec (rows-only). */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeFeatures(spark, table(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  val all: Map[String, Q] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_minhash_pairs" -> (minhashPairs _),
+    "q_simhash_pairs" -> (simhashPairs _),
+    "q_knn_cosine" -> (knnCosine _),
+    "q_lsh_cosine_pairs" -> (lshCosinePairs _),
+    "q_embedding_norms" -> (embeddingNorms _),
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langId _),
+    "q_quality_score" -> (qualityScore _),
+    "q_doc_fingerprint" -> (docFingerprint _),
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_multimodal_decode" -> (multimodalDecode _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents
+        |GROUP BY fp
+        |ORDER BY keep_id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, round(
+        |    list_sum(list_transform(range(1, len(cv) + 1),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6) AS score
+        |  FROM c, q WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, neighbor_id, score
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+
+    "q_embedding_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est,
+        |  round(CAST(list_sum(list_transform(string_split(text, ' '),
+        |    x -> length(x))) AS DOUBLE) /
+        |    len(string_split(text, ' ')), 6) AS mean_tok_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('der','die','das','und','scan','row'))) AS hits_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','query','table'))) AS hits_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('le','la','les','et','join','merge'))) AS hits_fr
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN hits_fr > greatest(hits_de, hits_en) THEN 'fr'
+        |       WHEN hits_en > hits_de THEN 'en'
+        |       ELSE 'de' END AS lang_pred,
+        |  count(*) AS n
+        |FROM scored
+        |GROUP BY lang, lang_pred
+        |ORDER BY lang, lang_pred""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id, round(
+        |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
+        |  (CAST(len(list_filter(string_split(text, ' '),
+        |     x -> x IN ('the','a','of','and','query','table',
+        |                'der','die','das','und','scan','row',
+        |                'le','la','les','et','join','merge'))) AS DOUBLE) /
+        |   CAST(len(string_split(text, ' ')) AS BIGINT)) * 0.3 +
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |   CAST(len(string_split(text, ' ')) AS BIGINT)) * 0.3, 6) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS sha
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §7.2.5):
+  * token counting, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * All column-level expressions built from codegen'd higher-order functions —
+  * no UDFs — so they vectorize inside whole-stage codegen and scale linearly
+  * with no shuffle: the entire family is embarrassingly parallel over
+  * documents, which is exactly what a 100 TB corpus pass needs.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (documents are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("bigint")
+
+  /** Word-regex token count — the "BPE-ish regex" counting mode: alphabetic
+    * runs as word tokens, so punctuation splits like a subword pre-tokenizer.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+"), lit(0))).cast("bigint")
+
+  /** Crude byte-pair proxy: ~4 chars per BPE token, the standard estimate. */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("bigint")
+
+  /** Total characters across tokens (exact integer arithmetic). */
+  def sumTokenLengths(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t).cast("bigint")),
+      lit(0L), (acc, x) => acc + x)
+
+  def meanTokenLength(text: Column): Column =
+    sumTokenLengths(text).cast("double") / tokenCount(text)
+
+  /** Fraction of tokens found in `words` (stopword ratio and the building
+    * block of the language-ID heuristic).
+    */
+  def wordHitRatio(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words))).cast("double") /
+      tokenCount(text)
+
+  /** Marker-word lists per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic: language ID at corpus
+    * scale is a per-row scoring pass, and this keeps the oracle SQL exact.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "query", "table"),
+    "de" -> Seq("der", "die", "das", "und", "scan", "row"),
+    "fr" -> Seq("le", "la", "les", "et", "join", "merge"))
+
+  /** Language-ID: argmax of marker-word hits, ties broken by language name
+    * ascending (stable, oracle-reproducible).
+    */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      (lang, size(filter(tokens(text), t => t.isInCollection(words))))
+    }
+    // fold over languages in ascending name order keeping strict-greater,
+    // which implements "max hits, first name wins ties"
+    hits.tail.foldLeft((lit(hits.head._1), hits.head._2)) {
+      case ((bestLang, bestHits), (lang, h)) =>
+        (when(h > bestHits, lit(lang)).otherwise(bestLang),
+         when(h > bestHits, h).otherwise(bestHits))
+    }._1
+  }
+
+  /** Composite quality score in [0,1]: length saturation + stopword mass +
+    * lexical diversity. Weights are arbitrary but fixed; the value is a
+    * filter signal, not a metric.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
+    val stopScore = wordHitRatio(text, langMarkers.values.flatten.toSeq)
+    val diversity = distinctTokenCount(text).cast("double") / tokenCount(text)
+    round(lenScore * 0.4 + stopScore * 0.3 + diversity * 0.3, 6)
+  }
+
+  /** Content-addressed fingerprint (exact-dedup key). md5 over utf-8 text —
+    * 16 bytes of shuffle key instead of the full document.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit SimHash over the token multiset, using xxhash64 as the
+    * per-token hash. For each bit: majority vote across token hashes, i.e.
+    * bit b is set iff more than half the tokens have bit b set. Pure
+    * higher-order-function expression — no UDF, no shuffle.
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(tokens(text), t => xxhash64(t))
+    val n = size(hs)
+    (0 until 64).map { b =>
+      when(size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L)) * 2 > n,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce((acc, x) => acc.bitwiseOR(x))
+  }
+}
