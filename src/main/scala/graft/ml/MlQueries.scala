@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.table
+
+/** Harness wiring for the ML surface. All rows-only (not SQL-expressible;
+  * SURVEY.md §5.4): parity is metric-level, asserted in ScalaTest — these
+  * queries exist so the driver exercises the pipelines end-to-end.
+  */
+object MlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic crime-shaped frame derived from the events table:
+    * Category≈event_type, day-of-week + district + address categoricals,
+    * lon/lat from value/user_id. Mirrors the Kaggle schema the reference
+    * reads (FIXTURES.md §1) without synthesizing data outside the corpus.
+    */
+  def crimeShaped(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select(
+      col("event_id"),
+      col("event_type").as("Category"),
+      date_format(col("ts"), "EEEE").as("DayOfWeek"),
+      concat(lit("D"), pmod(col("user_id"), lit(10))).as("PdDistrict"),
+      concat(lit("A"), pmod(col("event_id"), lit(500))).as("Address"),
+      (lit(-122.5) + pmod(col("value"), lit(10)) / 100.0).as("X"),
+      (lit(37.7) + pmod(col("user_id"), lit(100)) / 1000.0).as("Y"))
+
+  private val schema = CrimePipeline.Schema(
+    labelCol = "Category",
+    categoricalCols = Seq("DayOfWeek", "PdDistrict", "Address"),
+    lonCol = "X", latCol = "Y")
+
+  /** Full ML1–ML7 run: one summary row (holdout accuracy + class count). */
+  def mlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = crimeShaped(spark, dir)
+    val (model, accuracy) = CrimePipeline.trainAndEvaluate(df, schema)
+    val preds = CrimePipeline.score(model, df, "event_id", schema)
+    val nPred = preds.select(countDistinct(col("Category"))).as[Long].head()
+    Seq((accuracy, nPred, df.count()))
+      .toDF("accuracy", "n_predicted_classes", "n_rows")
+  }
+
+  /** ML2+ML3 alone (crime.py:132-137): scale lon/lat, KMeans k=10 seed=0,
+    * report cluster-size distribution (the id-free comparison form).
+    */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val geo = crimeShaped(spark, dir).select("event_id", "X", "Y")
+    val assembled = new VectorAssembler()
+      .setInputCols(Array("X", "Y")).setOutputCol("geo_raw").transform(geo)
+    val scaled = new StandardScaler()
+      .setInputCol("geo_raw").setOutputCol("geo_scaled")
+      .setWithMean(true).setWithStd(true)
+      .fit(assembled).transform(assembled)
+    val clustered = new KMeans()
+      .setK(10).setSeed(0L).setFeaturesCol("geo_scaled").setPredictionCol("cluster")
+      .fit(scaled).transform(scaled)
+    clustered.groupBy("cluster").agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), asc("cluster"))
+      .select("size") // sizes only: cluster ids aren't comparable across impls
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_ml_pipeline" -> (mlPipeline _),
+    "q_ml_cluster_sizes" -> (clusterSizes _)
+  )
+}

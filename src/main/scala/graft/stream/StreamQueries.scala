@@ -1,0 +1,55 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.table
+
+/** Harness wiring for the streaming surface. The socket path needs a live
+  * producer, so the batch-verifiable piece is the payload codec: frame the
+  * events table exactly as the reference producer does
+  * (/root/reference/stream.py:152-204), parse it back with the consumer's
+  * parser, and aggregate — which the DuckDB oracle can check against the
+  * unframed table.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Producer framing (stream.py:153-179): batches of 100 rows keyed by
+    * row index, one JSON object per batch — then consumer parse
+    * ([[Ingest.parsePayload]]) and per-batch aggregation. A full
+    * produce→serialize→parse→analyze roundtrip in one deterministic plan.
+    */
+  def streamRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val framed = events
+      .groupBy(expr("event_id div 100").cast("bigint").as("batch_id"))
+      .agg(to_json(map_from_entries(collect_list(struct(
+        col("event_id").cast("string"),
+        map(lit("event_type"), col("event_type"),
+            lit("value"), col("value").cast("string")))))).as("value"))
+    val parsed = Ingest.toTyped(
+      Ingest.parsePayload(framed.select("batch_id", "value")),
+      Seq("event_type"))
+    parsed
+      .groupBy(expr("row_idx div 100").cast("bigint").as("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           countDistinct(col("event_type")).as("n_types"))
+      .orderBy("batch_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_stream_roundtrip" -> (streamRoundtrip _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_roundtrip" ->
+      """SELECT CAST(event_id // 100 AS BIGINT) AS batch_id,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM events
+        |GROUP BY batch_id
+        |ORDER BY batch_id""".stripMargin
+  )
+}
