@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "a b c d"), (1L, "a b c d"), (2L, "a b c d"),
+    (3L, "x y z w"), (4L, "p q r s")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups: min id kept, copies counted") {
+    val g = Dedup.exactDupGroups(docs).orderBy("keep_id").collect()
+    assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("exactDedupKeepFirst retains one row per distinct text") {
+    val kept = Dedup.exactDedupKeepFirst(docs).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 3L, 4L))
+  }
+
+  test("ngramJaccardPairs computes exact unigram jaccard") {
+    // {a,b,c,d} vs {a,b,c,e}: |∩|=3, |∪|=5 → 0.6
+    val d2 = Seq((0L, "a b c d"), (1L, "a b c e"), (2L, "q r s t"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d2, n = 1, minJaccard = 0.5, maxId = 10)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 0L && pairs(0).getLong(1) == 1L)
+    assert(math.abs(pairs(0).getDouble(2) - 0.6) < 1e-9)
+  }
+
+  test("bigram shingles differ from unigrams (word order matters)") {
+    val d2 = Seq((0L, "a b c"), (1L, "c b a")).toDF("doc_id", "text")
+    val uni = Dedup.ngramJaccardPairs(d2, 1, 0.9, 10).count()
+    val bi = Dedup.ngramJaccardPairs(d2, 2, 0.1, 10).count()
+    assert(uni == 1) // same word set
+    assert(bi == 0)  // no shared bigram
+  }
+
+  test("minhash LSH recalls most true near-dup pairs (recall, not precision)") {
+    val corpus = graft.Tables.table(spark, GraftTestSpark.sfDir, "documents")
+    val exact = Dedup.ngramJaccardPairs(corpus, 1, 0.9, 200)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val approx = Dedup.minhashNearDupPairs(corpus.filter($"doc_id" < 200), 0.2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall over ${exact.size} true pairs")
+  }
+
+  test("simhashPairs: duplicate texts have hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0, maxId = 10)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f))
+    ).toDF("a", "b").select(Similarity.cosine($"a", $"b").as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("knnBruteForce: k rows per query, self excluded, descending scores") {
+    val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
+    val knn = Similarity.knnBruteForce(emb, emb.filter($"vec_id" < 3), k = 5)
+      .collect()
+    assert(knn.length == 15)
+    assert(!knn.exists(r => r.getLong(0) == r.getLong(2)))
+    knn.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH cosine pairs: reported cosine matches exact within LSH tolerance") {
+    val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
+    val pairs = Similarity.lshCosinePairs(emb, minCosine = 0.3).limit(5).collect()
+    assert(pairs.nonEmpty)
+    val exact = emb.as("x").join(emb.as("y"), $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id", $"y.vec_id",
+        Similarity.cosine($"x.embedding", $"y.embedding").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(math.abs(exact(key) - r.getDouble(2)) < 1e-4,
+        s"pair $key lsh=${r.getDouble(2)} exact=${exact(key)}")
+    }
+  }
+}

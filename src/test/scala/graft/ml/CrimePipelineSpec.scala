@@ -1,0 +1,73 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+/** Metric-level ML parity (SURVEY.md §5.4): seeded synthetic multiclass
+  * fixture with real signal (FIXTURES.md §4) — assert accuracy thresholds
+  * and clustering quality, never exact predictions.
+  */
+class CrimePipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  /** 3 well-separated classes; label is a deterministic function of the
+    * district + geography, so a tree ensemble must beat 0.8 easily.
+    */
+  lazy val fixture = {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 3000).map { i =>
+      val cls = i % 3
+      val lon = -122.5 + cls * 0.5 + rng.nextGaussian() * 0.05
+      val lat = 37.7 + cls * 0.3 + rng.nextGaussian() * 0.05
+      val district = s"D${cls * 3 + rng.nextInt(3)}"
+      val dow = Seq("Mon", "Tue", "Wed")(rng.nextInt(3))
+      val addr = s"A${rng.nextInt(50)}"
+      (i.toLong, s"CAT_$cls", dow, district, addr, lon, lat)
+    }
+    rows.toDF("event_id", "Category", "DayOfWeek", "PdDistrict", "Address", "X", "Y")
+  }
+
+  private val schema = CrimePipeline.Schema(
+    "Category", Seq("DayOfWeek", "PdDistrict", "Address"), "X", "Y")
+
+  test("pipeline reaches >=0.8 holdout accuracy on separable classes") {
+    val (_, acc) = CrimePipeline.trainAndEvaluate(fixture, schema)
+    assert(acc >= 0.8, s"accuracy=$acc")
+  }
+
+  test("StringIndexer uses alphabetAsc (sklearn LabelEncoder order)") {
+    val df = Seq("zebra", "apple", "apple", "zebra", "zebra", "mango")
+      .toDF("Category")
+    val m = new StringIndexer().setInputCol("Category").setOutputCol("label")
+      .setStringOrderType("alphabetAsc").fit(df)
+    // frequencyDesc (Spark default) would put zebra first; alphabetAsc must not
+    assert(m.labelsArray(0).toSeq == Seq("apple", "mango", "zebra"))
+  }
+
+  test("score() emits (Id, Category) with decoded string labels") {
+    val (model, _) = CrimePipeline.trainAndEvaluate(fixture, schema)
+    val scored = CrimePipeline.score(model, fixture, "event_id", schema)
+    assert(scored.columns.toSeq == Seq("Id", "Category"))
+    val cats = scored.select("Category").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cats.subsetOf(Set("CAT_0", "CAT_1", "CAT_2")))
+  }
+
+  test("KMeans k=10 seed=0 is deterministic and covers all clusters") {
+    def run(): Map[Int, Long] = {
+      val assembled = new VectorAssembler().setInputCols(Array("X", "Y"))
+        .setOutputCol("f").transform(fixture.select("X", "Y"))
+      new KMeans().setK(10).setSeed(0L).setFeaturesCol("f")
+        .setPredictionCol("c").fit(assembled).transform(assembled)
+        .groupBy("c").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val a = run(); val b = run()
+    assert(a == b)
+    assert(a.size == 10)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("imputeByDtype fills strings with 'none' and numerics with 0") {
+    val df = Seq((Some("a"), Some(1.0)), (None, None), (Some("b"), Some(2.5)))
+      .toDF("s", "d")
+    val filled = Relational.imputeByDtype(df)
+    val rows = filled.orderBy("s").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "none"))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.0, 2.5, 0.0))
+  }
+
+  test("dropCols / renameCols / selectCols compose") {
+    val df = Seq((1, "x", 2.0)).toDF("a", "b", "c")
+    val out = Relational.selectCols(
+      Relational.renameCols(Relational.dropCols(df, "c"), "a" -> "id"), "id", "b")
+    assert(out.columns.toSeq == Seq("id", "b"))
+    assert(out.head().getInt(0) == 1)
+  }
+
+  test("pivotCount keeps explicit column set and zero-fills missing cells") {
+    val df = Seq(("r1", "x"), ("r1", "x"), ("r2", "y")).toDF("row", "col")
+    val p = Pivot.pivotCount(df, "row", "col", Seq("x", "y", "z"))
+    assert(p.columns.toSeq == Seq("row", "x", "y", "z"))
+    val r1 = p.filter($"row" === "r1").head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((2L, 0L, 0L)))
+  }
+
+  test("melt produces one row per (id, valueCol) like pandas melt") {
+    val df = Seq((1, 10.0, 20.0)).toDF("id", "p", "q")
+    val m = Pivot.melt(df, Seq("id"), Seq("p", "q")).orderBy("metric")
+    assert(m.columns.toSeq == Seq("id", "metric", "value"))
+    assert(m.collect().map(r => (r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("p", 10.0), ("q", 20.0)))
+  }
+
+  test("splitTimestamp round-trips the timestamp parts") {
+    val df = Seq("2024-03-05 07:08:09").toDF("raw")
+      .select(to_timestamp($"raw").as("ts"))
+    val s = Timeparts.splitTimestamp(df, "ts").head()
+    assert(s.getString(1) == "2024-03-05" && s.getString(2) == "07:08:09")
+  }
+
+  test("zscore output has mean ~0 and sample-stddev ~1 (pandas ddof=1 parity)") {
+    val z = RelationalQueries.zscoreAcctbal(spark, GraftTestSpark.sfDir)
+    val stats = z.agg(avg($"z"), stddev_samp($"z")).head()
+    assert(math.abs(stats.getDouble(0)) < 1e-6)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-4)
+  }
+
+  test("groupBy counts sum to table count (A1 invariant)") {
+    val counts = RelationalQueries.countsByType(spark, GraftTestSpark.sfDir)
+    val total = graft.Tables.table(spark, GraftTestSpark.sfDir, "events").count()
+    assert(counts.agg(sum($"n")).head().getLong(0) == total)
+  }
+
+  test("pivot row sums equal group-by counts (A3 invariant)") {
+    val p = RelationalQueries.pivotStatus(spark, GraftTestSpark.sfDir)
+    val rowSums = p.select($"o_orderpriority",
+      ($"F" + $"O" + $"P").as("n")).orderBy("o_orderpriority")
+    val g = graft.Tables.table(spark, GraftTestSpark.sfDir, "orders")
+      .groupBy("o_orderpriority").count().orderBy("o_orderpriority")
+    assert(rowSums.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+}

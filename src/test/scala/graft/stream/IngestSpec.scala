@@ -1,0 +1,73 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  /** Exactly the producer's payload shape (stream.py:153-179). */
+  val payloadLine =
+    """{"0": {"feature0": "1.5", "label": "3"},
+      | "1": {"feature0": "2.5", "label": "4"}}""".stripMargin.replace("\n", "")
+
+  test("parsePayload explodes the map-of-maps into one row per record") {
+    val parsed = Ingest.parsePayload(Seq(payloadLine).toDF("value"))
+    val typed = Ingest.toTyped(parsed, Seq("feature0", "label"))
+      .orderBy("row_idx").collect()
+    assert(typed.length == 2)
+    assert(typed(0).getLong(0) == 0L && typed(0).getString(1) == "1.5"
+      && typed(0).getString(2) == "3")
+    assert(typed(1).getLong(0) == 1L && typed(1).getString(2) == "4")
+  }
+
+  test("parseRawLines explodes a JSON string array with positions") {
+    val line = """["alpha", "beta"]"""
+    val rows = Ingest.parseRawLines(Seq(line).toDF("value"))
+      .orderBy("line_idx").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((0, "alpha"), (1, "beta")))
+  }
+
+  test("MemoryStream of payload lines parses under the incremental planner") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = Ingest.parsePayload(mem.toDF().withColumnRenamed("value", "value"))
+    val q = parsed.writeStream.format("memory").queryName("ingest_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(payloadLine)
+      mem.addData("""{"2": {"feature0": "9.9", "label": "1"}}""")
+      q.processAllAvailable()
+      // totals, not per-batch counts: batch boundaries are trigger-framed
+      // (SURVEY §7.4.4)
+      val rows = spark.table("ingest_test").collect()
+      assert(rows.length == 3)
+    } finally q.stop()
+  }
+
+  test("windowedCounts groups a typed stream by tumbling window + key") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "k")
+    val agg = Ingest.windowedCounts(events, "ts", "k",
+      watermark = "1 minute", window = "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "a"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select(col("window.start").cast("string").as("start"), col("k"), col("n"))
+        .orderBy("start").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+        Seq(("2024-01-01 00:00:00", 2L), ("2024-01-01 00:05:00", 1L)))
+    } finally q.stop()
+  }
+}
