@@ -1,6 +1,5 @@
 package graft.llm
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, RegexTokenizer}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -31,30 +30,53 @@ object Dedup {
     docs.join(keep, docs(idCol) === keep("keep_id"), "left_semi")
   }
 
-  /** MinHash+LSH near-duplicate pairs over word sets: shingle → binary
-    * term-frequency vector → MinHash signatures → LSH band-bucket join.
-    * `maxJaccardDistance` bounds the join (1 - Jaccard similarity).
-    * Seeded, so signatures are deterministic. This is the 100 TB near-dup
-    * path: candidate generation is a bucket join, never N².
+  /** MinHash+LSH near-duplicate pairs over word sets, the classic banding
+    * scheme (Broder minhash + LSH bands, as in MMDS ch.3):
+    *
+    *   1. signature: `numHashes` minima of per-seed xxhash64 over the
+    *      token set (pure codegen'd higher-order functions);
+    *   2. banding: signatures split into `bands` groups of r rows; docs
+    *      sharing any band hash become candidates — a bucket equi-join,
+    *      never the N² cross product (the 100 TB property);
+    *   3. exact verify: candidates get true Jaccard via array_intersect,
+    *      filtered at `minJaccard` — so output has no false positives,
+    *      and misses only what banding misses (P(candidate) = 1-(1-j^r)^b).
+    *
+    * Deterministic end-to-end (seeded hashes, no RNG). Replaces MLlib's
+    * MinHashLSH.approxSimilarityJoin, which expands per hash table and
+    * degenerates to all-pairs × tables on globally-similar corpora.
     */
-  def minhashNearDupPairs(docs: DataFrame, maxJaccardDistance: Double,
+  def minhashNearDupPairs(docs: DataFrame, minJaccard: Double,
                           textCol: String = "text", idCol: String = "doc_id",
-                          numHashTables: Int = 8): DataFrame = {
-    val tokenizer = new RegexTokenizer()
-      .setInputCol(textCol).setOutputCol("toks").setPattern(" ")
-    val tf = new HashingTF()
-      .setInputCol("toks").setOutputCol("tf").setNumFeatures(1 << 18)
-      .setBinary(true) // word SETS: Jaccard over presence, not counts
-    val lsh = new MinHashLSH()
-      .setInputCol("tf").setOutputCol("sig").setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val vectorized = tf.transform(tokenizer.transform(docs.select(idCol, textCol)))
-    val model = lsh.fit(vectorized)
-    model.approxSimilarityJoin(vectorized, vectorized, maxJaccardDistance, "dist")
-      .select(col(s"datasetA.$idCol").as("id_a"),
-              col(s"datasetB.$idCol").as("id_b"),
-              round(col("dist"), 6).as("jaccard_dist"))
-      .filter(col("id_a") < col("id_b"))
+                          numHashes: Int = 18, bands: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(TextStats.tokens(col(textCol))).as("toks"))
+    val sigCols = (0 until numHashes).map { i =>
+      array_min(transform(col("toks"), t => xxhash64(lit(i), t))).as(s"h$i")
+    }
+    val sigs = toks.select(col("id") +: sigCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * r until (b + 1) * r).map(i => col(s"h$i"))): _*)
+        .as(s"band$b")
+    }
+    val buckets = sigs.select(col("id"), posexplode(array(bandCols: _*)))
+      .toDF("id", "band_idx", "band_key")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val ta = toks.select(col("id").as("id_a"), col("toks").as("toks_a"))
+    val tb = toks.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    cand.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** SimHash near-duplicate pairs: 64-bit signatures, then pairs within

@@ -29,12 +29,12 @@ object LlmQueries {
         n = 1, minJaccard = 0.9, maxId = 200L)
       .orderBy("id_a", "id_b")
 
-  /** MinHash+LSH near-dup pairs (rows-only: MLlib hash seeds aren't
-    * SQL-reproducible).
+  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures aren't
+    * SQL-reproducible in DuckDB; the exact-verify stage is covered by the
+    * oracle-checked q_jaccard_pairs instead).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDupPairs(table(spark, dir, "documents"),
-        maxJaccardDistance = 0.1)
+    Dedup.minhashNearDupPairs(table(spark, dir, "documents"), minJaccard = 0.9)
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs on a bounded block (rows-only). */
@@ -50,9 +50,20 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
-  /** LSH-bucketed cosine near-neighbor pairs (rows-only scale path). */
+  /** Exact cosine pairs on a bounded block (oracle-checked baseline for
+    * the LSH scale path below).
+    */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairsExact(table(spark, dir, "embeddings"),
+        minCosine = 0.3, maxId = 1000L)
+      .orderBy("id_a", "id_b")
+
+  /** LSH-bucketed cosine near-neighbor pairs (rows-only scale path;
+    * exact-verified so precision is 1.0, recall is the banding tradeoff).
+    */
   def lshCosinePairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshCosinePairs(table(spark, dir, "embeddings"), minCosine = 0.3)
+    Similarity.lshCosinePairs(table(spark, dir, "embeddings"), minCosine = 0.3,
+        bucketLength = 1.0)
       .orderBy("id_a", "id_b")
 
   /** Per-vector L2 norms (exact fold, rounded). */
@@ -118,6 +129,7 @@ object LlmQueries {
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_knn_cosine" -> (knnCosine _),
+    "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_embedding_norms" -> (embeddingNorms _),
     "q_text_stats" -> (textStats _),
@@ -168,6 +180,21 @@ object LlmQueries {
         |SELECT query_id, rk, neighbor_id, score
         |FROM ranked WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+        |  FROM embeddings WHERE vec_id < 1000)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1, len(a.uv) + 1),
+        |    i -> a.uv[i] * b.uv[i])), 6) AS cosine
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.uv) + 1),
+        |    i -> a.uv[i] * b.uv[i])), 6) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embedding_norms" ->
       """SELECT vec_id,

@@ -18,15 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — a codegen'd custom
+    * Expression ([[graft.functions.DotProduct]]): same fold order as the
+    * HOF `aggregate(zip_with(...))` form (bit-identical results), but a
+    * primitive loop with zero per-row allocation.
+    */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.ArrayMath.dot(a, b)
 
   /** Sequential-fold squared L2 norm in double precision. */
-  def normSq(a: Column): Column =
-    aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def normSq(a: Column): Column = dotProduct(a, a)
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
@@ -50,34 +51,65 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "score")
   }
 
-  /** LSH-bucketed near-neighbor pairs: random-hyperplane buckets via
-    * BucketedRandomProjectionLSH over unit-normalized vectors. On unit
-    * vectors, euclidean distance d ↔ cosine = 1 - d²/2, so a cosine floor
-    * maps to a euclidean ceiling. Candidate pairs come from bucket joins —
-    * never the N² cross product.
+  /** Exact cosine near-neighbor pairs on a bounded block (verification
+    * form; the LSH variant below is the scale path). Self-join + HOF
+    * cosine stays fully inside whole-stage codegen.
+    */
+  def cosinePairsExact(corpus: DataFrame, minCosine: Double, maxId: Long,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    // normalize once per vector (N ops), dot per pair (N² ops) — cheaper
+    // than per-pair norms, and the exact op order the oracle SQL uses
+    val v = corpus.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double") / l2Norm(col(vecCol))).as("u"))
+    val a = v.select(col("id").as("id_a"), col("u").as("ua"))
+    val b = v.select(col("id").as("id_b"), col("u").as("ub"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(dotProduct(col("ua"), col("ub")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** LSH-bucketed near-neighbor pairs: seeded random-hyperplane projections
+    * quantized into buckets, banded like MinHash (SURVEY §7.2.5 scale
+    * path): docs sharing any band of bucket ids become candidates (a
+    * bucket equi-join, never N²), then an exact cosine verify removes
+    * every false positive. Deterministic: projections come from a fixed
+    * seed, all math is codegen'd HOFs — no MLlib model state.
     */
   def lshCosinePairs(corpus: DataFrame, minCosine: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     bucketLength: Double = 0.5,
-                     numHashTables: Int = 4): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val unit = corpus.select(col(idCol),
+                     dim: Int = 64, bucketLength: Double = 0.3,
+                     bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val rng = new scala.util.Random(42L)
+    val projections = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
+    val unit = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double") / l2Norm(col(vecCol))).as("u"))
-      .withColumn("uv", array_to_vector(col("u")))
-      .select(idCol, "uv")
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("uv").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(unit)
-    val maxDist = math.sqrt(2.0 * (1.0 - minCosine))
-    model.approxSimilarityJoin(unit, unit, maxDist, "dist")
-      .select(col(s"datasetA.$idCol").as("id_a"),
-              col(s"datasetB.$idCol").as("id_b"),
-              round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cosine"))
-      .filter(col("id_a") < col("id_b"))
+    val bucketCols = projections.zipWithIndex.map { case (g, i) =>
+      floor(
+        aggregate(zip_with(col("u"), typedlit(g.toSeq), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / bucketLength)
+        .cast("long").as(s"b$i")
+    }
+    val bucketed = unit.select(col("id") +: col("u") +: bucketCols.toSeq: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"b$i"))): _*).as(s"band$b")
+    }
+    val buckets = bucketed.select(col("id"), posexplode(array(bandCols: _*)))
+      .toDF("id", "band_idx", "band_key")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val ua = unit.select(col("id").as("id_a"), col("u").as("ua"))
+    val ub = unit.select(col("id").as("id_b"), col("u").as("ub"))
+    cand.join(ua, "id_a").join(ub, "id_b")
+      .withColumn("cosine", round(dotProduct(col("ua"), col("ub")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
   }
 }

@@ -44,13 +44,16 @@ class DedupSpec extends AnyFunSuite {
     assert(bi == 0)  // no shared bigram
   }
 
-  test("minhash LSH recalls most true near-dup pairs (recall, not precision)") {
+  test("minhash LSH: no false positives, high recall vs exact pairs") {
     val corpus = graft.Tables.table(spark, GraftTestSpark.sfDir, "documents")
     val exact = Dedup.ngramJaccardPairs(corpus, 1, 0.9, 200)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
-    val approx = Dedup.minhashNearDupPairs(corpus.filter($"doc_id" < 200), 0.2)
+    val approx = Dedup.minhashNearDupPairs(corpus.filter($"doc_id" < 200), 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-verify stage guarantees precision 1.0 …
+    assert(approx.subsetOf(exact))
+    // … and banding with r=6, b=3 keeps recall high at j>=0.9
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.7, s"recall=$recall over ${exact.size} true pairs")
   }
