@@ -11,9 +11,11 @@ object SparkEntry {
     RelationalQueries.countsByType(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ LlmQueries.all ++ MlQueries.all ++ StreamQueries.all
+    RelationalQueries.all ++ graft.ops.StatsQueries.all ++ LlmQueries.all ++
+      MlQueries.all ++ StreamQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ LlmQueries.oracle ++ StreamQueries.oracle
+    RelationalQueries.oracle ++ graft.ops.StatsQueries.oracle ++
+      LlmQueries.oracle ++ StreamQueries.oracle
 }

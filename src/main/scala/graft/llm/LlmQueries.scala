@@ -66,6 +66,15 @@ object LlmQueries {
         bucketLength = 1.0)
       .orderBy("id_a", "id_b")
 
+  /** IVF approximate top-k (rows-only scale path; recall asserted vs the
+    * brute-force baseline in SimilaritySpec).
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** Per-vector L2 norms (exact fold, rounded). */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -131,6 +140,7 @@ object LlmQueries {
     "q_knn_cosine" -> (knnCosine _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
+    "q_ivf_topk" -> (ivfTopK _),
     "q_embedding_norms" -> (embeddingNorms _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),

@@ -71,6 +71,50 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k: the other standard ANN scale
+    * path. Build: KMeans centroids over the corpus (unit vectors), each
+    * vector assigned to its nearest cell. Search: a query probes only its
+    * `nprobe` nearest cells — candidate volume is N·(nprobe/nlist) instead
+    * of N, and the cell assignment is a plain equi-join, so at 100 TB the
+    * index is just a partitioned table keyed by cell id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def unit(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double") / l2Norm(col(vecCol))).as("u"))
+
+    val corpusU = unit(corpus).withColumn("uv", array_to_vector(col("u")))
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("uv").setPredictionCol("cell").fit(corpusU)
+    val assigned = model.transform(corpusU)
+      .select(col("id").as("neighbor_id"), col("u").as("cu"), col("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+
+    val probes = unit(queries).select(col("id").as("query_id"), col("u").as("qu"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", dotProduct(col("qu"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "qu", "cell")
+
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(dotProduct(col("cu"), col("qu")), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "score")
+  }
+
   /** LSH-bucketed near-neighbor pairs: seeded random-hyperplane projections
     * quantized into buckets, banded like MinHash (SURVEY §7.2.5 scale
     * path): docs sharing any band of bucket ids become candidates (a

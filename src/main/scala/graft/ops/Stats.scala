@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Matrix
+import org.apache.spark.ml.stat.Correlation
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical operators (SURVEY.md §2.3 A5–A8, §2.5 F4).
+  *
+  * A7 mirrors `sf_encode.corr()` (crime.py:42) / `np.corrcoef`
+  * (crime.py:53); A8 mirrors `corrmat.nlargest(8,'Category')`
+  * (crime.py:51-52); F4 mirrors `np.argmax(line) for line in y_pred`
+  * (crime.py:184,203).
+  */
+object Stats {
+
+  /** A7: full Pearson correlation matrix over the given numeric columns.
+    * One distributed pass (ml.stat.Correlation co-moments); the k×k result
+    * is driver-side by nature (k = column count, never row count), returned
+    * in long form (col_a, col_b, corr) for relational downstream use.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String], roundTo: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("__v").transform(df.select(cols.map(col): _*))
+    val m: Matrix = Correlation.corr(assembled, "__v", "pearson")
+      .head().getAs[Matrix](0)
+    val rows = for {
+      i <- cols.indices
+      j <- cols.indices
+    } yield (cols(i), cols(j),
+      BigDecimal(m(i, j)).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    rows.toDF("col_a", "col_b", "corr")
+  }
+
+  /** A8: the k columns most correlated (absolute) with `target`, ranked —
+    * pandas `corrmat.nlargest(k, target)`.
+    */
+  def topCorrelated(df: DataFrame, cols: Seq[String], target: String,
+                    k: Int): DataFrame =
+    corrMatrix(df, cols)
+      .filter(col("col_a") === target && col("col_b") =!= target)
+      .select(col("col_b").as("feature"), col("corr"))
+      .orderBy(desc("corr"), asc("feature"))
+      .limit(k)
+
+  /** F4: argmax over an array column (0-based), np.argmax semantics —
+    * first index of the maximum. Codegen'd built-ins only.
+    */
+  def argmax(arr: Column): Column =
+    (array_position(arr, array_max(arr)) - 1).cast("bigint")
+}

@@ -39,11 +39,40 @@ object StreamQueries {
       .orderBy("batch_id")
   }
 
+  /** Batch sessionization (gap rule 6 h) — the window-function form of
+    * [[Sessionize.sessionize]]; the streaming form is covered by the
+    * flatMapGroupsWithState spec.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionize(table(spark, dir, "events"),
+        userCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+        gapSeconds = 6 * 3600L)
+      .groupBy("user_id")
+      .agg(max(col("session_id")).as("n_sessions"),
+           count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   val all: Map[String, Q] = Map(
-    "q_stream_roundtrip" -> (streamRoundtrip _)
+    "q_stream_roundtrip" -> (streamRoundtrip _),
+    "q_sessions" -> (sessions _)
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > CAST(21600000000 AS BIGINT) THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM s
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "q_stream_roundtrip" ->
       """SELECT CAST(event_id // 100 AS BIGINT) AS batch_id,
         |       count(*) AS n_rows,

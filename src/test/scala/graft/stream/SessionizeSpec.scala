@@ -1,0 +1,51 @@
+package graft.stream
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+import Sessionize.{ClosedSession, SessionEvent}
+
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("batch sessionize splits on the gap and numbers sessions per user") {
+    val ts = Seq(0L, 60L, 120L, 8000L, 8060L, 20000L).map(s =>
+      new Timestamp(s * 1000L))
+    val df = ts.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val out = Sessionize.sessionize(df, "user_id", "ts", "event_id",
+        gapSeconds = 3600L)
+      .select("event_id", "session_id").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // gaps: 8000-120 > 3600 → new session; 20000-8060 > 3600 → new session
+    assert(out == Seq((0L, 1L), (1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L), (5L, 3L)))
+  }
+
+  test("streaming sessionize closes sessions via event-time timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val withWm = mem.toDS()
+      .withColumn("ts", col("ts")).withWatermark("ts", "0 seconds")
+      .as[SessionEvent]
+    val sessions = Sessionize.sessionizeStream(withWm, gapSeconds = 3600L)
+    val q = sessions.writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      // session 1: two events a minute apart
+      mem.addData(SessionEvent(7L, Timestamp.valueOf("2024-01-01 00:00:00")),
+                  SessionEvent(7L, Timestamp.valueOf("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past the gap → closes session 1
+      mem.addData(SessionEvent(7L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(7L, Timestamp.valueOf("2024-01-03 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test").as[ClosedSession].collect()
+      assert(rows.exists(s => s.user_id == 7L && s.n_events == 2 && s.duration_s == 60L),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+}
