@@ -1,0 +1,86 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{PCA, StandardScaler, VectorAssembler}
+import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.DataFrame
+
+/** The reference's *intended* ML scope beyond the main pipeline — its
+  * imports that never got call sites (crime.py:10-31: LogisticRegression,
+  * LinearRegression, Ridge/Lasso/ElasticNetCV, PCA, KFold/cross_val_score)
+  * — mapped to their MLlib equivalents as small composable stages
+  * (SURVEY.md §2.6 "imported but never used").
+  */
+object Stages {
+
+  /** Multinomial logistic regression as the pluggable classifier for
+    * [[CrimePipeline.build]] (crime.py:10 import).
+    */
+  def logistic(maxIter: Int = 50, regParam: Double = 0.0): LogisticRegression =
+    new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(maxIter).setRegParam(regParam).setFamily("multinomial")
+
+  /** Linear regression with elastic-net mixing — α=0 is RidgeCV's penalty,
+    * α=1 LassoCV's, in between ElasticNetCV (crime.py:12-13 imports).
+    */
+  def linear(featureCols: Seq[String], labelCol: String,
+             regParam: Double = 0.0, elasticNetParam: Double = 0.0): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val lr = new LinearRegression()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+    new Pipeline().setStages(Array(assembler, lr))
+  }
+
+  /** PCA over standardized features (crime.py:24 import): returns the
+    * fitted model's transform plus explained-variance vector.
+    */
+  def pca(df: DataFrame, cols: Seq[String], k: Int): (DataFrame, Array[Double]) = {
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("__raw").transform(df)
+    val scaled = new StandardScaler()
+      .setInputCol("__raw").setOutputCol("__scaled")
+      .setWithMean(true).setWithStd(true).fit(assembled).transform(assembled)
+    val model = new PCA().setInputCol("__scaled").setOutputCol("pca")
+      .setK(k).fit(scaled)
+    (model.transform(scaled).drop("__raw", "__scaled"),
+      model.explainedVariance.toArray)
+  }
+
+  /** K-fold cross-validation (crime.py:26-27 KFold/cross_val_score):
+    * grid-search the classifier over `numFolds` folds, return the best
+    * model and its average metric.
+    */
+  def crossValidate(df: DataFrame, schema: CrimePipeline.Schema,
+                    numFolds: Int = 3): (org.apache.spark.ml.Model[_], Double) = {
+    val pipeline = CrimePipeline.build(schema)
+    val rf = pipeline.getStages.last
+      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassifier]
+    val grid = new ParamGridBuilder()
+      .addGrid(rf.maxDepth, Array(5, 10))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(pipeline)
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(numFolds).setSeed(0L)
+    val model = cv.fit(df)
+    (model.bestModel, model.avgMetrics.max)
+  }
+
+  /** RMSE / R² evaluation for the regression stages (crime.py:28-29
+    * mean_squared_error import).
+    */
+  def evaluateRegression(predictions: DataFrame, labelCol: String,
+                         metric: String = "rmse"): Double =
+    new RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction")
+      .setMetricName(metric).evaluate(predictions)
+}

@@ -21,6 +21,19 @@ object Pivot {
                  colValues: Seq[String]): DataFrame =
     df.groupBy(rowKey).pivot(colKey, colValues).count().na.fill(0L)
 
+  /** A4 (crime.py:74): reindex the pivot by ranked row totals — the
+    * reference reorders pivot rows by the A1/A2 count ranking; here the
+    * row total (sum across pivot columns) is that ranking, computed
+    * without a second scan.
+    */
+  def pivotCountRanked(df: DataFrame, rowKey: String, colKey: String,
+                       colValues: Seq[String]): DataFrame = {
+    val p = pivotCount(df, rowKey, colKey, colValues)
+    val total = colValues.map(col).reduce(_ + _)
+    p.withColumn("row_total", total)
+      .orderBy(desc("row_total"), asc(rowKey))
+  }
+
   /** Wide→long melt. ids stay, each of `valueCols` becomes a
     * (metric, value) row — Spark's `unpivot` has exact melt semantics.
     */

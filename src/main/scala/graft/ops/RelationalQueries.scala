@@ -45,6 +45,12 @@ object RelationalQueries {
         colValues = Seq("F", "O", "P"))
       .orderBy("o_orderpriority")
 
+  /** A4 (crime.py:74): pivot reindexed by ranked row totals. */
+  def pivotRanked(spark: SparkSession, dir: String): DataFrame =
+    Pivot.pivotCountRanked(table(spark, dir, "orders"),
+      rowKey = "o_orderpriority", colKey = "o_orderstatus",
+      colValues = Seq("F", "O", "P"))
+
   /** Rollup totals (engine extension noted in SURVEY §2.3): grouping-set
     * aggregates with labelled totals instead of nulls, so ordering semantics
     * match the oracle exactly.
@@ -309,6 +315,7 @@ object RelationalQueries {
   val all: Map[String, Q] = Map(
     "q_counts_by_type" -> (countsByType _),
     "q_pivot_status" -> (pivotStatus _),
+    "q_pivot_ranked" -> (pivotRanked _),
     "q_rollup_flags" -> (rollupFlags _),
     "q_topk_orders" -> (topkOrders _),
     "q_year_orders" -> (yearOrders _),
@@ -348,6 +355,16 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_pivot_ranked" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P",
+        |  count(*) AS row_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY row_total DESC, o_orderpriority ASC""".stripMargin,
 
     "q_rollup_flags" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class StagesSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val schema = CrimePipeline.Schema(
+    "Category", Seq("DayOfWeek", "PdDistrict", "Address"), "X", "Y")
+
+  /** Same separable fixture shape as CrimePipelineSpec. */
+  lazy val fixture = {
+    val rng = new scala.util.Random(11)
+    (0 until 1500).map { i =>
+      val cls = i % 3
+      (i.toLong, s"CAT_$cls", Seq("Mon", "Tue", "Wed")(rng.nextInt(3)),
+        s"D${cls * 3 + rng.nextInt(3)}", s"A${rng.nextInt(40)}",
+        -122.5 + cls * 0.5 + rng.nextGaussian() * 0.05,
+        37.7 + cls * 0.3 + rng.nextGaussian() * 0.05)
+    }.toDF("event_id", "Category", "DayOfWeek", "PdDistrict", "Address", "X", "Y")
+  }
+
+  test("multinomial logistic regression plugs into the crime pipeline") {
+    val Array(train, test) = fixture.randomSplit(Array(0.7, 0.3), seed = 0L)
+    val model = CrimePipeline.build(schema, Stages.logistic()).fit(train)
+    val acc = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(model.transform(test))
+    assert(acc >= 0.8, s"accuracy=$acc")
+  }
+
+  test("linear regression recovers a linear relationship (R2 ~ 1)") {
+    val rng = new scala.util.Random(3)
+    val df = (0 until 500).map { _ =>
+      val a = rng.nextGaussian(); val b = rng.nextGaussian()
+      (a, b, 3.0 * a - 2.0 * b + 5.0 + rng.nextGaussian() * 0.01)
+    }.toSeq.toDF("a", "b", "y")
+    val model = Stages.linear(Seq("a", "b"), "y").fit(df)
+    val r2 = Stages.evaluateRegression(model.transform(df), "y", "r2")
+    assert(r2 > 0.99, s"r2=$r2")
+  }
+
+  test("elastic-net regularization shrinks coefficients") {
+    val rng = new scala.util.Random(5)
+    val df = (0 until 300).map { _ =>
+      val a = rng.nextGaussian()
+      (a, 2.0 * a + rng.nextGaussian() * 0.1)
+    }.toSeq.toDF("a", "y")
+    def coef(reg: Double): Double = {
+      val m = Stages.linear(Seq("a"), "y", regParam = reg, elasticNetParam = 1.0)
+        .fit(df).stages.last
+        .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]
+      math.abs(m.coefficients(0))
+    }
+    assert(coef(10.0) < coef(0.0))
+  }
+
+  test("PCA explained variance is descending and sums <= 1") {
+    val li = graft.Tables.table(spark, GraftTestSpark.sfDir, "lineitem")
+    val (transformed, ev) = Stages.pca(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), k = 2)
+    assert(transformed.columns.contains("pca"))
+    assert(ev.length == 2 && ev(0) >= ev(1) && ev.sum <= 1.0 + 1e-9)
+  }
+
+  test("cross-validation selects a model with sane accuracy") {
+    val (best, metric) = Stages.crossValidate(fixture.limit(600), schema,
+      numFolds = 2)
+    assert(best != null)
+    assert(metric >= 0.6, s"cv accuracy=$metric")
+  }
+}
