@@ -41,6 +41,58 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — the Spark-side contract of an image resize stage:
+    * fixed target dims in the schema, per-partition execution, output
+    * byte length proportional to target area. A real build swaps the body
+    * for the codec call; everything around it stays.
+    */
+  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(1, targetW * targetH / 64))
+    var i = 0
+    while (i < out.length) {
+      out(i) = if (payload.isEmpty) 0 else payload(i % payload.length)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling — treat the payload as a "video" of fixed-size
+    * chunks and keep every `stride`-th chunk; real decoders replace the
+    * chunking with container parsing. Output shape (array of frames per
+    * row) is the real contract a frame-level feature extractor needs.
+    */
+  def sampleFramesStub(payload: Array[Byte], frameBytes: Int,
+                       stride: Int): Seq[Array[Byte]] =
+    payload.grouped(frameBytes).zipWithIndex
+      .collect { case (chunk, i) if i % stride == 0 => chunk }
+      .toSeq
+
+  /** Decoded frame-sample row: doc_id, frame index, frame bytes, mean. */
+  case class FrameRow(doc_id: Long, frame_idx: Int, frame_len: Int,
+                      mean_byte: Double)
+
+  /** Partition-parallel resize + frame-sample over the binary column —
+    * same mapPartitions batch shape as [[decodeFeatures]].
+    */
+  def frameFeatures(spark: SparkSession, docs: DataFrame,
+                    frameBytes: Int = 64, stride: Int = 2,
+                    partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    withBinaryPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .repartition(partitions, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        sampleFramesStub(resizeStub(payload, 64, 64), frameBytes, stride)
+          .zipWithIndex.map { case (f, i) =>
+            val mean = if (f.isEmpty) 0.0
+                       else f.map(b => (b & 0xff).toDouble).sum / f.length
+            FrameRow(id, i, f.length, mean)
+          }
+      }
+      .toDF()
+  }
+
   /** Attach an opaque binary payload + typed metadata to each document.
     * (The corpus has no real media; utf-8 bytes of the text stand in. With
     * real data this is the parquet binary column as-read.)

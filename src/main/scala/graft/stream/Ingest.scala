@@ -35,6 +35,18 @@ object Ingest {
       d.withColumn(f, col("features").getItem(f))
     }.drop("features")
 
+  /** S5 (stream.py:40-62,105-110): image-batch payloads carry per-row int
+    * arrays (CIFAR's 3072 features / Pokemon matrices, flattened). The
+    * map-of-maps parse keeps them as JSON strings; this projects one such
+    * feature out as a typed ArrayType(IntegerType) column.
+    */
+  def intArrayFeature(parsed: DataFrame, featureName: String,
+                      as: String): DataFrame =
+    parsed.withColumn(as,
+      from_json(col("features").getItem(featureName),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+
   /** Raw-line variant (stream.py:207-230): one line = JSON string array. */
   def parseRawLines(lines: DataFrame, valueCol: String = "value"): DataFrame =
     lines.select(from_json(col(valueCol),
