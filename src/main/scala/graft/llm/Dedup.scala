@@ -45,10 +45,14 @@ object Dedup {
     * Deterministic end-to-end (seeded hashes, no RNG). Replaces MLlib's
     * MinHashLSH.approxSimilarityJoin, which expands per hash table and
     * degenerates to all-pairs × tables on globally-similar corpora.
+    *
+    * Default r=8, b=3: P(candidate | j=0.9) ≈ 0.81, ≈1.0 at j=1, while
+    * j=0.6 background pairs land under 5% — tuned against this corpus's
+    * unusually high median similarity (31-word vocabulary).
     */
   def minhashNearDupPairs(docs: DataFrame, minJaccard: Double,
                           textCol: String = "text", idCol: String = "doc_id",
-                          numHashes: Int = 18, bands: Int = 3): DataFrame = {
+                          numHashes: Int = 24, bands: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val toks = docs.select(col(idCol).as("id"),

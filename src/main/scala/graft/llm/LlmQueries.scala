@@ -132,6 +132,11 @@ object LlmQueries {
     Multimodal.decodeFeatures(spark, table(spark, dir, "documents"))
       .orderBy("doc_id")
 
+  /** Resize + frame-sample stage over the binary payload (rows-only). */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameFeatures(spark, table(spark, dir, "documents"))
+      .orderBy("doc_id", "frame_idx")
+
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_jaccard_pairs" -> (jaccardPairs _),
@@ -147,7 +152,8 @@ object LlmQueries {
     "q_quality_score" -> (qualityScore _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_multimodal_decode" -> (multimodalDecode _)
+    "q_multimodal_decode" -> (multimodalDecode _),
+    "q_multimodal_frames" -> (multimodalFrames _)
   )
 
   val oracle: Map[String, String] = Map(
