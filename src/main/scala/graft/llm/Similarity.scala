@@ -31,8 +31,24 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Unit-normalize, mapping zero vectors to zero vectors instead of
+    * tripping ANSI division-by-zero (Spark 4 default: x/0 is an ERROR,
+    * not infinity — one zero-norm row in 100 TB would kill the job).
+    */
+  def unitNormalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /** Cosine similarity; zero-norm inputs yield NaN (IEEE 0/0 semantics,
+    * matching what DuckDB's double division produces) rather than an
+    * ANSI runtime error.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(Double.NaN))
+      .otherwise(dotProduct(a, b) / denom)
+  }
 
   /** Brute-force cosine top-k: every query (a small broadcast set) against
     * the full corpus, rank per query. Exact baseline for the ANN variants.
@@ -62,7 +78,7 @@ object Similarity {
     // than per-pair norms, and the exact op order the oracle SQL uses
     val v = corpus.filter(col(idCol) < maxId)
       .select(col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double") / l2Norm(col(vecCol))).as("u"))
+        unitNormalize(col(vecCol)).as("u"))
     val a = v.select(col("id").as("id_a"), col("u").as("ua"))
     val b = v.select(col("id").as("id_b"), col("u").as("ub"))
     a.join(b, col("id_a") < col("id_b"))
@@ -87,7 +103,7 @@ object Similarity {
     import spark.implicits._
 
     def unit(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") / l2Norm(col(vecCol))).as("u"))
+      unitNormalize(col(vecCol)).as("u"))
 
     val corpusU = unit(corpus).withColumn("uv", array_to_vector(col("u")))
     val model = new KMeans().setK(nlist).setSeed(42L)
@@ -129,7 +145,7 @@ object Similarity {
     val rng = new scala.util.Random(42L)
     val projections = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
     val unit = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") / l2Norm(col(vecCol))).as("u"))
+      unitNormalize(col(vecCol)).as("u"))
     val bucketCols = projections.zipWithIndex.map { case (g, i) =>
       floor(
         aggregate(zip_with(col("u"), typedlit(g.toSeq), (x, y) => x * y),

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Similarity, TextStats}
+import graft.ops.Pivot
+
+/** Algebraic invariants over generated inputs (SURVEY.md §5.3).
+  * ScalaCheck generators sampled with fixed seeds (no scalatestplus
+  * bridge needed, and runs stay deterministic).
+  */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private def forSamples[A](gen: Gen[A], n: Int = 10)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+  private val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  test("groupBy counts always sum to the table count") {
+    forSamples(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))) { keys =>
+      val df = keys.toDF("k")
+      val total = df.groupBy("k").count().agg(sum("count")).head().getLong(0)
+      assert(total == keys.length)
+    }
+  }
+
+  test("pivot row sums equal group counts for any key distribution") {
+    forSamples(Gen.nonEmptyListOf(
+        Gen.zip(Gen.oneOf("r1", "r2"), Gen.oneOf("x", "y")))) { pairs =>
+      val df = pairs.toDF("row", "col")
+      val p = Pivot.pivotCount(df, "row", "col", Seq("x", "y"))
+      val rowSums = p.select($"row", ($"x" + $"y").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val g = df.groupBy("row").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rowSums == g)
+    }
+  }
+
+  test("melt of k value columns multiplies row count by k") {
+    forSamples(Gen.choose(1, 20)) { n =>
+      val df = (1 to n).map(i => (i, i * 1.0, i * 2.0)).toDF("id", "p", "q")
+      assert(Pivot.melt(df, Seq("id"), Seq("p", "q")).count() == 2L * n)
+    }
+  }
+
+  test("simhash of a text equals simhash of any permutation") {
+    forSamples(text) { t =>
+      val perm = new scala.util.Random(7)
+        .shuffle(t.split(" ").toList).mkString(" ")
+      val sigs = Seq(t, perm).toDF("text")
+        .select(TextStats.simhash64($"text")).collect().map(_.getLong(0))
+      assert(sigs(0) == sigs(1))
+    }
+  }
+
+  test("sum of token lengths + separators reconstructs the text length") {
+    forSamples(text) { t =>
+      val r = Seq(t).toDF("text").select(
+        TextStats.tokenCount($"text"),
+        TextStats.sumTokenLengths($"text")).head()
+      assert(t.length.toLong == r.getLong(1) + r.getLong(0) - 1)
+    }
+  }
+
+  test("cosine is symmetric and bounded in [-1, 1]") {
+    val vec = Gen.listOfN(8, Gen.choose(-5.0f, 5.0f))
+      .suchThat(_.exists(_ != 0.0f))
+    forSamples(Gen.zip(vec, vec)) { case (a, b) =>
+      val r = Seq((a.toArray, b.toArray)).toDF("a", "b").select(
+        Similarity.cosine($"a", $"b"), Similarity.cosine($"b", $"a")).head()
+      val (ab, ba) = (r.getDouble(0), r.getDouble(1))
+      assert(ab == ba)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+}
