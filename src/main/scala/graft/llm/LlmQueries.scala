@@ -105,11 +105,14 @@ object LlmQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
-  /** Quality score per document. */
+  /** Quality score per document (exact micro-units — see
+    * [[TextStats.qualityScoreMicro]] for why not a rounded float).
+    */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        TextStats.qualityScore(col("text"), col("n_chars")).as("quality"))
+        TextStats.qualityScoreMicro(col("text"), col("n_chars"))
+          .as("quality_micro"))
       .orderBy("doc_id")
 
   /** Content fingerprints: md5 (oracle-checked); SimHash lives in the
@@ -251,16 +254,20 @@ object LlmQueries {
         |ORDER BY lang, lang_pred""".stripMargin,
 
     "q_quality_score" ->
-      """SELECT doc_id, round(
-        |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4 +
-        |  (CAST(len(list_filter(string_split(text, ' '),
-        |     x -> x IN ('the','a','of','and','query','table',
-        |                'der','die','das','und','scan','row',
-        |                'le','la','les','et','join','merge'))) AS DOUBLE) /
-        |   CAST(len(string_split(text, ' ')) AS BIGINT)) * 0.3 +
-        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
-        |   CAST(len(string_split(text, ' ')) AS BIGINT)) * 0.3, 6) AS quality
-        |FROM documents
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','query','table',
+        |                 'der','die','das','und','scan','row',
+        |                 'le','la','les','et','join','merge'))) AS BIGINT) AS h,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS d,
+        |    least(n_chars, 500) AS m
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((1000000 * (10 * m * t + 3750 * (h + d))) // (12500 * t)
+        |    AS BIGINT) AS quality_micro
+        |FROM c
         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" ->

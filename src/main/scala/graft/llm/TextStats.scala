@@ -71,16 +71,37 @@ object TextStats {
     }._1
   }
 
-  /** Composite quality score in [0,1]: length saturation + stopword mass +
-    * lexical diversity. Weights are arbitrary but fixed; the value is a
-    * filter signal, not a metric.
+  /** Composite quality score in [0,1]: length saturation (0.4 weight) +
+    * stopword mass (0.3) + lexical diversity (0.3). Weights fixed; the
+    * value is a filter signal, not a metric.
+    *
+    * Emitted as exact micro-units (BIGINT, integer division):
+    *   0.4·min(nc,500)/500 + 0.3·h/t + 0.3·d/t
+    *     = (10·min(nc,500)·t + 3750·(h+d)) / (12500·t)
+    *   quality_micro = (1e6 · numerator) div denominator
+    * Two float formulations both diverged from DuckDB in the last ulp
+    * (double round-tripping through shortest-repr in Spark's round vs
+    * true-value rounding in DuckDB breaks exact decimal ties like
+    * 0.5011125 — doc_id 7 at sf0.1). Integer arithmetic has no ties.
     */
-  def qualityScore(text: Column, nChars: Column): Column = {
-    val lenScore = least(nChars.cast("double") / 500.0, lit(1.0))
-    val stopScore = wordHitRatio(text, langMarkers.values.flatten.toSeq)
-    val diversity = distinctTokenCount(text).cast("double") / tokenCount(text)
-    round(lenScore * 0.4 + stopScore * 0.3 + diversity * 0.3, 6)
+  def qualityScoreMicro(text: Column, nChars: Column): Column = {
+    val t = tokenCount(text)
+    val h = size(filter(tokens(text),
+      w => w.isInCollection(langMarkers.values.flatten.toSeq))).cast("bigint")
+    val d = distinctTokenCount(text)
+    val m = least(nChars.cast("bigint"), lit(500L))
+    val num = lit(1000000L) * (lit(10L) * m * t + lit(3750L) * (h + d))
+    val den = lit(12500L) * t
+    // exact integer floor-division: num - (num mod den) is an exact
+    // multiple of den, and both fit in double's 2^53 integer range
+    ((num - pmod(num, den)) / den).cast("bigint")
   }
+
+  /** Float view of [[qualityScoreMicro]] for human-facing use (not the
+    * oracle contract — float rounding is engine-dependent on exact ties).
+    */
+  def qualityScore(text: Column, nChars: Column): Column =
+    qualityScoreMicro(text, nChars).cast("double") / 1000000.0
 
   /** Content-addressed fingerprint (exact-dedup key). md5 over utf-8 text —
     * 16 bytes of shuffle key instead of the full document.
