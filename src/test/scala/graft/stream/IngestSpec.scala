@@ -49,6 +49,32 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // Live-port smoke of the S3 socket source (SURVEY §5.5 keeps it
+  // optional: port availability varies by environment). Enable locally
+  // with: sbt 'testOnly graft.stream.IngestSpec -- -n SocketSmoke'
+  ignore("socket source consumes the producer contract end-to-end") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val producer = new Thread(() => {
+      val sock = server.accept()
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println(payloadLine)
+      out.flush()
+      Thread.sleep(2000)
+      sock.close()
+    })
+    producer.setDaemon(true)
+    producer.start()
+    val parsed = Ingest.socketPayloadStream(spark, "localhost", port)
+    val q = parsed.writeStream.format("memory").queryName("socket_test")
+      .outputMode("append").start()
+    try {
+      Thread.sleep(3000)
+      q.processAllAvailable()
+      assert(spark.table("socket_test").count() == 2)
+    } finally { q.stop(); server.close() }
+  }
+
   test("windowedCounts groups a typed stream by tumbling window + key") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
