@@ -36,12 +36,19 @@ object CrimePipeline {
     */
   def build(schema: Schema,
             classifier: Classifier[_, _, _] = defaultClassifier): Pipeline = {
+    // handleInvalid=keep: categories absent from the training split map to
+    // an extra index instead of failing at scoring time. The reference
+    // avoided unseen labels by re-fitting encoders on test data
+    // (crime.py:117-120) — the leakage bug we deliberately don't copy, so
+    // unseen categories are a normal condition here.
     val labelIndexer = new StringIndexer()
       .setInputCol(schema.labelCol).setOutputCol("label")
       .setStringOrderType("alphabetAsc") // sklearn LabelEncoder parity (ML1)
+      .setHandleInvalid("keep")
     val catIndexers = schema.categoricalCols.map { c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
         .setStringOrderType("alphabetAsc")
+        .setHandleInvalid("keep")
     }
     val geoAssembler = new VectorAssembler()
       .setInputCols(Array(schema.lonCol, schema.latCol)).setOutputCol("geo_raw")
@@ -97,7 +104,10 @@ object CrimePipeline {
       case m: org.apache.spark.ml.feature.StringIndexerModel
         if m.getInputCol == schema.labelCol => m.labelsArray(0)
     }.getOrElse(Array.empty[String])
-    val decode = udf((i: Double) => labels(i.toInt))
+    // handleInvalid=keep reserves index numLabels for unseen categories;
+    // a prediction can only land there if such rows were trained on
+    val decode = udf((i: Double) =>
+      if (i.toInt < labels.length) labels(i.toInt) else "__unseen__")
     model.transform(df)
       .select(col(idCol).as("Id"), decode(col("prediction")).as("Category"))
   }
