@@ -27,10 +27,50 @@ object StatsQueries {
       .select(col("vec_id"), Stats.argmax(col("embedding")).as("arg_max"))
       .orderBy("vec_id")
 
+  /** Exact discrete percentiles per group (no interpolation arithmetic —
+    * the selected values are raw column elements, so parity is exact).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+             .as("p50"),
+           expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+             .as("p95"),
+           min(col("o_totalprice")).as("lo"),
+           max(col("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority")
+
+  /** Hourly resample of the event stream with dense gap fill. */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleCounts(table(spark, dir, "events"),
+        tsCol = "ts", keyCol = "event_type", bucketSeconds = 3600L)
+      .orderBy("k", "bucket")
+
+  /** As-of enrichment: each error event picks up the value of the same
+    * user's most recent click at-or-before it.
+    */
+  def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+    val errors = events.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("tie"),
+        col("value").as("click_value"))
+    TimeSeries.asofJoin(errors, clicks, keyCol = "user_id",
+        leftTs = "ts", rightTs = "ts", rightValCols = Seq("click_value"),
+        rightTieBreak = Some("tie"))
+      .select("event_id", "click_value")
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_corr_matrix" -> (corrMatrix _),
     "q_top_correlated" -> (topCorrelated _),
-    "q_argmax_embedding" -> (argmaxEmbedding _)
+    "q_argmax_embedding" -> (argmaxEmbedding _),
+    "q_percentiles" -> (percentiles _),
+    "q_resample_hourly" -> (resampleHourly _),
+    "q_asof_clicks" -> (asofClicks _)
   )
 
   private def corrPair(a: String, b: String): String =
@@ -53,6 +93,40 @@ object StatsQueries {
       """SELECT vec_id,
         |  CAST(list_indexof(embedding, list_max(embedding)) - 1 AS BIGINT) AS arg_max
         |FROM embeddings
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.95) AS p95,
+        |  min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_resample_hourly" ->
+      """WITH agg AS (
+        |  SELECT event_type AS k,
+        |    CAST(epoch_us(ts) // 1000000 -
+        |         (epoch_us(ts) // 1000000) % 3600 AS BIGINT) AS bucket,
+        |    count(*) AS n
+        |  FROM events GROUP BY k, bucket),
+        |bounds AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi
+        |           FROM agg GROUP BY k),
+        |spine AS (SELECT k, unnest(generate_series(lo, hi, 3600)) AS bucket
+        |          FROM bounds)
+        |SELECT s.k AS k, s.bucket AS bucket, COALESCE(a.n, 0) AS n
+        |FROM spine s LEFT JOIN agg a USING (k, bucket)
+        |ORDER BY k, bucket""".stripMargin,
+
+    "q_asof_clicks" ->
+      """SELECT e.event_id AS event_id, c.value AS click_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY event_id""".stripMargin
   )
 }

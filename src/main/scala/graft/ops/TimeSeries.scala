@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators a large-scale event pipeline needs: bucket
+  * resampling with gap fill, and as-of (nearest-preceding) joins.
+  * Both composed from built-ins — shape (a) in the custom-operator
+  * preference order; no custom plan nodes required.
+  */
+object TimeSeries {
+
+  /** Downsample to fixed buckets with dense gap fill: aggregate into
+    * `bucketSeconds` buckets, then left-join a generated dense bucket
+    * spine so empty buckets appear with zero counts. The spine is
+    * `sequence()`-generated per group — no driver-side range loop, so it
+    * scales to any key count.
+    */
+  def resampleCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     bucketSeconds: Long): DataFrame = {
+    val bucket = (unix_timestamp(col(tsCol)) - pmod(unix_timestamp(col(tsCol)),
+      lit(bucketSeconds))).cast("bigint")
+    val agg = events.groupBy(col(keyCol).as("k"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = agg.groupBy("k")
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val spine = bounds.select(col("k"),
+      explode(sequence(col("lo"), col("hi"), lit(bucketSeconds))).as("bucket"))
+    spine.join(agg, Seq("k", "bucket"), "left")
+      .select(col("k"), col("bucket"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** As-of join: for each left row, the single most recent right row with
+    * `rightTs <= leftTs` within the same key — the standard time-series
+    * enrichment join (market data, feature stores). Composed as
+    * union → window(last non-null over time order) → filter back to left
+    * rows: one shuffle on (key), no custom plan node, and no per-key
+    * driver loops — the shape survives any scale.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTs: String, rightTs: String,
+               rightValCols: Seq[String],
+               rightTieBreak: Option[String] = None): DataFrame = {
+    val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
+      .withColumn("__tie", lit(null).cast("long"))
+    val r = right.select(
+      (col(keyCol) +: col(rightTs).as("__ts") +: lit(1).as("__side") +:
+        rightTieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tie") +:
+        rightValCols.map(c => col(c).as(s"__r_$c"))): _*)
+    val lAligned = rightValCols.foldLeft(l) { (d, c) =>
+      d.withColumn(s"__r_$c", lit(null).cast(r.schema(s"__r_$c").dataType))
+    }
+    val unioned = lAligned.unionByName(r, allowMissingColumns = true)
+    // order within a timestamp: right rows (__side desc puts 1 first) so a
+    // left row at the same instant sees them; ties among right rows break
+    // deterministically on __tie (last one wins in the running last())
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts"), desc("__side"), asc_nulls_last("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValCols.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val out = filled.filter(col("__side") === 0)
+      .drop("__ts", "__side", "__tie")
+    rightValCols.foldLeft(out)((d, c) => d.withColumnRenamed(s"__r_$c", c))
+  }
+}
