@@ -64,6 +64,18 @@ object RelationalQueries {
               col("n"))
       .orderBy("rf", "ls")
 
+  /** Cube totals: all grouping-set combinations with labelled subtotals
+    * (completes the rollup/cube/grouping-sets family).
+    */
+  def cubeFlags(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+              col("n"))
+      .orderBy("rf", "ls")
+
   /** O1 (crime.py:33,52): top-k by measure — Spark fuses orderBy+limit into
     * TakeOrderedAndProject (per-partition heap + driver merge; no full sort,
     * no shuffle of the full table — the shape that survives 100 TB).
@@ -317,6 +329,7 @@ object RelationalQueries {
     "q_pivot_status" -> (pivotStatus _),
     "q_pivot_ranked" -> (pivotRanked _),
     "q_rollup_flags" -> (rollupFlags _),
+    "q_cube_flags" -> (cubeFlags _),
     "q_topk_orders" -> (topkOrders _),
     "q_year_orders" -> (yearOrders _),
     "q_date_split" -> (dateSplit _),
@@ -372,6 +385,14 @@ object RelationalQueries {
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_cube_flags" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "q_topk_orders" ->

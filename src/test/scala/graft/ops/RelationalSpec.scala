@@ -61,6 +61,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(counts.agg(sum($"n")).head().getLong(0) == total)
   }
 
+  test("approx_count_distinct (HLL sketch) stays within its error bound") {
+    val events = graft.Tables.table(spark, GraftTestSpark.sfDir, "events")
+    val r = events.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", rsd = 0.05).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    // the sketch path is what survives 100 TB (mergeable, fixed memory);
+    // 3x rsd covers the tail at small cardinalities
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("cube emits all grouping-set combinations (rollup superset)") {
+    val cube = RelationalQueries.cubeFlags(spark, GraftTestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val rollup = RelationalQueries.rollupFlags(spark, GraftTestSpark.sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rollup.subsetOf(cube))
+    // cube adds the (ALL, status) slices rollup lacks
+    assert(cube.exists { case (rf, ls) => rf == "ALL" && ls != "ALL" })
+  }
+
   test("pivot row sums equal group-by counts (A3 invariant)") {
     val p = RelationalQueries.pivotStatus(spark, GraftTestSpark.sfDir)
     val rowSums = p.select($"o_orderpriority",
