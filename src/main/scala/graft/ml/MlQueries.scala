@@ -34,12 +34,16 @@ object MlQueries {
     categoricalCols = Seq("DayOfWeek", "PdDistrict", "Address"),
     lonCol = "X", latCol = "Y")
 
-  /** Full ML1–ML7 run: one summary row (holdout accuracy + class count). */
+  /** Full ML1–ML7 run: one summary row (holdout accuracy + class count).
+    * Scoring runs on the holdout split — the submission-frame op (ML7) on
+    * data the model hasn't seen, without re-transforming the training 70%.
+    */
   def mlPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val df = crimeShaped(spark, dir)
+    val Array(_, holdout) = df.randomSplit(Array(0.7, 0.3), seed = 0L)
     val (model, accuracy) = CrimePipeline.trainAndEvaluate(df, schema)
-    val preds = CrimePipeline.score(model, df, "event_id", schema)
+    val preds = CrimePipeline.score(model, holdout, "event_id", schema)
     val nPred = preds.select(countDistinct(col("Category"))).as[Long].head()
     Seq((accuracy, nPred, df.count()))
       .toDF("accuracy", "n_predicted_classes", "n_rows")
