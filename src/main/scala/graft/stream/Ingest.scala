@@ -75,6 +75,34 @@ object Ingest {
         col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup: watermark-bounded dropDuplicates — the
+    * incremental form of the batch exact-dedup operator. State holds one
+    * entry per id seen within the watermark horizon, so memory is bounded
+    * by (arrival rate × watermark), not by stream length — the property
+    * that makes it viable on an unbounded 100 TB/day feed.
+    */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol, tsCol))
+
+  /** Stream-stream inner join with an event-time interval bound: right
+    * rows join left rows at-or-after them within `withinSeconds`. Both
+    * sides watermarked so join state expires — unbounded state is the
+    * failure mode of naive stream joins.
+    */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                          leftTs: String, rightTs: String,
+                          withinSeconds: Long,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $withinSeconds SECONDS"))
+  }
+
   /** ST1 trigger cadence matching the producer's 5 s sleep (stream.py:73). */
   def withProducerCadence[T](w: DataStreamWriter[T]): DataStreamWriter[T] =
     w.trigger(Trigger.ProcessingTime("5 seconds"))

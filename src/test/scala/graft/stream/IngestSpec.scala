@@ -49,6 +49,48 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-deliveries within the watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val dedup = Ingest.dedupStream(mem.toDF().toDF("id", "ts"), "id", "ts",
+      watermark = "1 minute")
+    val q = dedup.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      mem.addData((1L, t), (2L, t), (1L, t)) // duplicate in-batch
+      q.processAllAvailable()
+      mem.addData((1L, t), (3L, t))          // duplicate across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreams joins within the time bound only") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Ingest.intervalJoinStreams(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("user", "buy_ts"),
+      keyCol = "user", leftTs = "click_ts", rightTs = "buy_ts",
+      withinSeconds = 600L, watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      clicks.addData((7L, t("2024-01-01 00:00:00")))
+      buys.addData((7L, t("2024-01-01 00:05:00")),  // within 10 min → joins
+                   (7L, t("2024-01-01 00:20:00")),  // outside → dropped
+                   (8L, t("2024-01-01 00:01:00")))  // other key → dropped
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(0) == 7L)
+    } finally q.stop()
+  }
+
   // Live-port smoke of the S3 socket source (SURVEY §5.5 keeps it
   // optional: port availability varies by environment). Enable locally
   // with: sbt 'testOnly graft.stream.IngestSpec -- -n SocketSmoke'
