@@ -83,6 +83,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Greedy near-dedup: retain every document that never appears as the
+    * higher id of a detected near-dup pair. For each detected pair at
+    * most one side survives (the lower id), which is the practical
+    * guarantee corpus dedup pipelines ship with — transitive clustering
+    * needs iterative connected components and buys little at τ≥0.9.
+    */
+  def nearDedupKeepFirst(docs: DataFrame, minJaccard: Double,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val drop = minhashNearDupPairs(docs, minJaccard, textCol, idCol)
+      .select(col("id_b").as(idCol)).distinct()
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** SimHash near-dup pairs at scale: band the 64-bit signature into
+    * `bands` bit-slices and bucket-join on any shared slice (documents
+    * within hamming distance h share at least one of b slices whenever
+    * h < b — pigeonhole), then verify true hamming ≤ maxHamming. Same
+    * never-N² shape as the MinHash path.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      TextStats.simhash64(col(textCol)).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      shiftrightunsigned(col("sig"), b * width)
+        .bitwiseAND(lit((1L << width) - 1)).as(s"band$b")
+    }
+    val buckets = sigs.select(col("id") +: col("sig") +: bandCols: _*)
+      .select(col("id"), col("sig"), posexplode(array((0 until bands)
+        .map(b => col(s"band$b")): _*)))
+      .toDF("id", "sig", "band_idx", "band_key")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash near-duplicate pairs: 64-bit signatures, then pairs within
     * `maxHamming` bits. The pair join here is bounded by `maxId` (exact
     * verification form); the scale path joins on signature bands, same as

@@ -75,6 +75,22 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Per-label embedding centroids (class prototypes). Float sums are
+    * merge-order dependent; round(6) absorbs the ulps (sums of ~200
+    * unit-scale values carry ~1e-14 noise).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(table(spark, dir, "embeddings"))
+      .orderBy("label", "pos")
+
+  /** Greedy near-dedup corpus: docs retained after dropping the higher id
+    * of every MinHash-detected near-dup pair (rows-only).
+    */
+  def nearDedupedDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDedupKeepFirst(table(spark, dir, "documents"), minJaccard = 0.9)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** Per-vector L2 norms (exact fold, rounded). */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -150,6 +166,8 @@ object LlmQueries {
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_embedding_norms" -> (embeddingNorms _),
+    "q_label_centroids" -> (labelCentroids _),
+    "q_near_deduped_docs" -> (nearDedupedDocs _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -214,6 +232,13 @@ object LlmQueries {
         |WHERE round(list_sum(list_transform(range(1, len(a.uv) + 1),
         |    i -> a.uv[i] * b.uv[i])), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_label_centroids" ->
+      """SELECT label, CAST(r.i AS BIGINT) AS pos,
+        |  round(sum(CAST(embedding[r.i + 1] AS DOUBLE)) / count(*), 6) AS mean
+        |FROM embeddings CROSS JOIN range(0, 64) r(i)
+        |GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
 
     "q_embedding_norms" ->
       """SELECT vec_id,

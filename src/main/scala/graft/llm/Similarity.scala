@@ -50,6 +50,20 @@ object Similarity {
       .otherwise(dotProduct(a, b) / denom)
   }
 
+  /** Per-label centroids in long form (label, pos, mean): the class
+    * prototype operator (nearest-centroid classification, cluster
+    * summaries). posexplode → groupBy(label, pos) is one shuffle keyed by
+    * (label, dim) — scales with labels×dim, never corpus size, and the
+    * partial aggregation does the heavy summing map-side.
+    */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("mean"))
+      .select(col("label"), col("pos").cast("bigint").as("pos"), col("mean"))
+
   /** Brute-force cosine top-k: every query (a small broadcast set) against
     * the full corpus, rank per query. Exact baseline for the ANN variants.
     */

@@ -58,6 +58,34 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall over ${exact.size} true pairs")
   }
 
+  test("nearDedupKeepFirst: no detected pair survives whole") {
+    val corpus = graft.Tables.table(spark, GraftTestSpark.sfDir, "documents")
+      .filter($"doc_id" < 200)
+    val kept = Dedup.nearDedupKeepFirst(corpus, 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.minhashNearDupPairs(corpus, 0.9).collect()
+    assert(kept.nonEmpty && kept.size < 200)
+    pairs.foreach { p =>
+      assert(!(kept(p.getLong(0)) && kept(p.getLong(1))),
+        s"pair ${p.getLong(0)},${p.getLong(1)} fully retained")
+    }
+  }
+
+  test("banded simhash pairs: subset of exact, complete for hamming < bands") {
+    val corpus = graft.Tables.table(spark, GraftTestSpark.sfDir, "documents")
+      .filter($"doc_id" < 200)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.simhashPairs(corpus, maxHamming = 12, maxId = 200)
+    val banded = Dedup.simhashNearDupPairs(corpus, maxHamming = 12)
+    assert(pairSet(banded).subsetOf(pairSet(exact)))
+    // pigeonhole guarantee: h < 4 bands → at least one 16-bit slice equal
+    val exact3 = pairSet(Dedup.simhashPairs(corpus, maxHamming = 3, maxId = 200))
+    val banded3 = pairSet(Dedup.simhashNearDupPairs(corpus, maxHamming = 3))
+    assert(exact3.subsetOf(banded3) && banded3 == exact3)
+  }
+
   test("simhashPairs: duplicate texts have hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 0, maxId = 10)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
