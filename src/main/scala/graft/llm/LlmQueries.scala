@@ -131,6 +131,16 @@ object LlmQueries {
           .as("quality_micro"))
       .orderBy("doc_id")
 
+  /** Normalize-then-fingerprint: the canonical dedup key (case,
+    * punctuation and whitespace variants collapse to one hash).
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.fingerprint(TextStats.normalize(col("text"))).as("norm_fp"),
+        length(TextStats.normalize(col("text"))).cast("bigint").as("norm_len"))
+      .orderBy("doc_id")
+
   /** Content fingerprints: md5 (oracle-checked); SimHash lives in the
     * rows-only pair query + unit tests.
     */
@@ -172,6 +182,7 @@ object LlmQueries {
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
     "q_doc_fingerprint" -> (docFingerprint _),
+    "q_text_normalize" -> (textNormalize _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _)
@@ -298,6 +309,17 @@ object LlmQueries {
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_fp,
+        |       CAST(length(norm) AS BIGINT) AS norm_len
+        |FROM n
         |ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->

@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
+  /** Canonical text normalization for dedup/fingerprint keying: lowercase,
+    * drop everything outside [a-z0-9 ], collapse whitespace runs, trim.
+    * Normalize-then-fingerprint is what makes exact dedup catch
+    * case/punctuation/whitespace variants of the same document.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Whitespace tokenization (documents are single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 

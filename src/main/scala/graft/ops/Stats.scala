@@ -36,8 +36,9 @@ object Stats {
     rows.toDF("col_a", "col_b", "corr")
   }
 
-  /** A8: the k columns most correlated (absolute) with `target`, ranked —
-    * pandas `corrmat.nlargest(k, target)`.
+  /** A8: the k columns most correlated with `target`, ranked by signed
+    * value — pandas `corrmat.nlargest(k, target)` semantics (nlargest
+    * sorts by value, not absolute value).
     */
   def topCorrelated(df: DataFrame, cols: Seq[String], target: String,
                     k: Int): DataFrame =

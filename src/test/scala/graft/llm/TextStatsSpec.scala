@@ -54,6 +54,14 @@ class TextStatsSpec extends AnyFunSuite {
     assert(ham(sigs(0), sigs(1)) <= 12)
   }
 
+  test("normalize collapses case/punct/whitespace variants to one key") {
+    val variants = Seq("Hello,  World!", "hello world", "HELLO   WORLD.")
+    val fps = variants.toDF("text")
+      .select(TextStats.fingerprint(TextStats.normalize($"text")))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size == 1)
+  }
+
   test("fingerprint is md5 hex") {
     assert(one("abc", TextStats.fingerprint($"text")).getString(0) ==
       "900150983cd24fb0d6963f7d28e17f72")

@@ -1,0 +1,54 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  lazy val df = (1 to 1000).map(i => (i.toLong, i % 7)).toDF("id", "k")
+    .repartition(16)
+
+  test("compact merges partitions without adding a shuffle") {
+    val c = Layout.compact(df, 2)
+    assert(c.rdd.getNumPartitions == 2)
+    def exchanges(p: String) = p.split("\n").count(_.contains("Exchange"))
+    // the fixture's own repartition(16) is one Exchange; coalesce must
+    // not introduce another
+    assert(exchanges(c.queryExecution.executedPlan.toString) ==
+      exchanges(df.queryExecution.executedPlan.toString))
+    assert(c.queryExecution.executedPlan.toString.contains("Coalesce"))
+  }
+
+  test("rebalance shuffles to the requested partition count") {
+    val r = Layout.rebalance(df, 8)
+    assert(r.rdd.getNumPartitions == 8)
+    assert(r.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("sortedLayout writes range-partitioned files with disjoint id ranges") {
+    val out = Files.createTempDirectory("graft_sorted").toString + "/t"
+    Layout.sortedLayout(df, 4, col("id")).write.parquet(out)
+    val perFile = spark.read.parquet(out)
+      .select(col("id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(perFile.length == 4)
+    // ranges must not overlap: every file's min exceeds the previous max
+    perFile.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(loB > hiA)
+      case _ =>
+    }
+  }
+
+  test("keyed co-locates equal keys in one partition") {
+    val k = Layout.keyed(df, 4, col("k"))
+    val spread = k.select(col("k"), spark_partition_id().as("p"))
+      .distinct().groupBy("k").count()
+      .agg(max("count")).head().getLong(0)
+    assert(spread == 1L, "each key must land in exactly one partition")
+  }
+}
