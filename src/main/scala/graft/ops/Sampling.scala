@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling and split operators for training-data pipelines: stratified
+  * downsampling (class rebalancing) and deterministic hash splits.
+  */
+object Sampling {
+
+  /** Stratified sample: per-stratum fractions (class rebalancing /
+    * language quotas). Bernoulli per row with a seeded hash — single
+    * pass, no shuffle, exact-fraction only in expectation (the scalable
+    * contract; exact-count sampling needs a per-stratum sort).
+    */
+  def stratified(df: DataFrame, stratumCol: String,
+                 fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Deterministic hash split: rows route to buckets by
+    * pmod(xxhash64(id, salt), 100). Unlike randomSplit — whose assignment
+    * depends on partitioning — the same row lands in the same split on
+    * any cluster layout, any engine run, forever. That stability is what
+    * makes train/test membership auditable in a long-lived corpus.
+    */
+  def hashBucket(idCol: Column, salt: Long = 0L): Column =
+    pmod(xxhash64(idCol, lit(salt)), lit(100L))
+
+  /** (train, holdout) pair at `trainPct` percent. */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int,
+                salt: Long = 0L): (DataFrame, DataFrame) = {
+    val b = hashBucket(col(idCol), salt)
+    (df.filter(b < trainPct), df.filter(b >= trainPct))
+  }
+}
