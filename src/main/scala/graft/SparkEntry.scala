@@ -17,5 +17,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ graft.ops.StatsQueries.oracle ++
-      LlmQueries.oracle ++ StreamQueries.oracle
+      LlmQueries.oracle ++ MlQueries.oracle ++ StreamQueries.oracle
 }

@@ -68,8 +68,34 @@ object MlQueries {
       .select("size") // sizes only: cluster ids aren't comparable across impls
   }
 
+  /** M-estimate target encoding of order priority against order value —
+    * oracle-checked (exact-decimal sums make the smoothed means
+    * deterministic).
+    */
+  def targetEncode(spark: SparkSession, dir: String): DataFrame =
+    TargetEncode.encodingTable(table(spark, dir, "orders"),
+        catCol = "o_orderpriority", targetCol = "o_totalprice", m = 10.0)
+      .orderBy("o_orderpriority")
+
   val all: Map[String, Q] = Map(
     "q_ml_pipeline" -> (mlPipeline _),
-    "q_ml_cluster_sizes" -> (clusterSizes _)
+    "q_ml_cluster_sizes" -> (clusterSizes _),
+    "q_target_encode" -> (targetEncode _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_target_encode" ->
+      """WITH g AS (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           / count(*) AS gmean
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n,
+        |  round((s + 10.0 * gmean) / (n + 10.0), 6) AS enc
+        |FROM c, g
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

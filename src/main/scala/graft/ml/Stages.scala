@@ -75,6 +75,22 @@ object Stages {
     (model.bestModel, model.avgMetrics.max)
   }
 
+  /** Univariate feature selection (crime.py:25 mutual_info_regression
+    * import): keep the `k` features most associated with the label —
+    * MLlib's UnivariateFeatureSelector with f-classification scoring.
+    */
+  def selectFeatures(df: DataFrame, featureCols: Seq[String],
+                     labelCol: String, k: Int): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("__f").transform(df)
+    new org.apache.spark.ml.feature.UnivariateFeatureSelector()
+      .setFeaturesCol("__f").setLabelCol(labelCol).setOutputCol("selected")
+      .setFeatureType("continuous").setLabelType("categorical")
+      .setSelectionMode("numTopFeatures").setSelectionThreshold(k)
+      .fit(assembled).transform(assembled)
+      .drop("__f")
+  }
+
   /** RMSE / R² evaluation for the regression stages (crime.py:28-29
     * mean_squared_error import).
     */

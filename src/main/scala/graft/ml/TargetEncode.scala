@@ -1,0 +1,39 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Tables.dec
+
+/** M-estimate target encoding (the reference's MEstimateEncoder import,
+  * crime.py:21): replace a category with the smoothed mean of the target,
+  *
+  *   enc(c) = (sum_c + m · globalMean) / (n_c + m)
+  *
+  * Exact-decimal sums keep the encoding deterministic under any
+  * partitioning (same contract as the money aggregates); one aggregation
+  * pass + a broadcast-sized join back, so it scales with category count,
+  * not row count.
+  */
+object TargetEncode {
+
+  /** Per-category encoding table: (category, n, enc). */
+  def encodingTable(df: DataFrame, catCol: String, targetCol: String,
+                    m: Double): DataFrame = {
+    val perCat = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col(targetCol))).cast("double").as("s"))
+    val global = df.agg(
+      (sum(dec(col(targetCol))).cast("double") / count(lit(1))).as("gmean"))
+    perCat.crossJoin(broadcast(global))
+      .select(col(catCol), col("n"),
+        round((col("s") + lit(m) * col("gmean")) / (col("n") + lit(m)), 6)
+          .as("enc"))
+  }
+
+  /** Attach the encoded column to the frame (broadcast join on category). */
+  def transform(df: DataFrame, catCol: String, targetCol: String,
+                m: Double, outCol: String): DataFrame =
+    df.join(broadcast(encodingTable(df, catCol, targetCol, m)
+        .select(col(catCol), col("enc").as(outCol))),
+      Seq(catCol))
+}

@@ -65,6 +65,41 @@ class StagesSpec extends AnyFunSuite {
     assert(ev.length == 2 && ev(0) >= ev(1) && ev.sum <= 1.0 + 1e-9)
   }
 
+  test("target encoding: smoothed means pull rare categories to the prior") {
+    val df = Seq(
+      ("common", 10.0), ("common", 20.0), ("common", 30.0), ("common", 40.0),
+      ("rare", 100.0)
+    ).toDF("cat", "y")
+    val enc = TargetEncode.encodingTable(df, "cat", "y", m = 5.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val gmean = 200.0 / 5
+    // rare (n=1, value 100) is pulled most of the way to the prior 40
+    assert(math.abs(enc("rare") - (100.0 + 5 * gmean) / 6.0) < 1e-6)
+    // common (n=4, mean 25) stays closer to its own mean
+    assert(math.abs(enc("common") - (100.0 + 5 * gmean) / 9.0) < 1e-6)
+    assert(math.abs(enc("rare") - gmean) < math.abs(100.0 - gmean))
+  }
+
+  test("univariate selector keeps the informative features") {
+    val rng = new scala.util.Random(9)
+    val df = (0 until 600).map { i =>
+      val cls = (i % 2).toDouble
+      // f1 carries the class signal; f2/f3 are noise
+      (cls, cls * 2.0 + rng.nextGaussian() * 0.1,
+        rng.nextGaussian(), rng.nextGaussian())
+    }.toDF("label", "f1", "f2", "f3")
+    val out = Stages.selectFeatures(df, Seq("f1", "f2", "f3"), "label", k = 1)
+    val v = out.select("selected").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == 1) // one feature kept
+    // the kept feature must be f1: its value tracks 2*label
+    val check = out.select("label", "selected").collect().forall { r =>
+      val sel = r.getAs[org.apache.spark.ml.linalg.Vector](1)(0)
+      math.abs(sel - 2.0 * r.getDouble(0)) < 1.0
+    }
+    assert(check)
+  }
+
   test("cross-validation selects a model with sane accuracy") {
     val (best, metric) = Stages.crossValidate(fixture.limit(600), schema,
       numFolds = 2)
