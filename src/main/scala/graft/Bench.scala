@@ -32,15 +32,22 @@ object Bench {
     // warmup: exercises scan + shuffle + agg + sort codepaths once
     try run("q_counts_by_type") catch { case _: Throwable => () }
 
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch { case e: Throwable =>
+        // a failed query must not masquerade as a fast one: record it
+        // loudly so a regression can't IMPROVE the reported total
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

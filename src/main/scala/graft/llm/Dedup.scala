@@ -108,11 +108,14 @@ object Dedup {
                           bands: Int = 4): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
+    // JVM shifts count mod 64, so (1L << 64) - 1 would be 0 — an all-rows
+    // single bucket (silent N²) for bands=1
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = docs.select(col(idCol).as("id"),
       TextStats.simhash64(col(textCol)).as("sig"))
     val bandCols = (0 until bands).map { b =>
       shiftrightunsigned(col("sig"), b * width)
-        .bitwiseAND(lit((1L << width) - 1)).as(s"band$b")
+        .bitwiseAND(lit(mask)).as(s"band$b")
     }
     val buckets = sigs.select(col("id") +: col("sig") +: bandCols: _*)
       .select(col("id"), col("sig"), posexplode(array((0 until bands)
@@ -157,12 +160,15 @@ object Dedup {
                         idCol: String = "doc_id"): DataFrame = {
     val toks = docs.filter(col(idCol) < maxId)
       .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("toks"))
+    // docs shorter than n tokens have no n-shingles; without the guard,
+    // sequence(0, size-n) counts DOWN for size<n and slice() throws on
+    // the negative index
+    val nShingles = when(size(col("toks")) >= n,
+      transform(sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
     val shingled = toks.select(col("id"),
-      array_distinct(
-        if (n == 1) col("toks")
-        else transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-        .as("shingles"))
+      array_distinct(if (n == 1) col("toks") else nShingles).as("shingles"))
     val sizes = shingled.select(col("id"), size(col("shingles")).as("n_sh"))
     val inv = shingled.select(col("id"), explode(col("shingles")).as("sh"))
     val shared = inv.as("x").join(inv.as("y"),

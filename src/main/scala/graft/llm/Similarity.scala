@@ -36,8 +36,13 @@ object Similarity {
     * not infinity — one zero-norm row in 100 TB would kill the job).
     */
   def unitNormalize(a: Column): Column = {
+    // norm computed ONCE via array_repeat, then an elementwise zip —
+    // embedding the norm inside a transform lambda re-evaluates the O(d)
+    // sum per element (O(d²) per vector). Zero vectors divide by 1 and
+    // stay zero instead of tripping ANSI division-by-zero.
     val n = l2Norm(a)
-    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+    val safe = when(n === 0.0, lit(1.0)).otherwise(n)
+    zip_with(a, array_repeat(safe, size(a)), (x, nn) => x.cast("double") / nn)
   }
 
   /** Cosine similarity; zero-norm inputs yield NaN (IEEE 0/0 semantics,
@@ -168,8 +173,13 @@ object Similarity {
     }
     val bucketed = unit.select(col("id") +: col("u") +: bucketCols.toSeq: _*)
     val bandCols = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"b$i"))): _*).as(s"band$b")
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"b$i"))
+      // a vector shorter than `dim` zip_withs to null projections;
+      // xxhash64 skips null children, which would collapse EVERY row into
+      // one bucket (silent N²). Null band keys never equi-join instead.
+      when(slice.map(_.isNull).reduce(_ || _), lit(null).cast("long"))
+        .otherwise(xxhash64((lit(b) +: slice): _*)).as(s"band$b")
     }
     val buckets = bucketed.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band_idx", "band_key")

@@ -62,17 +62,19 @@ object CrimePipeline {
     // columns are demoted to bare doubles here too. The CAST drops the
     // nominal metadata StringIndexer attaches; without this, tree training
     // rejects high-cardinality columns (Address) against maxBins.
-    val demote = new org.apache.spark.ml.feature.SQLTransformer().setStatement(
-      "SELECT *, " + schema.categoricalCols
-        .map(c => s"CAST(${c}_idx AS DOUBLE) AS ${c}_num").mkString(", ") +
-        " FROM __THIS__")
+    val demote =
+      if (schema.categoricalCols.isEmpty) Seq.empty // SELECT *, FROM is a parse error
+      else Seq(new org.apache.spark.ml.feature.SQLTransformer().setStatement(
+        "SELECT *, " + schema.categoricalCols
+          .map(c => s"CAST(${c}_idx AS DOUBLE) AS ${c}_num").mkString(", ") +
+          " FROM __THIS__"))
     val featureAssembler = new VectorAssembler()
       .setInputCols((schema.categoricalCols.map(c => s"${c}_num") ++
         Seq("geo_scaled", "cluster")).toArray)
       .setOutputCol("features")
     new Pipeline().setStages(
-      (Seq(labelIndexer) ++ catIndexers ++
-        Seq(demote, geoAssembler, scaler, kmeans, featureAssembler, classifier)).toArray)
+      (Seq(labelIndexer) ++ catIndexers ++ demote ++
+        Seq(geoAssembler, scaler, kmeans, featureAssembler, classifier)).toArray)
   }
 
   /** ML5 default: RandomForest is MLlib's native-multiclass tree ensemble

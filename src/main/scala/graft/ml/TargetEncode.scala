@@ -30,10 +30,14 @@ object TargetEncode {
           .as("enc"))
   }
 
-  /** Attach the encoded column to the frame (broadcast join on category). */
+  /** Attach the encoded column to the frame. Null-safe join (`<=>`) so
+    * null categories keep their rows and get the null-category encoding —
+    * a plain equi-join would silently drop every null-category row.
+    */
   def transform(df: DataFrame, catCol: String, targetCol: String,
-                m: Double, outCol: String): DataFrame =
-    df.join(broadcast(encodingTable(df, catCol, targetCol, m)
-        .select(col(catCol), col("enc").as(outCol))),
-      Seq(catCol))
+                m: Double, outCol: String): DataFrame = {
+    val enc = broadcast(encodingTable(df, catCol, targetCol, m)
+      .select(col(catCol).as("__cat"), col("enc").as(outCol)))
+    df.join(enc, df(catCol) <=> enc("__cat"), "left").drop("__cat")
+  }
 }

@@ -30,9 +30,13 @@ object Stats {
     val rows = for {
       i <- cols.indices
       j <- cols.indices
-    } yield (cols(i), cols(j),
-      BigDecimal(m(i, j)).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
+    } yield (cols(i), cols(j), {
+      val v = m(i, j)
+      // zero-variance columns correlate as NaN; BigDecimal(NaN) throws
+      if (v.isNaN || v.isInfinite) v
+      else BigDecimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    })
     rows.toDF("col_a", "col_b", "corr")
   }
 

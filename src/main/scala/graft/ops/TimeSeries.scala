@@ -42,15 +42,24 @@ object TimeSeries {
                leftTs: String, rightTs: String,
                rightValCols: Seq[String],
                rightTieBreak: Option[String] = None): DataFrame = {
+    // silent-ambiguity guard: a value column shadowing a left column would
+    // produce two same-named output columns
+    rightValCols.foreach { c =>
+      require(!left.columns.contains(c),
+        s"rightValCol '$c' collides with a left column; alias it first")
+    }
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
       .withColumn("__tie", lit(null).cast("long"))
+    // ALL value columns travel in one struct: the running last() then picks
+    // the whole most-recent right ROW (even if some of its fields are
+    // null), never mixing fields from different right rows — and matching
+    // ASOF JOIN semantics, where a null value in the newest match is the
+    // answer, not a reason to look further back
     val r = right.select(
-      (col(keyCol) +: col(rightTs).as("__ts") +: lit(1).as("__side") +:
-        rightTieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tie") +:
-        rightValCols.map(c => col(c).as(s"__r_$c"))): _*)
-    val lAligned = rightValCols.foldLeft(l) { (d, c) =>
-      d.withColumn(s"__r_$c", lit(null).cast(r.schema(s"__r_$c").dataType))
-    }
+      col(keyCol), col(rightTs).as("__ts"), lit(1).as("__side"),
+      rightTieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tie"),
+      struct(rightValCols.map(col): _*).as("__r"))
+    val lAligned = l.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
     val unioned = lAligned.unionByName(r, allowMissingColumns = true)
     // order within a timestamp: right rows (__side desc puts 1 first) so a
     // left row at the same instant sees them; ties among right rows break
@@ -58,11 +67,11 @@ object TimeSeries {
     val w = Window.partitionBy(keyCol)
       .orderBy(col("__ts"), desc("__side"), asc_nulls_last("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValCols.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("__r",
+      last(col("__r"), ignoreNulls = true).over(w))
+    val out = rightValCols.foldLeft(filled.filter(col("__side") === 0)) {
+      (d, c) => d.withColumn(c, col(s"__r.$c"))
     }
-    val out = filled.filter(col("__side") === 0)
-      .drop("__ts", "__side", "__tie")
-    rightValCols.foldLeft(out)((d, c) => d.withColumnRenamed(s"__r_$c", c))
+    out.drop("__ts", "__side", "__tie", "__r")
   }
 }

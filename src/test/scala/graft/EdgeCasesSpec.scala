@@ -60,6 +60,51 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(d.isNaN)
   }
 
+  test("ngram jaccard with n=2 survives docs shorter than the shingle") {
+    val d = Seq((0L, "solo"), (1L, ""), (2L, "a b c"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, n = 2, minJaccard = 0.9, maxId = 10)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+  }
+
+  test("corrMatrix returns NaN (not a crash) for zero-variance columns") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "const")
+    val m = graft.ops.Stats.corrMatrix(df, Seq("x", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("x", "x")) == 1.0)
+    assert(m(("x", "const")).isNaN)
+  }
+
+  test("target encoding keeps null-category rows") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0))
+      .toDF("cat", "y")
+    val out = graft.ml.TargetEncode.transform(df, "cat", "y", m = 0.0, "enc")
+    assert(out.count() == 3)
+    val nullRow = out.filter($"cat".isNull).head()
+    assert(nullRow.getDouble(nullRow.fieldIndex("enc")) == 10.0)
+  }
+
+  test("asofJoin returns the newest matching row even when its value is null") {
+    val left = Seq((1L, "u", java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("id", "k", "t")
+    val right = Seq(
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1L, Some(5.0)),
+      ("u", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2L, Option.empty[Double])
+    ).toDF("k", "rt", "tie", "v")
+    val out = graft.ops.TimeSeries.asofJoin(left, right, "k", "t", "rt",
+      Seq("v"), rightTieBreak = Some("tie")).head()
+    // the 10:00 row is the answer; its null must NOT be replaced by 09:00's 5.0
+    assert(out.isNullAt(out.fieldIndex("v")))
+  }
+
+  test("banded simhash with bands=1 buckets on the full signature") {
+    val d = Seq((0L, "a b c"), (1L, "x y z w q")).toDF("doc_id", "text")
+    // distinct signatures → distinct single-band keys → no candidates;
+    // before the mask fix every row collapsed into bucket 0
+    assert(Dedup.simhashNearDupPairs(d, maxHamming = 0, bands = 1).count() == 0)
+  }
+
   test("knn over fewer corpus rows than k returns what exists") {
     val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
       (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
