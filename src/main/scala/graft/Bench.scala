@@ -35,13 +35,16 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try run(name) catch { case e: Throwable =>
-        // a failed query must not masquerade as a fast one: record it
-        // loudly so a regression can't IMPROVE the reported total
+      val ok = try { run(name); true } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // an early crash must not LOWER the total vs a slow success — a
+      // failed query is billed a 600 s penalty, so regressions can only
+      // make the benchmark worse, never better
+      name -> (if (ok) elapsed else 600.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

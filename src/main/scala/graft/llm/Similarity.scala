@@ -159,10 +159,15 @@ object Similarity {
     */
   def lshCosinePairs(corpus: DataFrame, minCosine: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     dim: Int = 64, bucketLength: Double = 0.3,
+                     dim: Int = -1, bucketLength: Double = 0.3,
                      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    // dim <= 0 → infer from the data (one row read), like an MLlib fit();
+    // a wrong explicit dim would null every projection and silently
+    // return zero pairs
+    val d = if (dim > 0) dim
+            else corpus.select(size(col(vecCol))).head().getInt(0)
     val rng = new scala.util.Random(42L)
-    val projections = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
+    val projections = Array.fill(bands * rowsPerBand, d)(rng.nextGaussian())
     val unit = corpus.select(col(idCol).as("id"),
       unitNormalize(col(vecCol)).as("u"))
     val bucketCols = projections.zipWithIndex.map { case (g, i) =>

@@ -19,15 +19,18 @@ object TargetEncode {
   /** Per-category encoding table: (category, n, enc). */
   def encodingTable(df: DataFrame, catCol: String, targetCol: String,
                     m: Double): DataFrame = {
+    // per-category sums stay DECIMAL so the derived global mean is the
+    // exact sum-of-sums — one scan instead of two, and still bit-equal to
+    // the oracle's direct decimal total (summing per-category doubles
+    // instead would reintroduce merge-order noise)
     val perCat = df.groupBy(col(catCol))
-      .agg(count(lit(1)).as("n"),
-           sum(dec(col(targetCol))).cast("double").as("s"))
-    val global = df.agg(
-      (sum(dec(col(targetCol))).cast("double") / count(lit(1))).as("gmean"))
+      .agg(count(lit(1)).as("n"), sum(dec(col(targetCol))).as("s_dec"))
+    val global = perCat.agg(
+      (sum(col("s_dec")).cast("double") / sum(col("n"))).as("gmean"))
     perCat.crossJoin(broadcast(global))
       .select(col(catCol), col("n"),
-        round((col("s") + lit(m) * col("gmean")) / (col("n") + lit(m)), 6)
-          .as("enc"))
+        round((col("s_dec").cast("double") + lit(m) * col("gmean")) /
+          (col("n") + lit(m)), 6).as("enc"))
   }
 
   /** Attach the encoded column to the frame. Null-safe join (`<=>`) so

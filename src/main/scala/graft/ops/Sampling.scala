@@ -9,13 +9,22 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Stratified sample: per-stratum fractions (class rebalancing /
-    * language quotas). Bernoulli per row with a seeded hash — single
-    * pass, no shuffle, exact-fraction only in expectation (the scalable
-    * contract; exact-count sampling needs a per-stratum sort).
+    * language quotas). Membership comes from a hash of the row id — NOT
+    * `sampleBy`, whose rand(seed) stream is partition-layout dependent,
+    * so its "seeded" sample silently drifts when the input layout
+    * changes. Hash membership is stable across any repartition, like
+    * [[hashSplit]]. Single pass, no shuffle, exact-fraction in
+    * expectation (the scalable contract; exact-count sampling needs a
+    * per-stratum sort).
     */
-  def stratified(df: DataFrame, stratumCol: String,
-                 fractions: Map[String, Double], seed: Long): DataFrame =
-    df.stat.sampleBy(stratumCol, fractions, seed)
+  def stratified(df: DataFrame, stratumCol: String, idCol: String,
+                 fractions: Map[String, Double], seed: Long): DataFrame = {
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+    val threshold = fractions.foldLeft(lit(-1L)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit((f * 1000000L).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
 
   /** Deterministic hash split: rows route to buckets by
     * pmod(xxhash64(id, salt), 100). Unlike randomSplit — whose assignment

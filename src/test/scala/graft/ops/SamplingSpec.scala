@@ -14,7 +14,7 @@ class SamplingSpec extends AnyFunSuite {
     val fractions = Map("click" -> 0.1, "error" -> 0.5)
     val s = Sampling.stratified(
       events.filter($"event_type".isin("click", "error")),
-      "event_type", fractions, seed = 42L)
+      "event_type", "event_id", fractions, seed = 42L)
     val got = s.groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val base = events.filter($"event_type".isin("click", "error"))
@@ -24,14 +24,19 @@ class SamplingSpec extends AnyFunSuite {
       val ratio = got.getOrElse(k, 0L).toDouble / base(k)
       assert(math.abs(ratio - f) < 0.15, s"$k ratio=$ratio want~$f")
     }
+    // strata not named in fractions are excluded entirely
+    assert(!got.contains("view"))
   }
 
-  test("stratified sample is deterministic for a fixed seed") {
-    val run = () => Sampling.stratified(events, "event_type",
-        Map("click" -> 0.2, "error" -> 0.2, "purchase" -> 0.2,
-            "signup" -> 0.2, "view" -> 0.2), seed = 7L)
-      .select("event_id").collect().map(_.getLong(0)).toSet
-    assert(run() == run())
+  test("stratified sample is layout-stable, not just lineage-deterministic") {
+    val fractions = Map("click" -> 0.2, "error" -> 0.2, "purchase" -> 0.2,
+      "signup" -> 0.2, "view" -> 0.2)
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      Sampling.stratified(df, "event_type", "event_id", fractions, seed = 7L)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    // same membership even after an arbitrary repartition — the property
+    // sampleBy's rand(seed) stream does NOT have
+    assert(run(events) == run(events.repartition(13)))
   }
 
   test("hashSplit is disjoint, complete, ratio-correct, layout-stable") {
