@@ -62,8 +62,13 @@ object Dedup {
     }
     val sigs = toks.select(col("id") +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (b * r until (b + 1) * r).map(i => col(s"h$i"))): _*)
-        .as(s"band$b")
+      val slice = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+      // null text → null signature; xxhash64 skips null children, which
+      // would collapse every null-text doc into ONE bucket (silent N²
+      // candidate blowup). Null band keys never equi-join instead — same
+      // guard as Similarity.lshCosinePairs.
+      when(slice.map(_.isNull).reduce(_ || _), lit(null).cast("long"))
+        .otherwise(xxhash64((lit(b) +: slice): _*)).as(s"band$b")
     }
     val buckets = sigs.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band_idx", "band_key")
@@ -105,21 +110,29 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
                           textCol: String = "text", idCol: String = "doc_id",
-                          bands: Int = 4): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
-    val width = 64 / bands
+                          bands: Int = -1): DataFrame = {
+    // recall guarantee is pigeonhole: h differing bits can straddle at most
+    // h bands, so a pair within maxHamming shares a band only if
+    // maxHamming < bands. bands <= 0 → auto-derive the smallest divisor of
+    // 64 that preserves full recall; an explicit lossy value is an error.
+    val b = if (bands > 0) bands
+            else Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
+    require(64 % b == 0, "bands must divide 64")
+    require(maxHamming < b,
+      s"maxHamming=$maxHamming needs bands>$maxHamming for full recall")
+    val width = 64 / b
     // JVM shifts count mod 64, so (1L << 64) - 1 would be 0 — an all-rows
     // single bucket (silent N²) for bands=1
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sigs = docs.select(col(idCol).as("id"),
       TextStats.simhash64(col(textCol)).as("sig"))
-    val bandCols = (0 until bands).map { b =>
-      shiftrightunsigned(col("sig"), b * width)
-        .bitwiseAND(lit(mask)).as(s"band$b")
+    val bandCols = (0 until b).map { i =>
+      shiftrightunsigned(col("sig"), i * width)
+        .bitwiseAND(lit(mask)).as(s"band$i")
     }
     val buckets = sigs.select(col("id") +: col("sig") +: bandCols: _*)
-      .select(col("id"), col("sig"), posexplode(array((0 until bands)
-        .map(b => col(s"band$b")): _*)))
+      .select(col("id"), col("sig"), posexplode(array((0 until b)
+        .map(i => col(s"band$i")): _*)))
       .toDF("id", "sig", "band_idx", "band_key")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

@@ -164,8 +164,11 @@ object Similarity {
     // dim <= 0 → infer from the data (one row read), like an MLlib fit();
     // a wrong explicit dim would null every projection and silently
     // return zero pairs
+    // empty corpus → no row to infer from; any positive dim works (zero
+    // rows produce zero pairs regardless), so don't throw
     val d = if (dim > 0) dim
-            else corpus.select(size(col(vecCol))).head().getInt(0)
+            else corpus.select(size(col(vecCol))).take(1).headOption
+              .map(_.getInt(0)).getOrElse(1)
     val rng = new scala.util.Random(42L)
     val projections = Array.fill(bands * rowsPerBand, d)(rng.nextGaussian())
     val unit = corpus.select(col(idCol).as("id"),

@@ -48,6 +48,9 @@ object Stats {
                     k: Int): DataFrame =
     corrMatrix(df, cols)
       .filter(col("col_a") === target && col("col_b") =!= target)
+      // zero-variance columns correlate as NaN, and Spark sorts NaN above
+      // every number — pandas nlargest drops NaN, so drop before ranking
+      .filter(!isnan(col("corr")))
       .select(col("col_b").as("feature"), col("corr"))
       .orderBy(desc("corr"), asc("feature"))
       .limit(k)

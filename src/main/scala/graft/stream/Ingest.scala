@@ -75,16 +75,18 @@ object Ingest {
         col(keyCol))
       .agg(count(lit(1)).as("n"))
 
-  /** Streaming exact dedup: watermark-bounded dropDuplicates — the
-    * incremental form of the batch exact-dedup operator. State holds one
-    * entry per id seen within the watermark horizon, so memory is bounded
-    * by (arrival rate × watermark), not by stream length — the property
-    * that makes it viable on an unbounded 100 TB/day feed.
+  /** Streaming exact dedup: watermark-bounded, id-only — the incremental
+    * form of the batch exact-dedup operator. dropDuplicatesWithinWatermark
+    * keys state on the id alone (replays of the same id with a different
+    * timestamp still dedup) and expires entries past the watermark
+    * horizon, so memory is bounded by (arrival rate × watermark), not by
+    * stream length — the property that makes it viable on an unbounded
+    * 100 TB/day feed.
     */
   def dedupStream(events: DataFrame, idCol: String, tsCol: String,
                   watermark: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq(idCol, tsCol))
+      .dropDuplicatesWithinWatermark(Seq(idCol))
 
   /** Stream-stream inner join with an event-time interval bound: right
     * rows join left rows at-or-after them within `withinSeconds`. Both
