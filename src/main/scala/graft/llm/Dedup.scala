@@ -55,10 +55,15 @@ object Dedup {
                           numHashes: Int = 24, bands: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // token SET as sorted int64 hashes: one xxhash64 per token per DOC, so
+    // the per-PAIR verify below is a primitive merge (SortedIntersectCount)
+    // instead of a string hash set per candidate — jaccard is unchanged
+    // (distinct tokens → distinct hashes, collisions ~ |set|²/2⁶⁴)
     val toks = docs.select(col(idCol).as("id"),
-      array_distinct(TextStats.tokens(col(textCol))).as("toks"))
+      array_sort(array_distinct(
+        transform(TextStats.tokens(col(textCol)), t => xxhash64(t)))).as("hset"))
     val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("toks"), t => xxhash64(lit(i), t))).as(s"h$i")
+      array_min(transform(col("hset"), h => xxhash64(lit(i), h))).as(s"h$i")
     }
     val sigs = toks.select(col("id") +: sigCols: _*)
     val bandCols = (0 until bands).map { b =>
@@ -77,15 +82,20 @@ object Dedup {
           col("x.band_key") === col("y.band_key") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val ta = toks.select(col("id").as("id_a"), col("toks").as("toks_a"))
-    val tb = toks.select(col("id").as("id_b"), col("toks").as("toks_b"))
+    val ta = toks.select(col("id").as("id_a"), col("hset").as("hset_a"))
+    val tb = toks.select(col("id").as("id_b"), col("hset").as("hset_b"))
+    // a pair matching k bands is verified k times and deduplicated AFTER
+    // the jaccard filter: the merge-verify is so cheap that re-checking
+    // duplicates costs less than a distinct() shuffle of the (much larger)
+    // raw candidate set — the surviving near-dup set is the small side
     cand.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("inter",
+        graft.functions.SetMath.sortedIntersectCount(col("hset_a"), col("hset_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+        (size(col("hset_a")) + size(col("hset_b")) - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+      .distinct()
   }
 
   /** Greedy near-dedup: retain every document that never appears as the

@@ -125,8 +125,16 @@ object Similarity {
       unitNormalize(col(vecCol)).as("u"))
 
     val corpusU = unit(corpus).withColumn("uv", array_to_vector(col("u")))
+    // bound the iterative fit's partitioning: centroid training re-walks
+    // its input ~20×, and scattering a small corpus over every core (or at
+    // cluster scale, every executor) pays more per-iteration scheduling
+    // than compute. At 100 TB the index build would run on a sampled
+    // subset the same way — nlist centroids need ~nlist·10³ points, not
+    // the full corpus.
+    val fitParts = math.min(corpusU.rdd.getNumPartitions, 8)
     val model = new KMeans().setK(nlist).setSeed(42L)
-      .setFeaturesCol("uv").setPredictionCol("cell").fit(corpusU)
+      .setFeaturesCol("uv").setPredictionCol("cell")
+      .fit(corpusU.coalesce(fitParts))
     val assigned = model.transform(corpusU)
       .select(col("id").as("neighbor_id"), col("u").as("cu"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex

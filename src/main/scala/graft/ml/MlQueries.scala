@@ -34,38 +34,63 @@ object MlQueries {
     categoricalCols = Seq("DayOfWeek", "PdDistrict", "Address"),
     lonCol = "X", latCol = "Y")
 
+  /** Iterative fits (KMeans, forests) re-walk their input many times, so
+    * cache it and size partitions to the data: a 100k-row training frame
+    * scattered over every core (or at cluster scale, every executor) pays
+    * more per-iteration scheduling than compute. ~16k rows per partition
+    * keeps tasks meaningful at any scale; never expands partition count.
+    */
+  private def cacheSized(df: DataFrame): (DataFrame, Long) = {
+    val n = df.count()
+    val parts = math.max(1, math.min(
+      df.rdd.getNumPartitions, (n / 16384 + 1).toInt))
+    val sized = df.coalesce(parts).cache()
+    (sized, n)
+  }
+
   /** Full ML1–ML7 run: one summary row (holdout accuracy + class count).
     * Scoring runs on the holdout split — the submission-frame op (ML7) on
     * data the model hasn't seen, without re-transforming the training 70%.
+    * All fits and metrics are computed eagerly against a cached,
+    * right-sized input, so the returned frame holds plain values and the
+    * cache can be dropped before returning.
     */
   def mlPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val df = crimeShaped(spark, dir)
-    val Array(_, holdout) = df.randomSplit(Array(0.7, 0.3), seed = 0L)
-    val (model, accuracy) = CrimePipeline.trainAndEvaluate(df, schema)
-    val preds = CrimePipeline.score(model, holdout, "event_id", schema)
-    val nPred = preds.select(countDistinct(col("Category"))).as[Long].head()
-    Seq((accuracy, nPred, df.count()))
-      .toDF("accuracy", "n_predicted_classes", "n_rows")
+    val (df, nRows) = cacheSized(crimeShaped(spark, dir))
+    try {
+      val Array(_, holdout) = df.randomSplit(Array(0.7, 0.3), seed = 0L)
+      val (model, accuracy) = CrimePipeline.trainAndEvaluate(df, schema)
+      val preds = CrimePipeline.score(model, holdout, "event_id", schema)
+      val nPred = preds.select(countDistinct(col("Category"))).as[Long].head()
+      Seq((accuracy, nPred, nRows))
+        .toDF("accuracy", "n_predicted_classes", "n_rows")
+    } finally df.unpersist(blocking = false)
   }
 
   /** ML2+ML3 alone (crime.py:132-137): scale lon/lat, KMeans k=10 seed=0,
     * report cluster-size distribution (the id-free comparison form).
     */
   def clusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val geo = crimeShaped(spark, dir).select("event_id", "X", "Y")
     val assembled = new VectorAssembler()
       .setInputCols(Array("X", "Y")).setOutputCol("geo_raw").transform(geo)
-    val scaled = new StandardScaler()
+    val (scaled, _) = cacheSized(new StandardScaler()
       .setInputCol("geo_raw").setOutputCol("geo_scaled")
       .setWithMean(true).setWithStd(true)
       .fit(assembled).transform(assembled)
-    val clustered = new KMeans()
-      .setK(10).setSeed(0L).setFeaturesCol("geo_scaled").setPredictionCol("cluster")
-      .fit(scaled).transform(scaled)
-    clustered.groupBy("cluster").agg(count(lit(1)).as("size"))
-      .orderBy(desc("size"), asc("cluster"))
-      .select("size") // sizes only: cluster ids aren't comparable across impls
+      .select("event_id", "geo_scaled"))
+    try {
+      val clustered = new KMeans()
+        .setK(10).setSeed(0L).setFeaturesCol("geo_scaled").setPredictionCol("cluster")
+        .fit(scaled).transform(scaled)
+      // k rows, never corpus rows — collect eagerly so the cache can drop
+      val sizes = clustered.groupBy("cluster").agg(count(lit(1)).as("size"))
+        .orderBy(desc("size"), asc("cluster"))
+        .select("size").as[Long].collect().toSeq
+      sizes.toDF("size") // sizes only: cluster ids aren't comparable across impls
+    } finally scaled.unpersist(blocking = false)
   }
 
   /** M-estimate target encoding of order priority against order value —

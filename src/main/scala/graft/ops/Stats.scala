@@ -1,8 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.linalg.Matrix
-import org.apache.spark.ml.stat.Correlation
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -16,22 +13,30 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** A7: full Pearson correlation matrix over the given numeric columns.
-    * One distributed pass (ml.stat.Correlation co-moments); the k×k result
-    * is driver-side by nature (k = column count, never row count), returned
+    * One codegen'd aggregation pass computing all k·(k+1)/2 `corr()`
+    * co-moment aggregates at once (no MLlib, no vector assembly — the
+    * whole pass stays inside whole-stage codegen); the k×k result is
+    * driver-side by nature (k = column count, never row count), returned
     * in long form (col_a, col_b, corr) for relational downstream use.
     */
   def corrMatrix(df: DataFrame, cols: Seq[String], roundTo: Int = 6): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val assembled = new VectorAssembler()
-      .setInputCols(cols.toArray).setOutputCol("__v").transform(df.select(cols.map(col): _*))
-    val m: Matrix = Correlation.corr(assembled, "__v", "pearson")
-      .head().getAs[Matrix](0)
+    val upper = for { i <- cols.indices; j <- i until cols.length }
+      yield (i, j)
+    val aggs = upper.map { case (i, j) =>
+      corr(col(cols(i)), col(cols(j))).as(s"c_${i}_$j")
+    }
+    val rowVals = df.agg(aggs.head, aggs.tail: _*).head()
+    val byPair = upper.zipWithIndex.map { case ((i, j), idx) =>
+      val v = if (rowVals.isNullAt(idx)) Double.NaN else rowVals.getDouble(idx)
+      (i, j) -> v
+    }.toMap
     val rows = for {
       i <- cols.indices
       j <- cols.indices
     } yield (cols(i), cols(j), {
-      val v = m(i, j)
+      val v = byPair(if (i <= j) (i, j) else (j, i))
       // zero-variance columns correlate as NaN; BigDecimal(NaN) throws
       if (v.isNaN || v.isInfinite) v
       else BigDecimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
