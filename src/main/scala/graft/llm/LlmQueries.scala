@@ -149,6 +149,11 @@ object LlmQueries {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-3 keywords per document (tf · ln(N/df), round-then-rank). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopTerms(table(spark, dir, "documents"), k = 3)
+      .orderBy("doc_id", "rk")
+
   /** Multimodal metadata columns over the binary payload. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.withBinaryPayload(table(spark, dir, "documents"))
@@ -183,6 +188,7 @@ object LlmQueries {
     "q_quality_score" -> (qualityScore _),
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_text_normalize" -> (textNormalize _),
+    "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _)
@@ -321,6 +327,28 @@ object LlmQueries {
         |       CAST(length(norm) AS BIGINT) AS norm_len
         |FROM n
         |ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

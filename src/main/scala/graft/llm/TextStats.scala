@@ -159,4 +159,36 @@ object TextStats {
         lit(1L << b)).otherwise(lit(0L))
     }.reduce((acc, x) => acc.bitwiseOR(x))
   }
+
+  /** TF-IDF top-k terms per document (keyword extraction): raw term
+    * frequency × ln(N/df), ranked per doc. Scale shape: one shuffle keyed
+    * (doc, term) with map-side partial counts, a vocabulary-sized df
+    * aggregate joined back (AQE broadcasts it when small), the corpus size
+    * as a broadcast 1-row frame (never a driver collect), and a per-doc
+    * window for the top-k — every stage is corpus-partitioned.
+    *
+    * Ranking is on the ROUNDED score: tf·ln(N/df) from different (tf, df)
+    * pairs can be mathematically equal (2·ln(x) = ln(x²)) yet differ in
+    * the last ulp per engine, so ordering by the raw double would flip
+    * ranks between engines; round-6-then-rank makes such ties exact and
+    * the (score desc, term asc) order reproducible everywhere.
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "term", "tfidf")
+  }
 }

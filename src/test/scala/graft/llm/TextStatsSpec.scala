@@ -66,4 +66,37 @@ class TextStatsSpec extends AnyFunSuite {
     assert(one("abc", TextStats.fingerprint($"text")).getString(0) ==
       "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("tfidf top terms: rare terms outrank common ones, ties break by term") {
+    // 4 docs; "rare" appears in 1 doc, "mid" in 2, "the" in all 4
+    val docs = Seq(
+      (0L, "the the rare mid"),
+      (1L, "the mid"),
+      (2L, "the common words"),
+      (3L, "the filler text")).toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val doc0 = top.filter(_._1 == 0L).sortBy(_._2)
+    // doc 0: tfidf(rare)=1*ln(4/1)=1.386294, tfidf(mid)=1*ln(4/2)=0.693147,
+    // tfidf(the)=2*ln(4/4)=0 -> top-2 is (rare, mid)
+    assert(doc0.map(_._3).toSeq == Seq("rare", "mid"))
+    assert(math.abs(doc0.head._4 - 1.386294) < 1e-6)
+    // every doc yields exactly k=2 rows with rk 1..2
+    assert(top.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1L, 2L)))
+  }
+
+  test("sortedIntersectCount matches size(array_intersect) on sorted sets") {
+    import graft.functions.SetMath.sortedIntersectCount
+    val df = Seq(
+      (Seq(1L, 3L, 7L, 9L), Seq(2L, 3L, 9L, 11L)), // partial overlap -> 2
+      (Seq.empty[Long], Seq(1L, 2L)),              // empty left -> 0
+      (Seq(5L), Seq(5L)),                          // identical singletons -> 1
+      (Seq(-9L, -1L, 0L), Seq(-1L, 0L, 4L))        // negatives sort first -> 2
+    ).toDF("a", "b")
+    val got = df.select(sortedIntersectCount(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == Seq(2, 0, 1, 2))
+    // null input propagates null, not a crash
+    val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(withNull.select(sortedIntersectCount(col("a"), col("b"))).head().isNullAt(0))
+  }
 }
