@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SortedIntersectCount}
 
 /** SparkSessionExtensions module: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -15,25 +15,42 @@ import graft.functions.DotProduct
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      GraftExtensions.dotBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, clazz, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    }
 }
 
 object GraftExtensions {
-  val dotBuilder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, "graft_dot takes exactly 2 arguments")
-    DotProduct(children.head, children(1))
+  private def binary(name: String,
+                     f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { children =>
+    require(children.length == 2, s"$name takes exactly 2 arguments")
+    f(children.head, children(1))
   }
+
+  val dotBuilder: Seq[Expression] => Expression =
+    binary("graft_dot", DotProduct.apply)
+
+  val sortedIntersectBuilder: Seq[Expression] => Expression =
+    binary("graft_sorted_intersect_count", SortedIntersectCount.apply)
+
+  /** Every custom expression exposed to SQL: (name, class, builder). */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct], dotBuilder),
+    ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
+      sortedIntersectBuilder))
 
   /** Register on an already-built session (extensions only apply at
     * builder time; this is the runtime-attach form, e.g. for tests and
     * notebooks).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-      spark, "graft_dot", dotBuilder)
+    functions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+        spark, name, builder)
+    }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that decide 100 TB behavior —
+  * pushdown reaching the scan, column pruning, broadcast vs shuffle join
+  * selection, top-k fusion, codegen coverage — pinned as tests so a
+  * refactor that silently defeats Catalyst fails CI, not the cluster.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed into the parquet scan") {
+    val df = Tables.table(spark, sf, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("column pruning reaches the scan (ReadSchema is the projection)") {
+    val df = Tables.table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection:\n$p")
+  }
+
+  test("star join broadcasts dimensions, never shuffles them") {
+    val p = plan(graft.ops.RelationalQueries.regionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // region/nation must not be exchanged by hash partitioning
+    assert(!p.contains("hashpartitioning(n_nationkey"), s"dimension shuffled:\n$p")
+    assert(!p.contains("hashpartitioning(r_regionkey"), s"dimension shuffled:\n$p")
+  }
+
+  test("top-k fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan(graft.ops.RelationalQueries.topkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not fused:\n$p")
+  }
+
+  test("knn broadcasts the query set (corpus is never shuffled)") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val p = plan(graft.llm.Similarity.knnBruteForce(
+      emb, emb.filter(col("vec_id") < 5), k = 10))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"knn plan:\n$p")
+    // the only exchange allowed is for the per-query window rank
+    assert(!p.contains("hashpartitioning(neighbor_id"), s"corpus shuffled:\n$p")
+  }
+
+  test("q1 aggregation runs inside whole-stage codegen") {
+    val df = graft.ops.RelationalQueries.q1Lineitem(spark, sf)
+    df.collect() // AQE only materializes codegen stages on execution
+    val p = plan(df)
+    // codegen spans render as `*(n)` operator prefixes
+    assert(p.contains("*(1) HashAggregate"), s"agg outside codegen:\n$p")
+    assert(p.contains("partial_sum"), s"no map-side partial agg:\n$p")
+  }
+
+  test("custom expressions stay inside codegen (no fallback to interpreted)") {
+    // a non-codegen expression would force the projection out of the
+    // WholeStageCodegen span (rendered as a `*(n)` prefix) above the scan
+    val emb = Tables.table(spark, sf, "embeddings")
+    val df = emb.select(graft.functions.ArrayMath.dot(
+      col("embedding"), col("embedding")).as("d"))
+    assert(plan(df).contains("*(1) Project"), plan(df))
+    val si = emb.select(graft.functions.SetMath.sortedIntersectCount(
+      array(lit(1L)), array(lit(1L))).as("c"))
+    assert(plan(si).contains("*(1) Project"), plan(si))
+  }
+
+  test("exact dedup shuffles 16-byte fingerprints, not document text") {
+    val p = plan(graft.llm.Dedup.exactDupGroups(
+      Tables.table(spark, sf, "documents")))
+    // the exchange must be keyed on the fingerprint, and the partial
+    // aggregate feeding it must not carry the text column — only the scan
+    // and the fingerprint projection below it may touch text
+    assert(p.contains("hashpartitioning(fp"), s"dedup not keyed by fp:\n$p")
+    val partialAgg = p.linesIterator.find(_.contains("partial_min")).get
+    assert(!partialAgg.contains("text#"),
+      s"document text carried into the shuffle:\n$partialAgg")
+  }
+}
