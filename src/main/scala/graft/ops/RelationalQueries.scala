@@ -108,6 +108,12 @@ object RelationalQueries {
            sum(dec(col("value"))).cast("double").as("v"))
       .orderBy("hr")
 
+  /** Ordered view→click→purchase conversion funnel over the event stream. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame =
+    Funnel.conversionCounts(table(spark, dir, "events"),
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+
   /** P5 (crime.py:85-94): dtype-driven null imputation. Nulls are induced
     * (the corpus has none) then filled through the same na.fill path the
     * impute op uses.
@@ -334,6 +340,7 @@ object RelationalQueries {
     "q_year_orders" -> (yearOrders _),
     "q_date_split" -> (dateSplit _),
     "q_hourly_events" -> (hourlyEvents _),
+    "q_funnel_steps" -> (funnelSteps _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -420,6 +427,28 @@ object RelationalQueries {
         |FROM events
         |GROUP BY hr
         |ORDER BY hr""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t0
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |       (SELECT count(*) FROM v) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM c)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM p)
+        |ORDER BY step""".stripMargin,
 
     "q_fill_missing" ->
       """SELECT COALESCE(NULLIF(event_type, 'click'), 'none') AS etype,
