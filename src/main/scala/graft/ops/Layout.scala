@@ -35,4 +35,48 @@ object Layout {
     */
   def keyed(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartition(n, keys: _*)
+
+  /** Spread a 16-bit code so its bit i lands at bit 2i (the classic
+    * morton magic-mask cascade); codes beyond 16 bits are masked off.
+    */
+  private def spread16(c: Column): Column = {
+    val masks = Seq(
+      (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+    masks.foldLeft(c.bitwiseAND(lit(0xFFFFL))) { case (acc, (s, m)) =>
+      (acc.bitwiseOR(shiftleft(acc, s))).bitwiseAND(lit(m))
+    }
+  }
+
+  /** 32-bit morton (z-curve) key from two 16-bit codes: bits of `a` on
+    * even positions, `b` on odd. Locality in (a, b) becomes locality on
+    * the key — pure bitwise columns, fully codegen'd.
+    */
+  def mortonKey(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** Linear 16-bit quantization of a numeric column against fixed [lo, hi]
+    * bounds (constant-range columns like lon/lat; for data-dependent
+    * bounds, aggregate min/max first and pass them in).
+    */
+  def quantize16(c: Column, lo: Double, hi: Double): Column =
+    least(greatest(
+        floor((c.cast("double") - lo) / (hi - lo) * 65535.0), lit(0.0)),
+      lit(65535.0)).cast("long")
+
+  /** Z-ordered layout over two numeric dimensions: quantize each to 16
+    * bits, interleave into a morton key, range-partition + sort on it.
+    * Each written file then covers a COMPACT rectangle in (a, b) space, so
+    * parquet min/max footer stats prune scans on EITHER dimension — the
+    * multi-dimensional generalization of [[sortedLayout]], and what makes
+    * point/range lookups on a 100 TB geo/time table skip most files.
+    */
+  def zorderLayout(df: DataFrame, n: Int,
+                   a: Column, aLo: Double, aHi: Double,
+                   b: Column, bLo: Double, bHi: Double): DataFrame = {
+    val key = mortonKey(quantize16(a, aLo, aHi), quantize16(b, bLo, bHi))
+    df.withColumn("__z", key)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 }

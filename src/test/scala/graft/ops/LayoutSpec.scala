@@ -51,4 +51,28 @@ class LayoutSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0)
     assert(spread == 1L, "each key must land in exactly one partition")
   }
+
+  test("mortonKey interleaves bits exactly (a even, b odd)") {
+    val got = Seq((1L, 0L), (0L, 1L), (3L, 3L), (0xFFFFL, 0xFFFFL))
+      .toDF("a", "b")
+      .select(Layout.mortonKey(col("a"), col("b"))).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 15L, 0xFFFFFFFFL))
+  }
+
+  test("zorder partitions cover compact rectangles in both dimensions") {
+    val grid = (0 until 4096).map { i => (i.toLong, (i % 64).toDouble, (i / 64).toDouble) }
+      .toDF("id", "x", "y")
+    val z = Layout.zorderLayout(grid, 16, col("x"), 0, 63, col("y"), 0, 63)
+    val boxes = z.select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p")
+      .agg(max("x") - min("x"), max("y") - min("y"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // a z-curve over 16 partitions of a 64x64 grid keeps every partition
+    // inside a fraction of BOTH axis ranges; a plain sort by x would leave
+    // the full 63-wide y range in every partition
+    assert(boxes.nonEmpty && boxes.forall { case (dx, dy) => dx <= 32 && dy <= 32 },
+      s"loose bounding boxes: ${boxes.toSeq}")
+    // and the layout preserves the rows themselves
+    assert(z.count() == 4096)
+  }
 }
