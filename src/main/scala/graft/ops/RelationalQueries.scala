@@ -233,6 +233,23 @@ object RelationalQueries {
       .orderBy("l_returnflag", "metric")
 
   /** W1 extension: rank within group — top-5 users per event type. */
+  /** CDC-style compaction: latest row per (user, event_type) key, version
+    * order (ts, event_id). The upsert/merge primitive of every snapshot
+    * table — one window pass keyed on the merge key, so the shuffle
+    * carries each key to one reducer and nothing else; at 100 TB this is
+    * the compaction job that keeps a mutable corpus queryable.
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(desc("ts"), desc("event_id"))
+    table(spark, dir, "events")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   def windowTopUsers(spark: SparkSession, dir: String): DataFrame = {
     val counts = table(spark, dir, "events")
       .groupBy("event_type", "user_id")
@@ -341,6 +358,7 @@ object RelationalQueries {
     "q_date_split" -> (dateSplit _),
     "q_hourly_events" -> (hourlyEvents _),
     "q_funnel_steps" -> (funnelSteps _),
+    "q_upsert_latest" -> (upsertLatest _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -427,6 +445,15 @@ object RelationalQueries {
         |FROM events
         |GROUP BY hr
         |ORDER BY hr""".stripMargin,
+
+    "q_upsert_latest" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |WHERE rk = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH v AS (

@@ -43,4 +43,18 @@ class SkewStatsSpec extends AnyFunSuite {
       .toDF("a").select(Stats.argmax(col("a")).as("i"))
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 0L))
   }
+
+  test("approxPercentiles tracks exact percentiles within sketch error") {
+    val df = (1 to 10000).map(i => ((i % 4).toString, i.toDouble))
+      .toDF("g", "v")
+    val approx = Stats.approxPercentiles(df, "v", "g", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // per group of 2500 uniform values, accuracy=10000 keeps rank error
+    // under a handful of positions (each position is worth 4.0 here)
+    approx.values.foreach { case (p50, p95) =>
+      assert(math.abs(p50 - 5000.0) < 50.0, s"p50=$p50")
+      assert(math.abs(p95 - 9500.0) < 50.0, s"p95=$p95")
+    }
+    assert(approx.keySet == Set("0", "1", "2", "3"))
+  }
 }
