@@ -149,6 +149,25 @@ object LlmQueries {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Corpus mixture accounting: docs, token totals and exact parts-per-
+    * million share per source — the bookkeeping op behind "sample source X
+    * to N tokens" mixture schedules. Shares are integer floor-divisions
+    * (like quality_micro) so the value is bit-identical in any engine; a
+    * rounded double k/total can land on a .5e-6 tie and round differently
+    * per engine.
+    */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_tokens * CAST(1000000 AS BIGINT) DIV total"))
+      .select("source", "n_docs", "n_tokens", "share_ppm")
+      .orderBy("source")
+  }
+
   /** TF-IDF top-3 keywords per document (tf · ln(N/df), round-then-rank). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     TextStats.tfidfTopTerms(table(spark, dir, "documents"), k = 3)
@@ -189,6 +208,7 @@ object LlmQueries {
     "q_doc_fingerprint" -> (docFingerprint _),
     "q_text_normalize" -> (textNormalize _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
+    "q_source_mix" -> (sourceMix _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _)
@@ -327,6 +347,17 @@ object LlmQueries {
         |       CAST(length(norm) AS BIGINT) AS norm_len
         |FROM n
         |ORDER BY doc_id""".stripMargin,
+
+    "q_source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(n_tokens * CAST(1000000 AS BIGINT) // total AS BIGINT) AS share_ppm
+        |FROM per, tot
+        |ORDER BY source""".stripMargin,
 
     "q_tfidf_top_terms" ->
       """WITH tok AS (
