@@ -59,12 +59,22 @@ object MlQueries {
     import spark.implicits._
     val (df, nRows) = cacheSized(crimeShaped(spark, dir))
     try {
-      val Array(_, holdout) = df.randomSplit(Array(0.7, 0.3), seed = 0L)
-      val (model, accuracy) = CrimePipeline.trainAndEvaluate(df, schema)
-      val preds = CrimePipeline.score(model, holdout, "event_id", schema)
-      val nPred = preds.select(countDistinct(col("Category"))).as[Long].head()
-      Seq((accuracy, nPred, nRows))
-        .toDF("accuracy", "n_predicted_classes", "n_rows")
+      // one split, one fit, ONE transform of the holdout: the evaluator
+      // (ML6) and the predicted-class count (ML7's decode cardinality)
+      // both read the same cached prediction frame instead of re-running
+      // the pipeline transform + forest scoring per consumer
+      val Array(train, holdout) = df.randomSplit(Array(0.7, 0.3), seed = 0L)
+      val model = CrimePipeline.build(schema).fit(train)
+      val preds = model.transform(holdout)
+        .select(col("label"), col("prediction")).cache()
+      try {
+        val accuracy = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+          .setLabelCol("label").setPredictionCol("prediction")
+          .setMetricName("accuracy").evaluate(preds)
+        val nPred = preds.select(countDistinct(col("prediction"))).as[Long].head()
+        Seq((accuracy, nPred, nRows))
+          .toDF("accuracy", "n_predicted_classes", "n_rows")
+      } finally preds.unpersist(blocking = false)
     } finally df.unpersist(blocking = false)
   }
 
