@@ -43,7 +43,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val nx = xs.numElements()
     val ny = ys.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < nx && j < ny) {
+    // array_sort places null elements last, so the first null ends the
+    // merge; null slots never count as matches (getLong on a null slot
+    // would otherwise read an undefined 0)
+    while (i < nx && j < ny && !xs.isNullAt(i) && !ys.isNullAt(j)) {
       val x = xs.getLong(i)
       val y = ys.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
@@ -63,7 +66,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
          |int $i = 0, $j = 0, $c = 0;
-         |while ($i < $nx && $j < $ny) {
+         |while ($i < $nx && $j < $ny &&
+         |       !$a.isNullAt($i) && !$b.isNullAt($j)) {
          |  long $x = $a.getLong($i);
          |  long $y = $b.getLong($j);
          |  if ($x == $y) { $c++; $i++; $j++; }

@@ -125,6 +125,8 @@ object Dedup {
     // h bands, so a pair within maxHamming shares a band only if
     // maxHamming < bands. bands <= 0 → auto-derive the smallest divisor of
     // 64 that preserves full recall; an explicit lossy value is an error.
+    require(maxHamming < 64, s"maxHamming=$maxHamming: 64-bit signatures " +
+      "cannot guarantee recall past hamming 63")
     val b = if (bands > 0) bands
             else Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).get
     require(64 % b == 0, "bands must divide 64")

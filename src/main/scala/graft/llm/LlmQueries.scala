@@ -162,8 +162,13 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextStats.tokenCount(col("text"))).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).as("total"))
+    // the ×1e6 product goes through DECIMAL: at real corpus scale (~2e13
+    // tokens per source at 100 TB) a BIGINT product would overflow — an
+    // ANSI runtime error, not a wrap — while DECIMAL(38,0) has 18 orders
+    // of headroom; DIV brings the exact quotient back to BIGINT
     per.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("n_tokens * CAST(1000000 AS BIGINT) DIV total"))
+      .withColumn("share_ppm",
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 1000000 DIV total"))
       .select("source", "n_docs", "n_tokens", "share_ppm")
       .orderBy("source")
   }
@@ -355,7 +360,7 @@ object LlmQueries {
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
         |SELECT source, n_docs, n_tokens,
-        |  CAST(n_tokens * CAST(1000000 AS BIGINT) // total AS BIGINT) AS share_ppm
+        |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total AS BIGINT) AS share_ppm
         |FROM per, tot
         |ORDER BY source""".stripMargin,
 

@@ -97,11 +97,12 @@ object CrimePipeline {
     (model, evaluator.evaluate(model.transform(test)))
   }
 
-  /** ML7 (crime.py:200-206): submission-style (Id, Category) frame, with
-    * the predicted label decoded back to its string form.
+  /** The label-decode column of ML7: predicted index back to its string
+    * form, usable on any frame that already carries `prediction` (so a
+    * cached transform can be scored without re-running the pipeline).
     */
-  def score(model: PipelineModel, df: DataFrame, idCol: String,
-            schema: Schema): DataFrame = {
+  def decodePrediction(model: PipelineModel, schema: Schema)
+      : org.apache.spark.sql.Column = {
     val labels = model.stages.collectFirst {
       case m: org.apache.spark.ml.feature.StringIndexerModel
         if m.getInputCol == schema.labelCol => m.labelsArray(0)
@@ -110,7 +111,15 @@ object CrimePipeline {
     // a prediction can only land there if such rows were trained on
     val decode = udf((i: Double) =>
       if (i.toInt < labels.length) labels(i.toInt) else "__unseen__")
-    model.transform(df)
-      .select(col(idCol).as("Id"), decode(col("prediction")).as("Category"))
+    decode(col("prediction"))
   }
+
+  /** ML7 (crime.py:200-206): submission-style (Id, Category) frame, with
+    * the predicted label decoded back to its string form.
+    */
+  def score(model: PipelineModel, df: DataFrame, idCol: String,
+            schema: Schema): DataFrame =
+    model.transform(df)
+      .select(col(idCol).as("Id"),
+        decodePrediction(model, schema).as("Category"))
 }

@@ -40,30 +40,37 @@ object MlQueries {
     * more per-iteration scheduling than compute. ~16k rows per partition
     * keeps tasks meaningful at any scale; never expands partition count.
     */
-  private def cacheSized(df: DataFrame): (DataFrame, Long) = {
-    val n = df.count()
-    val parts = math.max(1, math.min(
-      df.rdd.getNumPartitions, (n / 16384 + 1).toInt))
-    val sized = df.coalesce(parts).cache()
-    (sized, n)
+  private final class Sized(val frame: DataFrame, val rows: Long,
+                            base: DataFrame) {
+    def release(): Unit = base.unpersist(blocking = false)
   }
 
-  /** Full ML1–ML7 run: one summary row (holdout accuracy + class count).
-    * Scoring runs on the holdout split — the submission-frame op (ML7) on
-    * data the model hasn't seen, without re-transforming the training 70%.
-    * All fits and metrics are computed eagerly against a cached,
-    * right-sized input, so the returned frame holds plain values and the
-    * cache can be dropped before returning.
+  private def cacheSized(df: DataFrame): Sized = {
+    // cache BEFORE the sizing count so the source pipeline is computed
+    // exactly once; the coalesce on top reuses the InMemoryRelation.
+    // release() unpersists via the CACHED plan — unpersisting the
+    // coalesced view would miss the cache entry.
+    val cached = df.cache()
+    val n = cached.count()
+    val parts = math.max(1, math.min(
+      cached.rdd.getNumPartitions, (n / 16384 + 1).toInt))
+    new Sized(cached.coalesce(parts), n, cached)
+  }
+
+  /** Full ML1–ML7 run: one summary row (holdout accuracy + decoded class
+    * count). One split, one fit, ONE transform of the holdout: the
+    * evaluator (ML6) and the decoded submission labels (ML7) both read the
+    * same cached prediction frame instead of re-running the pipeline
+    * transform + forest scoring per consumer. All metrics are computed
+    * eagerly against cached, right-sized inputs, so the returned frame
+    * holds plain values and the caches drop before returning.
     */
   def mlPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (df, nRows) = cacheSized(crimeShaped(spark, dir))
+    val sized = cacheSized(crimeShaped(spark, dir))
     try {
-      // one split, one fit, ONE transform of the holdout: the evaluator
-      // (ML6) and the predicted-class count (ML7's decode cardinality)
-      // both read the same cached prediction frame instead of re-running
-      // the pipeline transform + forest scoring per consumer
-      val Array(train, holdout) = df.randomSplit(Array(0.7, 0.3), seed = 0L)
+      val Array(train, holdout) =
+        sized.frame.randomSplit(Array(0.7, 0.3), seed = 0L)
       val model = CrimePipeline.build(schema).fit(train)
       val preds = model.transform(holdout)
         .select(col("label"), col("prediction")).cache()
@@ -71,11 +78,15 @@ object MlQueries {
         val accuracy = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
           .setLabelCol("label").setPredictionCol("prediction")
           .setMetricName("accuracy").evaluate(preds)
-        val nPred = preds.select(countDistinct(col("prediction"))).as[Long].head()
-        Seq((accuracy, nPred, nRows))
+        // ML7's decode path (prediction index → Category string) on the
+        // same cached predictions the evaluator read
+        val nPred = preds
+          .select(CrimePipeline.decodePrediction(model, schema).as("Category"))
+          .agg(countDistinct(col("Category"))).as[Long].head()
+        Seq((accuracy, nPred, sized.rows))
           .toDF("accuracy", "n_predicted_classes", "n_rows")
       } finally preds.unpersist(blocking = false)
-    } finally df.unpersist(blocking = false)
+    } finally sized.release()
   }
 
   /** ML2+ML3 alone (crime.py:132-137): scale lon/lat, KMeans k=10 seed=0,
@@ -86,12 +97,13 @@ object MlQueries {
     val geo = crimeShaped(spark, dir).select("event_id", "X", "Y")
     val assembled = new VectorAssembler()
       .setInputCols(Array("X", "Y")).setOutputCol("geo_raw").transform(geo)
-    val (scaled, _) = cacheSized(new StandardScaler()
+    val sized = cacheSized(new StandardScaler()
       .setInputCol("geo_raw").setOutputCol("geo_scaled")
       .setWithMean(true).setWithStd(true)
       .fit(assembled).transform(assembled)
       .select("event_id", "geo_scaled"))
     try {
+      val scaled = sized.frame
       val clustered = new KMeans()
         .setK(10).setSeed(0L).setFeaturesCol("geo_scaled").setPredictionCol("cluster")
         .fit(scaled).transform(scaled)
@@ -100,7 +112,7 @@ object MlQueries {
         .orderBy(desc("size"), asc("cluster"))
         .select("size").as[Long].collect().toSeq
       sizes.toDF("size") // sizes only: cluster ids aren't comparable across impls
-    } finally scaled.unpersist(blocking = false)
+    } finally sized.release()
   }
 
   /** M-estimate target encoding of order priority against order value —

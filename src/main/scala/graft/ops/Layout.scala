@@ -74,9 +74,13 @@ object Layout {
                    a: Column, aLo: Double, aHi: Double,
                    b: Column, bLo: Double, bHi: Double): DataFrame = {
     val key = mortonKey(quantize16(a, aLo, aHi), quantize16(b, bLo, bHi))
-    df.withColumn("__z", key)
-      .repartitionByRange(n, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // collision-proof scratch name: withColumn would silently REPLACE a
+    // caller's same-named column and drop() would then delete their data
+    val zCol = Iterator.from(0).map(i => s"__graft_z$i")
+      .find(c => !df.columns.contains(c)).get
+    df.withColumn(zCol, key)
+      .repartitionByRange(n, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
   }
 }

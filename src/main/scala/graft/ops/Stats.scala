@@ -22,24 +22,31 @@ object Stats {
   def corrMatrix(df: DataFrame, cols: Seq[String], roundTo: Int = 6): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val upper = for { i <- cols.indices; j <- i until cols.length }
+    val upper = for { i <- cols.indices; j <- i + 1 until cols.length }
       yield (i, j)
     // NOT the corr() aggregate: under ANSI mode (Spark 4 default) its
     // final ck/sqrt(xMk·yMk) division raises DIVIDE_BY_ZERO on a
     // zero-variance column, where pandas/numpy yield NaN. Build the same
     // value from covar_samp/stddev_samp co-moments with a guarded divide —
-    // still one whole-stage-codegen aggregation pass.
+    // still one whole-stage-codegen aggregation pass. The diagonal needs
+    // no aggregate at all: corr(x,x) is 1 (NaN for zero variance).
     val aggs = cols.indices.map(i => stddev_samp(col(cols(i))).as(s"s_$i")) ++
       upper.map { case (i, j) =>
         covar_samp(col(cols(i)), col(cols(j))).as(s"cv_${i}_$j")
       }
+    val diag = cols.indices.map { i =>
+      when(col(s"s_$i") === 0.0 || col(s"s_$i").isNull, lit(Double.NaN))
+        .otherwise(lit(1.0)).as(s"c_${i}_$i")
+    }
     val ratios = upper.map { case (i, j) =>
       val denom = col(s"s_$i") * col(s"s_$j")
       when(denom === 0.0 || denom.isNull, lit(Double.NaN))
         .otherwise(col(s"cv_${i}_$j") / denom).as(s"c_${i}_$j")
     }
-    val rowVals = df.agg(aggs.head, aggs.tail: _*).select(ratios: _*).head()
-    val byPair = upper.zipWithIndex.map { case ((i, j), idx) =>
+    val rowVals = df.agg(aggs.head, aggs.tail: _*)
+      .select(diag ++ ratios: _*).head()
+    val pairs = cols.indices.map(i => (i, i)) ++ upper
+    val byPair = pairs.zipWithIndex.map { case ((i, j), idx) =>
       val v = if (rowVals.isNullAt(idx)) Double.NaN else rowVals.getDouble(idx)
       (i, j) -> v
     }.toMap

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 class PlanSpec extends AnyFunSuite {
   lazy val spark = GraftTestSpark.spark
-  val sf = "/root/testdata/sf0.001"
+  val sf = GraftTestSpark.sfDir
 
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
@@ -70,9 +70,16 @@ class PlanSpec extends AnyFunSuite {
     val df = emb.select(graft.functions.ArrayMath.dot(
       col("embedding"), col("embedding")).as("d"))
     assert(plan(df).contains("*(1) Project"), plan(df))
+    // non-foldable inputs: all-literal arrays would be constant-folded
+    // away on the driver and the assertion would test nothing (and HOFs
+    // like transform() are CodegenFallback, which would break the span
+    // for reasons unrelated to the expression under test)
+    val h = xxhash64(col("vec_id"))
     val si = emb.select(graft.functions.SetMath.sortedIntersectCount(
-      array(lit(1L)), array(lit(1L))).as("c"))
-    assert(plan(si).contains("*(1) Project"), plan(si))
+      array(h), array(h, h)).as("c"))
+    val sp = plan(si)
+    assert(sp.contains("*(1) Project") && sp.contains("sortedintersectcount"),
+      sp)
   }
 
   test("exact dedup shuffles 16-byte fingerprints, not document text") {
