@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, SimHash64, SortedIntersectCount}
 
 /** SparkSessionExtensions module: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -38,11 +38,17 @@ object GraftExtensions {
   val sortedIntersectBuilder: Seq[Expression] => Expression =
     binary("graft_sorted_intersect_count", SortedIntersectCount.apply)
 
+  val simhashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_simhash64 takes exactly 1 argument")
+    SimHash64(children.head)
+  }
+
   /** Every custom expression exposed to SQL: (name, class, builder). */
   val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_dot", classOf[DotProduct], dotBuilder),
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
-      sortedIntersectBuilder))
+      sortedIntersectBuilder),
+    ("graft_simhash64", classOf[SimHash64], simhashBuilder))
 
   /** Register on an already-built session (extensions only apply at
     * builder time; this is the runtime-attach form, e.g. for tests and

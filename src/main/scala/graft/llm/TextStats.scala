@@ -151,7 +151,15 @@ object TextStats {
     * bit b is set iff more than half the tokens have bit b set. Pure
     * higher-order-function expression — no UDF, no shuffle.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.TextHash.simhash64(tokens(text))
+
+  /** The declarative HOF formulation of [[simhash64]] — 64 interpreted
+    * `filter` passes per document (HOFs are CodegenFallback), kept as the
+    * reference implementation the codegen'd Expression is asserted
+    * bit-identical to in TextStatsSpec.
+    */
+  def simhash64Hof(text: Column): Column = {
     val hs = transform(tokens(text), t => xxhash64(t))
     val n = size(hs)
     (0 until 64).map { b =>

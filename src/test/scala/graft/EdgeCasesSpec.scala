@@ -111,4 +111,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     val out = Similarity.knnBruteForce(tiny, tiny.filter($"vec_id" === 0), k = 10)
     assert(out.count() == 2) // self excluded, only 2 neighbors exist
   }
+
+  test("tfidf and funnel are empty-frame safe") {
+    import org.apache.spark.sql.types._
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    assert(TextStats.tfidfTopTerms(emptyDocs, k = 3).count() == 0)
+    val emptyEvents = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("ts", TimestampType))))
+    val funnel = graft.ops.Funnel.conversionCounts(
+      emptyEvents, Seq("view", "click"))
+    // step rows still exist; every count is zero
+    assert(funnel.collect().map(_.getLong(2)).toSeq == Seq(0L, 0L))
+  }
 }

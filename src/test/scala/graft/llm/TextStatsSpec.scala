@@ -99,4 +99,21 @@ class TextStatsSpec extends AnyFunSuite {
     val withNull = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
     assert(withNull.select(sortedIntersectCount(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("codegen'd SimHash64 is bit-identical to the HOF reference form") {
+    val docs = Seq("the quick brown fox", "the quick brown fox",
+      "a", "", "x y z x y z", "der die das und query table scan")
+      .toDF("text")
+    val both = docs.select(
+      TextStats.simhash64(col("text")).as("fast"),
+      TextStats.simhash64Hof(col("text")).as("ref")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"mismatch: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    // and on real corpus text
+    val corpus = spark.read.parquet(graft.GraftTestSpark.sfDir + "/documents.parquet")
+      .limit(50)
+      .select(TextStats.simhash64(col("text")).as("fast"),
+        TextStats.simhash64Hof(col("text")).as("ref")).collect()
+    corpus.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
 }
