@@ -58,16 +58,18 @@ object Dedup {
     // token SET as sorted int64 hashes: one xxhash64 per token per DOC, so
     // the per-PAIR verify below is a primitive merge (SortedIntersectCount)
     // instead of a string hash set per candidate — jaccard is unchanged
-    // (distinct tokens → distinct hashes, collisions ~ |set|²/2⁶⁴)
+    // (distinct tokens → distinct hashes, collisions ~ |set|²/2⁶⁴).
+    // TokenHashSet/MinHashSignature are the codegen'd forms of the
+    // array_sort∘array_distinct∘transform / 24× array_min∘transform HOF
+    // stacks (bit-identical; HOFs run interpreted as CodegenFallback).
     val toks = docs.select(col(idCol).as("id"),
-      array_sort(array_distinct(
-        transform(TextStats.tokens(col(textCol)), t => xxhash64(t)))).as("hset"))
-    val sigCols = (0 until numHashes).map { i =>
-      array_min(transform(col("hset"), h => xxhash64(lit(i), h))).as(s"h$i")
-    }
-    val sigs = toks.select(col("id") +: sigCols: _*)
+      graft.functions.HashFamily.tokenHashSet(
+        TextStats.tokens(col(textCol))).as("hset"))
+    val sigs = toks.select(col("id"),
+      graft.functions.HashFamily.minhashSignature(col("hset"), numHashes)
+        .as("sig"))
     val bandCols = (0 until bands).map { b =>
-      val slice = (b * r until (b + 1) * r).map(i => col(s"h$i"))
+      val slice = (b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1))
       // null text → null signature; xxhash64 skips null children, which
       // would collapse every null-text doc into ONE bucket (silent N²
       // candidate blowup). Null band keys never equi-join instead — same

@@ -91,4 +91,23 @@ class DedupSpec extends AnyFunSuite {
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
+
+  test("TokenHashSet / MinHashSignature are bit-identical to the HOF forms") {
+    val texts = Seq("the quick brown fox", "a a a a", "", "x",
+      "der die das und scan row join merge").toDF("text")
+    val toks = TextStats.tokens(col("text"))
+    val hofHset = array_sort(array_distinct(transform(toks, t => xxhash64(t))))
+    val rows = texts.select(
+      graft.functions.HashFamily.tokenHashSet(toks).as("fast"),
+      hofHset.as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+
+    val hofSig = (0 until 8).map(i =>
+      array_min(transform(col("hset"), h => xxhash64(lit(i), h))))
+    val sigRows = texts.select(hofHset.as("hset"))
+      .select(
+        graft.functions.HashFamily.minhashSignature(col("hset"), 8).as("fast"),
+        array(hofSig: _*).as("ref")).collect()
+    sigRows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
 }
