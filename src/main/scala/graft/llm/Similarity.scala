@@ -182,9 +182,15 @@ object Similarity {
     val unit = corpus.select(col(idCol).as("id"),
       unitNormalize(col(vecCol)).as("u"))
     val bucketCols = projections.zipWithIndex.map { case (g, i) =>
-      floor(
-        aggregate(zip_with(col("u"), typedlit(g.toSeq), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / bucketLength)
+      // DotProduct == aggregate(zip_with(...)) bit-for-bit (same fold
+      // order) but codegen'd — the HOF pair runs interpreted per vector
+      // per hyperplane. DotProduct folds over the common PREFIX of
+      // mismatched lengths, so the wrong-dimension case must null its
+      // projection explicitly (zip_with gave that for free; null band
+      // keys are what keep malformed vectors out of every bucket).
+      floor(when(size(col("u")) === d,
+          dotProduct(col("u"), typedlit(g.toSeq)))
+        .otherwise(lit(null)) / bucketLength)
         .cast("long").as(s"b$i")
     }
     val bucketed = unit.select(col("id") +: col("u") +: bucketCols.toSeq: _*)
