@@ -177,6 +177,44 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation: every node starts as its own component; each round a
+    * node takes the minimum label among itself and its neighbors, until a
+    * round changes nothing. Converges in O(cluster diameter) rounds —
+    * near-dup clusters are shallow (diameter ≤ a few hops), so this is
+    * the standard way to turn pairwise matches into transitive dup
+    * CLUSTERS at corpus scale: each round is one co-partitioned
+    * join + min-aggregation, no driver-side graph. localCheckpoint cuts
+    * the growing lineage so round N doesn't replan rounds 1..N-1.
+    *
+    * Returns (id, component) with component = min id reachable.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("component")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_min"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Exact n-gram (word shingle) Jaccard pairs via inverted-index join:
     * explode distinct shingles, join docs sharing a shingle, count shared,
     * Jaccard = |∩| / (|A|+|B|-|∩|). `maxId` bounds the block — at corpus

@@ -83,6 +83,19 @@ object LlmQueries {
     Similarity.labelCentroids(table(spark, dir, "embeddings"))
       .orderBy("label", "pos")
 
+  /** Transitive near-dup clusters: connected components over the exact
+    * jaccard pair list on the bounded block — oracle-checked against a
+    * DuckDB recursive-CTE closure.
+    */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val nodes = docs.filter(col("doc_id") < 200L)
+      .select(col("doc_id").as("id"))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+      maxId = 200L)
+    Dedup.connectedComponents(nodes, pairs).orderBy("id")
+  }
+
   /** Greedy near-dedup corpus: docs retained after dropping the higher id
     * of every MinHash-detected near-dup pair (rows-only).
     */
@@ -207,6 +220,7 @@ object LlmQueries {
     "q_embedding_norms" -> (embeddingNorms _),
     "q_label_centroids" -> (labelCentroids _),
     "q_near_deduped_docs" -> (nearDedupedDocs _),
+    "q_dup_clusters" -> (dupClusters _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -237,6 +251,26 @@ object LlmQueries {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM sh
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+        |SELECT id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -110,4 +110,16 @@ class DedupSpec extends AnyFunSuite {
         array(hofSig: _*).as("ref")).collect()
     sigRows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
+
+  test("connectedComponents: min label reaches across chains, singletons stay") {
+    val nodes = (1L to 7L).toDF("id")
+    // chain 1-2-3-4-5 (diameter 4 forces multiple rounds), pair 6-7? no:
+    // keep 6 isolated and 7 isolated to check singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L))
+  }
 }
