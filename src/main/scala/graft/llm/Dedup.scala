@@ -191,8 +191,12 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: every round joins it, and without
+    // the checkpoint each round would re-run the (expensive) pair
+    // detection that produced it
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var converged = false
