@@ -66,6 +66,19 @@ object LlmQueries {
         bucketLength = 1.0)
       .orderBy("id_a", "id_b")
 
+  /** Embedding-cosine near-dedup on the bounded block: vectors surviving
+    * after dropping the higher id of every exact cosine pair ≥ 0.3
+    * (oracle-checked; the corpus-scale variant feeds lshCosinePairs in).
+    */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val block = emb.filter(col("vec_id") < 1000L)
+    Similarity.cosineNearDupKeepFirst(block,
+        Similarity.cosinePairsExact(emb, minCosine = 0.3, maxId = 1000L))
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   /** IVF approximate top-k (rows-only scale path; recall asserted vs the
     * brute-force baseline in SimilaritySpec).
     */
@@ -217,6 +230,7 @@ object LlmQueries {
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_ivf_topk" -> (ivfTopK _),
+    "q_embedding_dedup" -> (embeddingDedup _),
     "q_embedding_norms" -> (embeddingNorms _),
     "q_label_centroids" -> (labelCentroids _),
     "q_near_deduped_docs" -> (nearDedupedDocs _),
@@ -308,6 +322,23 @@ object LlmQueries {
         |WHERE round(list_sum(list_transform(range(1, len(a.uv) + 1),
         |    i -> a.uv[i] * b.uv[i])), 6) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embedding_dedup" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+        |  FROM embeddings WHERE vec_id < 1000),
+        |p AS (
+        |  SELECT b.vec_id AS id_b
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |  WHERE round(list_sum(list_transform(range(1, len(a.uv) + 1),
+        |      i -> a.uv[i] * b.uv[i])), 6) >= 0.3)
+        |SELECT e.vec_id, e.label
+        |FROM embeddings e
+        |WHERE e.vec_id < 1000 AND e.vec_id NOT IN (SELECT id_b FROM p)
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q_label_centroids" ->
       """SELECT label, CAST(r.i AS BIGINT) AS pos,

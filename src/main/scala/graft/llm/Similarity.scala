@@ -158,6 +158,20 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "score")
   }
 
+  /** Embedding-cosine near-dedup: retain every vector that is not the
+    * higher id of a pair with cosine ≥ `minCosine` — the embedding-space
+    * analog of [[graft.llm.Dedup.nearDedupKeepFirst]] (semantic dedup:
+    * same content re-encoded, translations, paraphrases). `pairs` is
+    * pluggable so the caller picks the scale path: [[cosinePairsExact]]
+    * on a bounded block (oracle-checkable) or [[lshCosinePairs]] at
+    * corpus scale.
+    */
+  def cosineNearDupKeepFirst(corpus: DataFrame, pairs: DataFrame,
+                             idCol: String = "vec_id"): DataFrame = {
+    val drop = pairs.select(col("id_b").as(idCol)).distinct()
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** LSH-bucketed near-neighbor pairs: seeded random-hyperplane projections
     * quantized into buckets, banded like MinHash (SURVEY §7.2.5 scale
     * path): docs sharing any band of bucket ids become candidates (a

@@ -260,6 +260,20 @@ object RelationalQueries {
       .orderBy("event_type", "rk")
   }
 
+  /** Rolling mean over the last 5 events per user (bounded rows-frame
+    * window): decimal 5-row sums are exact, so mean = sum/5-ish count is
+    * engine-portable without rounding tricks.
+    */
+  def windowRollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-4, 0)
+    table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (sum(dec(col("value"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("rolling_avg"))
+      .orderBy("event_id")
+  }
+
   /** Running total per user over event time (exact decimal prefix sums). */
   def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -359,6 +373,7 @@ object RelationalQueries {
     "q_hourly_events" -> (hourlyEvents _),
     "q_funnel_steps" -> (funnelSteps _),
     "q_upsert_latest" -> (upsertLatest _),
+    "q_window_rolling_avg" -> (windowRollingAvg _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -445,6 +460,15 @@ object RelationalQueries {
         |FROM events
         |GROUP BY hr
         |ORDER BY hr""".stripMargin,
+
+    "q_window_rolling_avg" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |    COUNT(*) OVER w AS rolling_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_upsert_latest" ->
       """SELECT user_id, event_type, event_id, value FROM (
