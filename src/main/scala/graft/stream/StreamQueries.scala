@@ -39,6 +39,38 @@ object StreamQueries {
       .orderBy("batch_id")
   }
 
+  /** A REAL Structured Streaming execution, end to end: the events
+    * parquet read as a file STREAM (Trigger.AvailableNow — process
+    * everything available, then stop, the standard backfill trigger),
+    * tumbling 1-hour windowed counts per event type, memory sink. The
+    * same incremental plan against an unbounded directory is the 100 TB
+    * ingest path; the bounded run makes it batch-verifiable, so the
+    * DuckDB oracle checks the STREAMING result against date_trunc
+    * aggregation.
+    */
+  def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // file streams need an explicit schema; reuse the batch reader's
+    // (with the nanos conf set it reads ts as raw LongType nanos)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source wants a DIRECTORY to watch; narrow it to the
+    // events table with a glob filter
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val counts = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val name = "graft_stream_windowed"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("win_start", "event_type")
+  }
+
   /** Batch sessionization (gap rule 6 h) — the window-function form of
     * [[Sessionize.sessionize]]; the streaming form is covered by the
     * flatMapGroupsWithState spec.
@@ -54,6 +86,7 @@ object StreamQueries {
 
   val all: Map[String, Q] = Map(
     "q_stream_roundtrip" -> (streamRoundtrip _),
+    "q_stream_windowed" -> (streamWindowedCounts _),
     "q_sessions" -> (sessions _)
   )
 
@@ -72,6 +105,13 @@ object StreamQueries {
         |FROM s
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |       count(*) AS n
+        |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q_stream_roundtrip" ->
       """SELECT CAST(event_id // 100 AS BIGINT) AS batch_id,
