@@ -233,6 +233,22 @@ object RelationalQueries {
       .orderBy("l_returnflag", "metric")
 
   /** W1 extension: rank within group — top-5 users per event type. */
+  /** Banded range join: customers × suppliers within ±25.00 account
+    * balance band, bounded block. The banding turns an inequality join (which
+    * Spark plans as a nested loop) into a bin-keyed equi-join.
+    */
+  def rangeJoinBalances(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer").filter(col("c_custkey") < 300L)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val supp = table(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        (col("s_acctbal") - 25.0).as("lo"), (col("s_acctbal") + 25.0).as("hi"))
+    RangeJoin.bandedIntervalJoin(cust, supp, "c_acctbal", "lo", "hi",
+        maxWidth = 50.0)
+      .select("c_custkey", "s_suppkey")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   /** CDC-style compaction: latest row per (user, event_type) key, version
     * order (ts, event_id). The upsert/merge primitive of every snapshot
     * table — one window pass keyed on the merge key, so the shuffle
@@ -374,6 +390,7 @@ object RelationalQueries {
     "q_funnel_steps" -> (funnelSteps _),
     "q_upsert_latest" -> (upsertLatest _),
     "q_window_rolling_avg" -> (windowRollingAvg _),
+    "q_range_join" -> (rangeJoinBalances _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -460,6 +477,14 @@ object RelationalQueries {
         |FROM events
         |GROUP BY hr
         |ORDER BY hr""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal - 25.0
+        | AND c.c_acctbal <= s.s_acctbal + 25.0
+        |WHERE c.c_custkey < 300
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     "q_window_rolling_avg" ->
       """SELECT event_id, user_id,
