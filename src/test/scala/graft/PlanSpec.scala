@@ -93,4 +93,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!partialAgg.contains("text#"),
       s"document text carried into the shuffle:\n$partialAgg")
   }
+
+  test("partition pruning: a partitioned layout skips non-matching directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.table(spark, sf, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .select("event_id", "value")
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter reached the scan:\n$p")
+    // the pruned scan must read only the matching partition's rows
+    val clickRows = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(df.count() == clickRows)
+  }
 }
