@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Runtime bloom pruning for joins — the manual form of Spark's
+  * InjectRuntimeFilter: build a bloom filter over the dimension side's
+  * join keys (one small aggregate), broadcast it, and drop fact rows that
+  * cannot match BEFORE the join's shuffle. False positives only, so the
+  * exact join afterwards keeps the result identical while the shuffle
+  * carries only plausibly-matching rows — at 100 TB this is the
+  * difference between shuffling the whole fact table and shuffling the
+  * few percent that can join.
+  *
+  * Uses Catalyst's own BloomFilterAggregate / BloomFilterMightContain
+  * (the pair behind `spark.sql.optimizer.runtime.bloomFilter`), driven
+  * explicitly so the pruning is part of the declared plan rather than an
+  * optimizer heuristic.
+  */
+object BloomPrune {
+
+  /** Build the bloom filter over `dim`'s keys: one distributed aggregate,
+    * returning the serialized sketch (KBs–MBs, bounded by `expectedItems`,
+    * never by dim's row count). `might_contain` requires a CONSTANT bloom
+    * input, so the sketch is materialized eagerly and embedded as a
+    * binary literal — the same build-then-broadcast shape as an ML fit or
+    * `df.stat.bloomFilter`, and what InjectRuntimeFilter does with a
+    * scalar subquery.
+    */
+  def keyBloomBytes(dim: DataFrame, keyCol: String,
+                    expectedItems: Long = 1000000L): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col(keyCol))),
+      Literal(expectedItems), Literal(expectedItems * 8))
+      .toAggregateExpression()
+    dim.agg(Bridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(<constant bloom>, xxhash64(key))` as a Column. */
+  def mightContain(bloomBytes: Array[Byte], key: Column): Column =
+    Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(xxhash64(key))))
+
+  /** Semi join with bloom pre-pruning: exact result of
+    * `fact SEMI JOIN dim ON factKey = dimKey`, with non-candidates
+    * filtered out before the join shuffle.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
+                    factKey: String, dimKey: String,
+                    expectedItems: Long = 1000000L): DataFrame = {
+    val bloom = keyBloomBytes(dim, dimKey, expectedItems)
+    fact.filter(mightContain(bloom, col(factKey)))
+      .join(dim.select(col(dimKey)), fact(factKey) === col(dimKey), "left_semi")
+  }
+}

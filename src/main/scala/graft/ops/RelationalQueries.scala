@@ -233,6 +233,21 @@ object RelationalQueries {
       .orderBy("l_returnflag", "metric")
 
   /** W1 extension: rank within group — top-5 users per event type. */
+  /** Runtime-bloom-pruned semi join: orders from BUILDING-segment
+    * customers, with non-candidate orders dropped by a broadcast bloom
+    * of the customer keys before the join shuffle. Result identical to
+    * the plain semi join (bloom admits false positives only), which is
+    * exactly what the oracle checks.
+    */
+  def bloomSemiOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    BloomPrune.bloomSemiJoin(table(spark, dir, "orders"), cust,
+        "o_custkey", "c_custkey", expectedItems = 100000L)
+      .select("o_orderkey", "o_custkey")
+      .orderBy("o_orderkey")
+  }
+
   /** Banded range join: customers × suppliers within ±25.00 account
     * balance band, bounded block. The banding turns an inequality join (which
     * Spark plans as a nested loop) into a bin-keyed equi-join.
@@ -391,6 +406,7 @@ object RelationalQueries {
     "q_upsert_latest" -> (upsertLatest _),
     "q_window_rolling_avg" -> (windowRollingAvg _),
     "q_range_join" -> (rangeJoinBalances _),
+    "q_bloom_semi" -> (bloomSemiOrders _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -477,6 +493,13 @@ object RelationalQueries {
         |FROM events
         |GROUP BY hr
         |ORDER BY hr""".stripMargin,
+
+    "q_bloom_semi" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_range_join" ->
       """SELECT c.c_custkey, s.s_suppkey
