@@ -22,10 +22,19 @@ object Tables {
     */
   private def normalizeEventTs(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", eventTsFromNanos)
   }
+
+  /** Raw nanos-since-epoch (the legacy-conf long form of events.`ts`) to
+    * a microsecond TimestampType — the ONE conversion the batch loader
+    * and the file-stream source must share, or their timestamps silently
+    * diverge. Integral `div`, NOT `/`: double division would round the
+    * ~1.8e18 nanos values past the 2⁵³ mantissa.
+    */
+  def eventTsFromNanos: Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr("ts div 1000"))
 
   /** Cast a money-like double column (2 decimal digits by construction) to an
     * exact decimal before aggregating. Summing doubles is order-dependent —

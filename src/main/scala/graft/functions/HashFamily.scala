@@ -129,7 +129,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 object MinHashSignature {
-  /** All per-seed minima in one pass; shared by eval and generated code. */
+  /** All per-seed minima in one pass; shared by eval and generated code.
+    * Null slots are skipped — getLong on a null slot would read an
+    * undefined value and poison every minimum (TokenHashSet output never
+    * contains nulls, but the type check admits nullable arrays).
+    */
   def minima(xs: ArrayData, seeds: Array[Long]): Array[Long] = {
     val m = seeds.length
     val sig = new Array[Long](m)
@@ -137,12 +141,14 @@ object MinHashSignature {
     val n = xs.numElements()
     var i = 0
     while (i < n) {
-      val h = xs.getLong(i)
-      var k = 0
-      while (k < m) {
-        val v = XXH64.hashLong(h, seeds(k))
-        if (v < sig(k)) sig(k) = v
-        k += 1
+      if (!xs.isNullAt(i)) {
+        val h = xs.getLong(i)
+        var k = 0
+        while (k < m) {
+          val v = XXH64.hashLong(h, seeds(k))
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
       }
       i += 1
     }

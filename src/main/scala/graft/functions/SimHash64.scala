@@ -14,11 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * tokens have bit b set in their hash.
   *
   * Bit-identical to the declarative form
-  * `(0 until 64).map(b => filter(transform(toks, xxhash64), ...))` but
-  * that form is 64 interpreted higher-order `filter` passes per document
-  * (HOFs are CodegenFallback): this is a single primitive loop inside
-  * whole-stage codegen. Null token slots match the HOF semantics: they
-  * count toward the majority threshold but never toward a bit.
+  * `(0 until 64).map(b => filter(transform(toks, xxhash64), ...))` on
+  * null-free token arrays — but that form is 64 interpreted higher-order
+  * `filter` passes per document (HOFs are CodegenFallback): this is a
+  * single primitive loop inside whole-stage codegen. Two deliberate
+  * divergences from the HOF form: a NULL input array yields NULL (the
+  * HOF stack yields 0L, silently pairing all null-text docs at hamming
+  * 0), and null token slots count toward the majority denominator but
+  * contribute no bits (the HOF hashes them to the seed). Whitespace
+  * tokenization never produces null slots, so these only matter for
+  * direct callers with hand-built arrays.
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 

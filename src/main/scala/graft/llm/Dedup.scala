@@ -216,6 +216,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a silent non-converged return would hand back split clusters with
+    // intermediate labels; long chains (diameter > maxIter) must fail
+    // loudly so the caller raises maxIter
+    require(converged,
+      s"connected components did not converge within $maxIter rounds " +
+        "(cluster diameter exceeds maxIter)")
     labels
   }
 

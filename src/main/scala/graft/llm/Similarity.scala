@@ -193,17 +193,18 @@ object Similarity {
               .map(_.getInt(0)).getOrElse(1)
     val rng = new scala.util.Random(42L)
     val projections = Array.fill(bands * rowsPerBand, d)(rng.nextGaussian())
+    // one validity check per VECTOR (not per hyperplane): right dimension
+    // and no null elements. DotProduct == aggregate(zip_with(...))
+    // bit-for-bit (same fold order) but codegen'd; unlike zip_with it
+    // folds the common prefix of mismatched lengths and reads null slots
+    // as garbage, so malformed vectors must null their projections
+    // explicitly — null band keys are what keep them out of every bucket.
     val unit = corpus.select(col(idCol).as("id"),
-      unitNormalize(col(vecCol)).as("u"))
+        unitNormalize(col(vecCol)).as("u"))
+      .withColumn("__ok",
+        size(col("u")) === d && !exists(col("u"), x => x.isNull))
     val bucketCols = projections.zipWithIndex.map { case (g, i) =>
-      // DotProduct == aggregate(zip_with(...)) bit-for-bit (same fold
-      // order) but codegen'd — the HOF pair runs interpreted per vector
-      // per hyperplane. DotProduct folds over the common PREFIX of
-      // mismatched lengths, so the wrong-dimension case must null its
-      // projection explicitly (zip_with gave that for free; null band
-      // keys are what keep malformed vectors out of every bucket).
-      floor(when(size(col("u")) === d,
-          dotProduct(col("u"), typedlit(g.toSeq)))
+      floor(when(col("__ok"), dotProduct(col("u"), typedlit(g.toSeq)))
         .otherwise(lit(null)) / bucketLength)
         .cast("long").as(s"b$i")
     }

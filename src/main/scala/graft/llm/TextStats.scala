@@ -157,7 +157,9 @@ object TextStats {
   /** The declarative HOF formulation of [[simhash64]] — 64 interpreted
     * `filter` passes per document (HOFs are CodegenFallback), kept as the
     * reference implementation the codegen'd Expression is asserted
-    * bit-identical to in TextStatsSpec.
+    * bit-identical to in TextStatsSpec (for non-null text; on NULL text
+    * the Expression yields NULL like every other fingerprint here, while
+    * this form yields 0L — see [[graft.functions.SimHash64]]).
     */
   def simhash64Hof(text: Column): Column = {
     val hs = transform(tokens(text), t => xxhash64(t))

@@ -49,13 +49,20 @@ object BloomPrune {
 
   /** Semi join with bloom pre-pruning: exact result of
     * `fact SEMI JOIN dim ON factKey = dimKey`, with non-candidates
-    * filtered out before the join shuffle.
+    * filtered out before the join shuffle. The probe key is cast to the
+    * dim key's type before hashing — xxhash64 is type-sensitive, so an
+    * int fact key probing a bloom built over bigint dim keys would
+    * otherwise miss every true match (the join's own EqualTo coerces,
+    * the hash does not). The dim side is aliased so same-named keys
+    * don't become ambiguous references.
     */
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
                     factKey: String, dimKey: String,
                     expectedItems: Long = 1000000L): DataFrame = {
+    val keyType = dim.schema(dimKey).dataType
     val bloom = keyBloomBytes(dim, dimKey, expectedItems)
-    fact.filter(mightContain(bloom, col(factKey)))
-      .join(dim.select(col(dimKey)), fact(factKey) === col(dimKey), "left_semi")
+    val dimKeys = dim.select(col(dimKey).as("__bloom_dim_key"))
+    fact.filter(mightContain(bloom, col(factKey).cast(keyType)))
+      .join(dimKeys, fact(factKey) === col("__bloom_dim_key"), "left_semi")
   }
 }

@@ -25,14 +25,22 @@ object RangeJoin {
                          valueCol: String, loCol: String, hiCol: String,
                          maxWidth: Double): DataFrame = {
     require(maxWidth > 0, "maxWidth must be positive")
-    val p = points.withColumn("__bin",
+    // same-named columns on both sides would make the joined output
+    // ambiguous on first downstream reference; fail loudly instead
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must not share column names: $shared")
+    val bin = Iterator.from(0).map(i => s"__graft_bin$i")
+      .find(c => !shared.contains(c) && !points.columns.contains(c) &&
+        !intervals.columns.contains(c)).get
+    val p = points.withColumn(bin,
       floor(col(valueCol) / maxWidth).cast("long"))
     val i = intervals
-      .withColumn("__bin",
+      .withColumn(bin,
         explode(sequence(floor(col(loCol) / maxWidth).cast("long"),
           floor(col(hiCol) / maxWidth).cast("long"))))
-    p.join(i, Seq("__bin"))
+    p.join(i, Seq(bin))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
-      .drop("__bin")
+      .drop(bin)
   }
 }

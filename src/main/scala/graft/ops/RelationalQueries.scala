@@ -232,7 +232,6 @@ object RelationalQueries {
       .agg(sum(col("value")).cast("double").as("total"))
       .orderBy("l_returnflag", "metric")
 
-  /** W1 extension: rank within group — top-5 users per event type. */
   /** Runtime-bloom-pruned semi join: orders from BUILDING-segment
     * customers, with non-candidate orders dropped by a broadcast bloom
     * of the customer keys before the join shuffle. Result identical to
@@ -281,6 +280,7 @@ object RelationalQueries {
       .orderBy("user_id", "event_type")
   }
 
+  /** W1 extension: rank within group — top-5 users per event type. */
   def windowTopUsers(spark: SparkSession, dir: String): DataFrame = {
     val counts = table(spark, dir, "events")
       .groupBy("event_type", "user_id")

@@ -95,18 +95,24 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("partition pruning: a partitioned layout skips non-matching directories") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
-    Tables.table(spark, sf, "events")
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-    val df = spark.read.parquet(dir)
-      .filter(col("event_type") === "click")
-      .select("event_id", "value")
-    val p = plan(df)
-    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
-      s"no partition filter reached the scan:\n$p")
-    // the pruned scan must read only the matching partition's rows
-    val clickRows = Tables.table(spark, sf, "events")
-      .filter(col("event_type") === "click").count()
-    assert(df.count() == clickRows)
+    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+    try {
+      Tables.table(spark, sf, "events")
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir.toString)
+      val df = spark.read.parquet(dir.toString)
+        .filter(col("event_type") === "click")
+        .select("event_id", "value")
+      val p = plan(df)
+      assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+        s"no partition filter reached the scan:\n$p")
+      // the pruned scan must read only the matching partition's rows
+      val clickRows = Tables.table(spark, sf, "events")
+        .filter(col("event_type") === "click").count()
+      assert(df.count() == clickRows)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
