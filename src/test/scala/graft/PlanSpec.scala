@@ -94,6 +94,14 @@ class PlanSpec extends AnyFunSuite {
       s"document text carried into the shuffle:\n$partialAgg")
   }
 
+  test("ranked-window top-k gets the WindowGroupLimit pushdown") {
+    // rank()<=k filters should plan a per-partition group limit BEFORE
+    // the full window sort (Spark's InferWindowGroupLimit); losing it
+    // means every group's full history flows through the window exchange
+    val p = plan(graft.ops.RelationalQueries.windowTopUsers(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+  }
+
   test("partition pruning: a partitioned layout skips non-matching directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part")
     try {
