@@ -232,6 +232,25 @@ object RelationalQueries {
       .agg(sum(col("value")).cast("double").as("total"))
       .orderBy("l_returnflag", "metric")
 
+  /** S1 as a harness query: the orders table written to CSV (header) and
+    * read back through the explicit-schema scan, then aggregated — the
+    * oracle reads the original PARQUET, so a hash match proves the CSV
+    * sink/scan round-trips every value (doubles via shortest-repr
+    * strings, timestamps as ISO UTC, quoted strings) bit-exactly.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_csv_orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    val back = graft.sources.Sources.csv(spark, path, orders.schema)
+    back.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Runtime-bloom-pruned semi join: orders from BUILDING-segment
     * customers, with non-candidate orders dropped by a broadcast bloom
     * of the customer keys before the join shuffle. Result identical to
@@ -407,6 +426,7 @@ object RelationalQueries {
     "q_window_rolling_avg" -> (windowRollingAvg _),
     "q_range_join" -> (rangeJoinBalances _),
     "q_bloom_semi" -> (bloomSemiOrders _),
+    "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -493,6 +513,13 @@ object RelationalQueries {
         |FROM events
         |GROUP BY hr
         |ORDER BY hr""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "q_bloom_semi" ->
       """SELECT o_orderkey, o_custkey
