@@ -75,8 +75,12 @@ object Multimodal {
     * same mapPartitions batch shape as [[decodeFeatures]].
     */
   def frameFeatures(spark: SparkSession, docs: DataFrame,
-                    frameBytes: Int = 64, stride: Int = 2,
+                    frameBytes: Int = 16, stride: Int = 2,
                     partitions: Int = 32): DataFrame = {
+    // defaults matter: the 64×64 resize emits a 64-byte buffer, so
+    // frameBytes=16 yields 4 chunks and stride 2 keeps frames 0 and 2 —
+    // frameBytes=64 would collapse to one frame and make stride dead
+    // code in the harness query
     import spark.implicits._
     withBinaryPayload(docs)
       .select(col("doc_id"), col("payload"))

@@ -58,9 +58,11 @@ object Stages {
     */
   def crossValidate(df: DataFrame, schema: CrimePipeline.Schema,
                     numFolds: Int = 3): (org.apache.spark.ml.Model[_], Double) = {
-    val pipeline = CrimePipeline.build(schema)
-    val rf = pipeline.getStages.last
-      .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassifier]
+    // construct the classifier directly instead of downcasting
+    // pipeline.getStages.last — build()'s classifier is documented as
+    // pluggable, so a positional cast would break on the next swap
+    val rf = CrimePipeline.defaultClassifier
+    val pipeline = CrimePipeline.build(schema, rf)
     val grid = new ParamGridBuilder()
       .addGrid(rf.maxDepth, Array(5, 10))
       .build()
@@ -75,17 +77,24 @@ object Stages {
     (model.bestModel, model.avgMetrics.max)
   }
 
-  /** Univariate feature selection (crime.py:25 mutual_info_regression
-    * import): keep the `k` features most associated with the label —
-    * MLlib's UnivariateFeatureSelector with f-classification scoring.
+  /** Univariate feature selection — the role of the reference's
+    * mutual_info_regression import (crime.py:25), filled with the scoring
+    * MLlib actually ships: UnivariateFeatureSelector's ANOVA F-test
+    * (f_classif) by default, since MLlib has no mutual-information
+    * scorer. `labelType` must match the label: "categorical" (default,
+    * classification-style F-test) or "continuous" (regression F-test) —
+    * a continuous label left as "categorical" would treat every distinct
+    * value as a class.
     */
   def selectFeatures(df: DataFrame, featureCols: Seq[String],
-                     labelCol: String, k: Int): DataFrame = {
+                     labelCol: String, k: Int,
+                     labelType: String = "categorical",
+                     featureType: String = "continuous"): DataFrame = {
     val assembled = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("__f").transform(df)
     new org.apache.spark.ml.feature.UnivariateFeatureSelector()
       .setFeaturesCol("__f").setLabelCol(labelCol).setOutputCol("selected")
-      .setFeatureType("continuous").setLabelType("categorical")
+      .setFeatureType(featureType).setLabelType(labelType)
       .setSelectionMode("numTopFeatures").setSelectionThreshold(k)
       .fit(assembled).transform(assembled)
       .drop("__f")

@@ -22,9 +22,13 @@ object TargetEncode {
     // per-category sums stay DECIMAL so the derived global mean is the
     // exact sum-of-sums — one scan instead of two, and still bit-equal to
     // the oracle's direct decimal total (summing per-category doubles
-    // instead would reintroduce merge-order noise)
+    // instead would reintroduce merge-order noise). Scale (28,10) rather
+    // than the money default (18,2): this is a GENERIC target column, and
+    // a 2-decimal cast would round a small-valued target (a rate, a
+    // probability) to zero before summing.
     val perCat = df.groupBy(col(catCol))
-      .agg(count(lit(1)).as("n"), sum(dec(col(targetCol))).as("s_dec"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col(targetCol), 28, 10)).as("s_dec"))
     val global = perCat.agg(
       (sum(col("s_dec")).cast("double") / sum(col("n"))).as("gmean"))
     perCat.crossJoin(broadcast(global))

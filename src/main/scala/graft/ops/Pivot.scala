@@ -19,7 +19,10 @@ object Pivot {
     */
   def pivotCount(df: DataFrame, rowKey: String, colKey: String,
                  colValues: Seq[String]): DataFrame =
-    df.groupBy(rowKey).pivot(colKey, colValues).count().na.fill(0L)
+    // fill ONLY the pivot cells: an unscoped fill would also rewrite a
+    // null group key to 0 when rowKey is numeric (a spurious key-0 row)
+    df.groupBy(rowKey).pivot(colKey, colValues).count()
+      .na.fill(0L, colValues)
 
   /** A4 (crime.py:74): reindex the pivot by ranked row totals — the
     * reference reorders pivot rows by the A1/A2 count ranking; here the
@@ -29,7 +32,9 @@ object Pivot {
   def pivotCountRanked(df: DataFrame, rowKey: String, colKey: String,
                        colValues: Seq[String]): DataFrame = {
     val p = pivotCount(df, rowKey, colKey, colValues)
-    val total = colValues.map(col).reduce(_ + _)
+    // backtick-quote: pivot values are literal column NAMES, and a bare
+    // col("ST. ANN") would parse the dot as struct-field access
+    val total = colValues.map(v => col(s"`$v`")).reduce(_ + _)
     p.withColumn("row_total", total)
       .orderBy(desc("row_total"), asc(rowKey))
   }

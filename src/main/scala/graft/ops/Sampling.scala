@@ -31,6 +31,13 @@ object Sampling {
     * depends on partitioning — the same row lands in the same split on
     * any cluster layout, any engine run, forever. That stability is what
     * makes train/test membership auditable in a long-lived corpus.
+    *
+    * Null ids: xxhash64 skips null children, so every null-id row hashes
+    * to the same (salt-only) bucket and the whole null population lands
+    * on ONE side of the split. That is inherent to any deterministic
+    * id-keyed assignment — null carries no identity to split on — so
+    * completeness and disjointness hold, but the train ratio does not,
+    * for null ids. Assign real ids upstream if nulls must be sampled.
     */
   def hashBucket(idCol: Column, salt: Long = 0L): Column =
     pmod(xxhash64(idCol, lit(salt)), lit(100L))
