@@ -48,4 +48,38 @@ class SessionizeSpec extends AnyFunSuite {
         s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming sessionize: in-gap out-of-order merges, beyond-gap straggler closes alone") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val withWm = mem.toDS()
+      .withColumn("ts", col("ts")).withWatermark("ts", "48 hours")
+      .as[SessionEvent]
+    val sessions = Sessionize.sessionizeStream(withWm, gapSeconds = 3600L)
+    val q = sessions.writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData(SessionEvent(9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // out-of-order but within the gap of session start: merges and
+      // EXTENDS the session backwards (start moves to 11:30)
+      mem.addData(SessionEvent(9L, Timestamp.valueOf("2024-01-01 11:30:00")))
+      q.processAllAvailable()
+      // older than start - gap: cannot merge, closes immediately alone
+      mem.addData(SessionEvent(9L, Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val straggler = spark.table("sess_ooo").as[ClosedSession].collect()
+      assert(straggler.count(s => s.n_events == 1 && s.duration_s == 0L) == 1,
+        s"got ${straggler.toSeq}")
+      // close the merged session via a far-future watermark push
+      mem.addData(SessionEvent(9L, Timestamp.valueOf("2024-01-10 00:00:00")))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(9L, Timestamp.valueOf("2024-01-20 00:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ooo").as[ClosedSession].collect()
+      // the merged session spans 11:30-12:00 = 1800 s with 2 events
+      assert(rows.exists(s => s.n_events == 2 && s.duration_s == 1800L),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
 }
