@@ -251,6 +251,23 @@ object RelationalQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** S1 companion for JSON-lines: same round-trip proof as
+    * [[csvRoundtrip]] through the newline-delimited-JSON sink/scan (the
+    * producer-side format of the reference's streaming path).
+    */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_json_customer_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    cust.write.mode("overwrite").json(path)
+    val back = graft.sources.Sources.jsonLines(spark, path, cust.schema)
+    back.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("c_acctbal"))).cast("double").as("bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Runtime-bloom-pruned semi join: orders from BUILDING-segment
     * customers, with non-candidate orders dropped by a broadcast bloom
     * of the customer keys before the join shuffle. Result identical to
@@ -427,6 +444,7 @@ object RelationalQueries {
     "q_range_join" -> (rangeJoinBalances _),
     "q_bloom_semi" -> (bloomSemiOrders _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
+    "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -513,6 +531,13 @@ object RelationalQueries {
         |FROM events
         |GROUP BY hr
         |ORDER BY hr""".stripMargin,
+
+    "q_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
