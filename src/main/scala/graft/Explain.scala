@@ -6,10 +6,19 @@ import org.apache.spark.sql.SparkSession
   * be reviewed. Usage: runMain graft.Explain <sfDir> [query...]
   */
 object Explain {
+  /** Queries whose CONSTRUCTORS execute work (model fits, eager writes,
+    * streaming runs, driver-side aggregates) — a plan dump should not run
+    * them unless the user names one explicitly.
+    */
+  val eagerQueries: Set[String] = Set(
+    "q_ml_pipeline", "q_ml_cluster_sizes", "q_dup_clusters",
+    "q_stream_windowed", "q_csv_roundtrip", "q_json_roundtrip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
+                  .filterNot(eagerQueries)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+      f.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any stale result FIRST: if this query now fails, a leftover
+      // parquet from a previous run must not pass the compare as green
+      deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

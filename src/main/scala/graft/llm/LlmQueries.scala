@@ -152,8 +152,14 @@ object LlmQueries {
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
+      // hoist tokenization into its own projection: the score references
+      // the token array three times, and inlined HOFs would re-split the
+      // document three times per row (no subexpression elimination in
+      // interpreted HOF trees)
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"),
+        col("n_chars"))
       .select(col("doc_id"),
-        TextStats.qualityScoreMicro(col("text"), col("n_chars"))
+        TextStats.qualityScoreMicroFromTokens(col("__toks"), col("n_chars"))
           .as("quality_micro"))
       .orderBy("doc_id")
 

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for a training-data pipeline (SURVEY.md §7.2.5):
   * token counting, language-ID heuristics, quality scoring, fingerprinting.
   *
-  * All column-level expressions built from codegen'd higher-order functions —
-  * no UDFs — so they vectorize inside whole-stage codegen and scale linearly
-  * with no shuffle: the entire family is embarrassingly parallel over
-  * documents, which is exactly what a 100 TB corpus pass needs.
+  * All column-level expressions, no UDFs, no shuffle: the family is
+  * embarrassingly parallel over documents, which is what a 100 TB corpus
+  * pass needs. Note the higher-order functions here (transform/filter/
+  * aggregate) are CodegenFallback — evaluated per row interpreted, not
+  * inside whole-stage codegen; the per-row-HOT paths have codegen'd
+  * custom Expressions instead ([[graft.functions.SimHash64]],
+  * [[graft.functions.TokenHashSet]], [[graft.functions.MinHashSignature]]),
+  * each asserted bit-identical to its HOF reference form here.
   */
 object TextStats {
 
@@ -93,11 +97,21 @@ object TextStats {
     * true-value rounding in DuckDB breaks exact decimal ties like
     * 0.5011125 — doc_id 7 at sf0.1). Integer arithmetic has no ties.
     */
-  def qualityScoreMicro(text: Column, nChars: Column): Column = {
-    val t = tokenCount(text)
-    val h = size(filter(tokens(text),
+  def qualityScoreMicro(text: Column, nChars: Column): Column =
+    qualityScoreMicroFromTokens(tokens(text), nChars)
+
+  /** [[qualityScoreMicro]] over an already-tokenized column. Use this with
+    * the token array hoisted into its own projection when scoring at
+    * corpus scale: the score references the array three times (count,
+    * stopword hits, distinct), and HOFs are interpreted with no
+    * subexpression elimination, so an inline `tokens(text)` would
+    * re-split every document three times.
+    */
+  def qualityScoreMicroFromTokens(toks: Column, nChars: Column): Column = {
+    val t = size(toks).cast("bigint")
+    val h = size(filter(toks,
       w => w.isInCollection(langMarkers.values.flatten.toSeq))).cast("bigint")
-    val d = distinctTokenCount(text)
+    val d = size(array_distinct(toks)).cast("bigint")
     val m = least(nChars.cast("bigint"), lit(500L))
     val num = lit(1000000L) * (lit(10L) * m * t + lit(3750L) * (h + d))
     val den = lit(12500L) * t

@@ -154,10 +154,16 @@ object RelationalQueries {
       sum(dec(col("c_acctbal"))).cast("double").as("s"),
       sum(dec(col("c_acctbal")) * dec(col("c_acctbal"))).cast("double").as("ss"),
       count(lit(1)).cast("double").as("n"))
+    // ANSI guard: a single-row or zero-variance input makes a divisor 0,
+    // which is a runtime DIVIDE_BY_ZERO under Spark 4 — degenerate inputs
+    // get NaN (the pandas answer), the live path is the identical formula
+    val sd = sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1))
     cust.crossJoin(broadcast(stats))
       .select(col("c_custkey"),
-        round((col("c_acctbal") - col("s") / col("n")) /
-          sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6)
+        round(
+          when(col("n") <= 1.0, lit(Double.NaN))
+            .otherwise(when(sd === 0.0, lit(Double.NaN))
+              .otherwise((col("c_acctbal") - col("s") / col("n")) / sd)), 6)
           .as("z"))
       .orderBy("c_custkey")
   }
@@ -238,11 +244,20 @@ object RelationalQueries {
     * sink/scan round-trips every value (doubles via shortest-repr
     * strings, timestamps as ISO UTC, quoted strings) bit-exactly.
     */
+  /** Scratch dir for sink round-trips: unique per JVM so concurrent
+    * sessions (Bench + Verify, parallel CI) never overwrite each other's
+    * directory mid-read.
+    */
+  private lazy val roundtripToken =
+    java.util.UUID.randomUUID().toString.take(8)
+  private def roundtripPath(kind: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_${roundtripToken}_" +
+        dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val orders = table(spark, dir, "orders")
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_csv_orders_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    val path = roundtripPath("csv_orders", dir)
     orders.write.mode("overwrite").option("header", "true").csv(path)
     val back = graft.sources.Sources.csv(spark, path, orders.schema)
     back.groupBy("o_orderstatus")
@@ -257,9 +272,7 @@ object RelationalQueries {
     */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val cust = table(spark, dir, "customer")
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_json_customer_${dir.replaceAll("[^a-zA-Z0-9]", "_")}").toString
+    val path = roundtripPath("json_customer", dir)
     cust.write.mode("overwrite").json(path)
     val back = graft.sources.Sources.jsonLines(spark, path, cust.schema)
     back.groupBy("c_mktsegment")

@@ -48,8 +48,14 @@ object TimeSeries {
       require(!left.columns.contains(c),
         s"rightValCol '$c' collides with a left column; alias it first")
     }
+    // the tiebreak keeps its own orderable type (a cast("long") would be
+    // an ANSI runtime error for string ids). With None, right rows that
+    // duplicate (key, ts) have no deterministic winner — pass a tiebreak
+    // whenever duplicates are possible.
+    val tieType = rightTieBreak.map(c => right.schema(c).dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
     val l = left.withColumn("__ts", col(leftTs)).withColumn("__side", lit(0))
-      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__tie", lit(null).cast(tieType))
     // ALL value columns travel in one struct: the running last() then picks
     // the whole most-recent right ROW (even if some of its fields are
     // null), never mixing fields from different right rows — and matching
@@ -57,7 +63,7 @@ object TimeSeries {
     // answer, not a reason to look further back
     val r = right.select(
       col(keyCol), col(rightTs).as("__ts"), lit(1).as("__side"),
-      rightTieBreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tie"),
+      rightTieBreak.map(col).getOrElse(lit(0L)).as("__tie"),
       struct(rightValCols.map(col): _*).as("__r"))
     val lAligned = l.withColumn("__r", lit(null).cast(r.schema("__r").dataType))
     val unioned = lAligned.unionByName(r, allowMissingColumns = true)
