@@ -20,9 +20,11 @@ object Pivot {
   def pivotCount(df: DataFrame, rowKey: String, colKey: String,
                  colValues: Seq[String]): DataFrame =
     // fill ONLY the pivot cells: an unscoped fill would also rewrite a
-    // null group key to 0 when rowKey is numeric (a spurious key-0 row)
+    // null group key to 0 when rowKey is numeric (a spurious key-0 row).
+    // Backtick-quote — pivot values are literal column names, and na.fill
+    // resolves names through the dot-parsing path
     df.groupBy(rowKey).pivot(colKey, colValues).count()
-      .na.fill(0L, colValues)
+      .na.fill(0L, colValues.map(v => s"`$v`"))
 
   /** A4 (crime.py:74): reindex the pivot by ranked row totals — the
     * reference reorders pivot rows by the A1/A2 count ranking; here the

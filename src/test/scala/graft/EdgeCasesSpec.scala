@@ -129,4 +129,45 @@ class EdgeCasesSpec extends AnyFunSuite {
     // step rows still exist; every count is zero
     assert(funnel.collect().map(_.getLong(2)).toSeq == Seq(0L, 0L))
   }
+
+  test("pivot values containing dots resolve via backtick quoting") {
+    val df = Seq(("d1", "ST. ANN"), ("d1", "ST. ANN"), ("d2", "PLAIN"))
+      .toDF("district", "category")
+    val ranked = graft.ops.Pivot.pivotCountRanked(df, "district", "category",
+      Seq("ST. ANN", "PLAIN")).collect()
+    assert(ranked.head.getString(0) == "d1") // 2 events ranks first
+    assert(ranked.map(_.getLong(3)).toSeq == Seq(2L, 1L)) // row totals
+  }
+
+  test("pivot with a numeric row key keeps a null-key group null") {
+    val df = Seq((Some(1L), "A"), (None, "A"), (None, "B"))
+      .toDF("store", "cat")
+    val p = graft.ops.Pivot.pivotCount(df, "store", "cat", Seq("A", "B"))
+    val nullRow = p.filter(col("store").isNull).collect()
+    // the null group survives AS null (not rewritten to store 0)
+    assert(nullRow.length == 1 && nullRow.head.getLong(1) == 1L
+      && nullRow.head.getLong(2) == 1L)
+  }
+
+  test("z-score on degenerate inputs yields NaN, not an ANSI crash") {
+    // all-equal balances: variance 0 -> every z is NaN
+    import org.apache.spark.sql.{functions => F}
+    val stats = Seq((10.0, 10.0)).toDF("a", "b") // dummy to build session
+    val cust = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0))
+      .toDF("c_custkey", "c_acctbal")
+    cust.createOrReplaceTempView("__zs_cust")
+    // reuse the query shape through a tiny local replica of the formula
+    val s = cust.agg(F.sum("c_acctbal").as("s"),
+      F.sum(F.col("c_acctbal") * F.col("c_acctbal")).as("ss"),
+      F.count(F.lit(1)).cast("double").as("n"))
+    val sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) /
+      (F.col("n") - 1))
+    val z = cust.crossJoin(F.broadcast(s))
+      .select(F.when(F.col("n") <= 1.0, F.lit(Double.NaN))
+        .otherwise(F.when(sd === 0.0, F.lit(Double.NaN))
+          .otherwise((F.col("c_acctbal") - F.col("s") / F.col("n")) / sd))
+        .as("z"))
+      .collect().map(_.getDouble(0))
+    assert(z.forall(_.isNaN))
+  }
 }
