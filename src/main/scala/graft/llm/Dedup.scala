@@ -197,32 +197,43 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
-    var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min(col("component")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("n_min"), col("component")))
-            .as("component"))
+    try {
+      var labels = nodes.select(col("id"), col("id").as("component"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).isEmpty
-      labels = next
-      iter += 1
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "v"), "v")
+          .groupBy(col("u").as("id"))
+          .agg(min(col("component")).as("n_min"))
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("n_min"), col("component")))
+              .as("component"))
+          .localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
+          .filter(col("component") =!= col("prev")).isEmpty
+        // round N only ever reads round N-1: drop the superseded round's
+        // checkpoint blocks NOW (after the convergence check, its last
+        // reader) — at corpus scale maxIter retained label frames would
+        // otherwise sit in executor storage until driver GC
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(labels)
+        labels = next
+        iter += 1
+      }
+      // a silent non-converged return would hand back split clusters with
+      // intermediate labels; long chains (diameter > maxIter) must fail
+      // loudly so the caller raises maxIter
+      require(converged,
+        s"connected components did not converge within $maxIter rounds " +
+          "(cluster diameter exceeds maxIter)")
+      labels
+    } finally {
+      // the result frame no longer references the edge list; its blocks
+      // can go even though the returned labels checkpoint stays live
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(edges)
     }
-    // a silent non-converged return would hand back split clusters with
-    // intermediate labels; long chains (diameter > maxIter) must fail
-    // loudly so the caller raises maxIter
-    require(converged,
-      s"connected components did not converge within $maxIter rounds " +
-        "(cluster diameter exceeds maxIter)")
-    labels
   }
 
   /** Exact n-gram (word shingle) Jaccard pairs via inverted-index join:

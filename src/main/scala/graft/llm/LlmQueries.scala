@@ -37,10 +37,25 @@ object LlmQueries {
     Dedup.minhashNearDupPairs(table(spark, dir, "documents"), minJaccard = 0.9)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs on a bounded block (rows-only). */
+  /** SimHash near-dup pairs on a bounded block (rows-only; the all-pairs
+    * verification form — the baseline the banded query below must equal).
+    */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(table(spark, dir, "documents"),
         maxHamming = 12, maxId = 200L)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs through the SCALE path: band the 64-bit
+    * signature into bit-slices, bucket-join on shared slices, verify true
+    * hamming (never N² — the plan that runs at corpus scale). Pigeonhole
+    * makes banding lossless here (bands > maxHamming), so the result is
+    * set-equal to the all-pairs form above — asserted in DedupSpec, and
+    * both queries hash identically under the driver's rows-only check.
+    */
+  def simhashBanded(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(
+        table(spark, dir, "documents").filter(col("doc_id") < 200L),
+        maxHamming = 12)
       .orderBy("id_a", "id_b")
 
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
@@ -117,6 +132,23 @@ object LlmQueries {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Oracle-checked form of keep-first near-dedup: the pair source is the
+    * EXACT Jaccard join on the bounded block (DuckDB can replicate it), so
+    * the keep-first semantics — drop the higher id of every near-dup pair —
+    * get a hash-level proof instead of the rows-only trust the MinHash
+    * variant gets. Same downstream anti-join shape as the scale path.
+    */
+  def nearDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val drop = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+        maxId = 200L)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.filter(col("doc_id") < 200L)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Per-vector L2 norms (exact fold, rounded). */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -168,9 +200,13 @@ object LlmQueries {
     */
   def textNormalize(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
+      // hoist the normalize chain into its own projection (same pattern as
+      // qualityScore above): both output columns read it, and an inlined
+      // copy would run the two regexp_replace passes twice per row
+      .select(col("doc_id"), TextStats.normalize(col("text")).as("__norm"))
       .select(col("doc_id"),
-        TextStats.fingerprint(TextStats.normalize(col("text"))).as("norm_fp"),
-        length(TextStats.normalize(col("text"))).cast("bigint").as("norm_len"))
+        TextStats.fingerprint(col("__norm")).as("norm_fp"),
+        length(col("__norm")).cast("bigint").as("norm_len"))
       .orderBy("doc_id")
 
   /** Content fingerprints: md5 (oracle-checked); SimHash lives in the
@@ -232,6 +268,8 @@ object LlmQueries {
     "q_jaccard_pairs" -> (jaccardPairs _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_pairs" -> (simhashPairs _),
+    "q_simhash_banded" -> (simhashBanded _),
+    "q_near_dedup_exact" -> (nearDedupExact _),
     "q_knn_cosine" -> (knnCosine _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
@@ -271,6 +309,20 @@ object LlmQueries {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_near_dedup_exact" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT b.id AS drop_id
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9)
+        |SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE doc_id < 200 AND doc_id NOT IN (SELECT drop_id FROM p)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dup_clusters" ->
       """WITH RECURSIVE sh AS (

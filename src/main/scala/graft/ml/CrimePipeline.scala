@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel, Estimator}
-import org.apache.spark.ml.classification.{Classifier, RandomForestClassifier}
+import org.apache.spark.ml.classification.{GBTClassifier, OneVsRest, RandomForestClassifier}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
@@ -35,7 +35,7 @@ object CrimePipeline {
     * broadcast-centroid jobs, forest = per-tree distributed training.
     */
   def build(schema: Schema,
-            classifier: Classifier[_, _, _] = defaultClassifier): Pipeline = {
+            classifier: Estimator[_] = defaultClassifier): Pipeline = {
     // handleInvalid=keep: categories absent from the training split map to
     // an extra index instead of failing at scoring time. The reference
     // avoided unseen labels by re-fitting encoders on test data
@@ -85,16 +85,52 @@ object CrimePipeline {
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxDepth(10).setNumTrees(20).setSeed(0L)
 
+  /** ML5 boosted variant: the reference's model IS boosted trees (a
+    * 100-round LightGBM multiclass GBDT, crime.py:171-181). MLlib's
+    * GBTClassifier is binary-only, so the multiclass boosted path is
+    * one-vs-rest over per-class GBTs — k sequential boosted fits, each
+    * itself distributed. Selectable, not default: k× boosting rounds make
+    * it the expensive fidelity option (same tradeoff LightGBM's own
+    * `multiclassova` objective makes vs multinomial softmax).
+    */
+  def ovrGbtClassifier(maxIter: Int = 20, maxDepth: Int = 5): OneVsRest =
+    new OneVsRest()
+      .setClassifier(new GBTClassifier()
+        .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(0L))
+      .setLabelCol("label").setFeaturesCol("features")
+
   /** ML4 + ML6: 70/30 split (seed 0, crime.py:168-169), fit on train only,
     * report holdout accuracy.
     */
   def trainAndEvaluate(df: DataFrame, schema: Schema): (PipelineModel, Double) = {
+    val (model, metrics) = trainAndEvaluateMetrics(df, schema)
+    (model, metrics("accuracy"))
+  }
+
+  /** ML4 + ML6 with the reference's actual training metric alongside:
+    * `multi_logloss` (crime.py:177) next to accuracy, from ONE transform
+    * of the holdout. logLoss needs per-class probabilities; classifiers
+    * that emit none (OneVsRest picks an argmax over per-class margins,
+    * with no joint distribution) report NaN there rather than a fake.
+    */
+  def trainAndEvaluateMetrics(df: DataFrame, schema: Schema,
+                              classifier: Estimator[_] = defaultClassifier)
+      : (PipelineModel, Map[String, Double]) = {
     val Array(train, test) = df.randomSplit(Array(0.7, 0.3), seed = 0L)
-    val model = build(schema).fit(train)
-    val evaluator = new MulticlassClassificationEvaluator()
-      .setLabelCol("label").setPredictionCol("prediction")
-      .setMetricName("accuracy")
-    (model, evaluator.evaluate(model.transform(test)))
+    val model = build(schema, classifier).fit(train)
+    val full = model.transform(test)
+    val hasProb = full.columns.contains("probability")
+    // both evaluators read ONE cached transform of the holdout (narrowed
+    // to the metric columns) instead of re-scoring the model per metric
+    val preds = full.select((col("label") +: col("prediction") +:
+      (if (hasProb) Seq(col("probability")) else Nil)): _*).cache()
+    try {
+      def eval(metric: String) = new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction")
+        .setMetricName(metric).evaluate(preds)
+      val logLoss = if (hasProb) eval("logLoss") else Double.NaN
+      (model, Map("accuracy" -> eval("accuracy"), "logLoss" -> logLoss))
+    } finally preds.unpersist(blocking = false)
   }
 
   /** The label-decode column of ML7: predicted index back to its string
@@ -107,11 +143,16 @@ object CrimePipeline {
       case m: org.apache.spark.ml.feature.StringIndexerModel
         if m.getInputCol == schema.labelCol => m.labelsArray(0)
     }.getOrElse(Array.empty[String])
-    // handleInvalid=keep reserves index numLabels for unseen categories;
-    // a prediction can only land there if such rows were trained on
-    val decode = udf((i: Double) =>
-      if (i.toInt < labels.length) labels(i.toInt) else "__unseen__")
-    decode(col("prediction"))
+    // handleInvalid=keep reserves index numLabels for unseen categories; a
+    // prediction can only land there if such rows were trained on. Pure
+    // codegen'd lookup — element_at over an embedded literal array (the
+    // labels are k strings, never data-sized); the when() guard keeps the
+    // out-of-range branch from ever reaching element_at, which is an
+    // INVALID_ARRAY_INDEX runtime error under ANSI mode.
+    val idx = col("prediction").cast("int")
+    when(idx < labels.length,
+      element_at(typedlit(labels.toSeq), idx + 1))
+      .otherwise(lit("__unseen__"))
   }
 
   /** ML7 (crime.py:200-206): submission-style (Id, Category) frame, with

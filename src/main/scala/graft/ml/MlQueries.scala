@@ -73,18 +73,23 @@ object MlQueries {
         sized.frame.randomSplit(Array(0.7, 0.3), seed = 0L)
       val model = CrimePipeline.build(schema).fit(train)
       val preds = model.transform(holdout)
-        .select(col("label"), col("prediction")).cache()
+        .select(col("label"), col("prediction"), col("probability")).cache()
       try {
-        val accuracy = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
-          .setLabelCol("label").setPredictionCol("prediction")
-          .setMetricName("accuracy").evaluate(preds)
+        def eval(metric: String) =
+          new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+            .setLabelCol("label").setPredictionCol("prediction")
+            .setMetricName(metric).evaluate(preds)
+        // accuracy (ML6) plus the reference's actual training metric,
+        // multi_logloss (crime.py:177), from the same cached predictions
+        val accuracy = eval("accuracy")
+        val logLoss = eval("logLoss")
         // ML7's decode path (prediction index → Category string) on the
         // same cached predictions the evaluator read
         val nPred = preds
           .select(CrimePipeline.decodePrediction(model, schema).as("Category"))
           .agg(countDistinct(col("Category"))).as[Long].head()
-        Seq((accuracy, nPred, sized.rows))
-          .toDF("accuracy", "n_predicted_classes", "n_rows")
+        Seq((accuracy, logLoss, nPred, sized.rows))
+          .toDF("accuracy", "log_loss", "n_predicted_classes", "n_rows")
       } finally preds.unpersist(blocking = false)
     } finally sized.release()
   }

@@ -62,7 +62,12 @@ object BloomPrune {
     val keyType = dim.schema(dimKey).dataType
     val bloom = keyBloomBytes(dim, dimKey, expectedItems)
     val dimKeys = dim.select(col(dimKey).as("__bloom_dim_key"))
-    fact.filter(mightContain(bloom, col(factKey).cast(keyType)))
+    // try_cast, not cast: under ANSI mode a NARROWING probe cast (bigint
+    // fact key vs int dim key) would raise CAST_OVERFLOW on rows the join
+    // itself would just drop. try_cast sends them to null — the probe may
+    // then pass (xxhash64 skips null children), but that's only a bloom
+    // false positive and the exact semi join still drops the row.
+    fact.filter(mightContain(bloom, col(factKey).try_cast(keyType)))
       .join(dimKeys, fact(factKey) === col("__bloom_dim_key"), "left_semi")
   }
 }

@@ -250,10 +250,32 @@ object RelationalQueries {
     */
   private lazy val roundtripToken =
     java.util.UUID.randomUUID().toString.take(8)
-  private def roundtripPath(kind: String, dir: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
+  // every scratch dir this JVM creates is deleted on exit — without the
+  // hook each harness/bench run would leave fresh UUID-named orphans
+  // under tmpdir forever (the UUID that prevents cross-process clobbering
+  // also defeats overwrite-based reuse)
+  private val scratchDirs =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+  private lazy val cleanupHook: Unit = {
+    sys.addShutdownHook {
+      scratchDirs.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }
+    }
+    ()
+  }
+  private def roundtripPath(kind: String, dir: String): String = {
+    cleanupHook
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${kind}_${roundtripToken}_" +
         dir.replaceAll("[^a-zA-Z0-9]", "_")).toString
+    scratchDirs.add(path)
+    path
+  }
 
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val orders = table(spark, dir, "orders")

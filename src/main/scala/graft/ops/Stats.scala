@@ -30,16 +30,26 @@ object Stats {
     // value from covar_samp/stddev_samp co-moments with a guarded divide —
     // still one whole-stage-codegen aggregation pass. The diagonal needs
     // no aggregate at all: corr(x,x) is 1 (NaN for zero variance).
+    //
+    // Pairwise-complete semantics (pandas `.corr()`): every moment for
+    // pair (i,j) — covariance AND both stddevs — is computed over rows
+    // where BOTH columns are non-null. covar_samp skips such rows by
+    // itself; the stddevs must be masked to the same row set, otherwise
+    // the ratio mixes row populations and can land outside [-1, 1].
     val aggs = cols.indices.map(i => stddev_samp(col(cols(i))).as(s"s_$i")) ++
-      upper.map { case (i, j) =>
-        covar_samp(col(cols(i)), col(cols(j))).as(s"cv_${i}_$j")
+      upper.flatMap { case (i, j) =>
+        val x = col(cols(i))
+        val y = col(cols(j))
+        Seq(covar_samp(x, y).as(s"cv_${i}_$j"),
+          stddev_samp(when(y.isNotNull, x)).as(s"sx_${i}_$j"),
+          stddev_samp(when(x.isNotNull, y)).as(s"sy_${i}_$j"))
       }
     val diag = cols.indices.map { i =>
       when(col(s"s_$i") === 0.0 || col(s"s_$i").isNull, lit(Double.NaN))
         .otherwise(lit(1.0)).as(s"c_${i}_$i")
     }
     val ratios = upper.map { case (i, j) =>
-      val denom = col(s"s_$i") * col(s"s_$j")
+      val denom = col(s"sx_${i}_$j") * col(s"sy_${i}_$j")
       when(denom === 0.0 || denom.isNull, lit(Double.NaN))
         .otherwise(col(s"cv_${i}_$j") / denom).as(s"c_${i}_$j")
     }

@@ -79,7 +79,10 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = Dedup.simhashPairs(corpus, maxHamming = 12, maxId = 200)
     val banded = Dedup.simhashNearDupPairs(corpus, maxHamming = 12)
-    assert(pairSet(banded).subsetOf(pairSet(exact)))
+    // auto-banding picks 16 bands > 12 = maxHamming, so recall is total:
+    // the banded SCALE path must equal the all-pairs verification form —
+    // exactly what makes q_simhash_banded and q_simhash_pairs interchangeable
+    assert(pairSet(banded) == pairSet(exact))
     // pigeonhole guarantee: h < 4 bands → at least one 16-bit slice equal
     val exact3 = pairSet(Dedup.simhashPairs(corpus, maxHamming = 3, maxId = 200))
     val banded3 = pairSet(Dedup.simhashNearDupPairs(corpus, maxHamming = 3))

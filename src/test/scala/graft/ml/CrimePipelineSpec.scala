@@ -39,6 +39,28 @@ class CrimePipelineSpec extends AnyFunSuite {
     assert(acc >= 0.8, s"accuracy=$acc")
   }
 
+  test("trainAndEvaluateMetrics reports accuracy AND multi_logloss (ML6)") {
+    val (_, m) = CrimePipeline.trainAndEvaluateMetrics(fixture, schema)
+    assert(m("accuracy") >= 0.8, s"accuracy=${m("accuracy")}")
+    // the reference trains on multi_logloss (crime.py:177); a confident
+    // correct model on separable classes stays well under random guessing
+    // (ln 3 ≈ 1.099 for 3 balanced classes)
+    assert(!m("logLoss").isNaN && m("logLoss") > 0.0, s"logLoss=${m("logLoss")}")
+    assert(m("logLoss") < math.log(3.0), s"logLoss=${m("logLoss")}")
+  }
+
+  test("OneVsRest(GBT) — the boosted ML5 variant — trains and scores") {
+    // genuinely boosted multiclass (per-class GBTs), matching the
+    // reference's LightGBM family; smaller trees/rounds than the default
+    // config keep the k sequential boosted fits test-sized
+    val (_, m) = CrimePipeline.trainAndEvaluateMetrics(fixture, schema,
+      CrimePipeline.ovrGbtClassifier(maxIter = 5, maxDepth = 3))
+    assert(m("accuracy") >= 0.8, s"accuracy=${m("accuracy")}")
+    // OneVsRest emits no joint probability distribution → logLoss is NaN
+    // by contract, never a fabricated number
+    assert(m("logLoss").isNaN)
+  }
+
   test("StringIndexer uses alphabetAsc (sklearn LabelEncoder order)") {
     val df = Seq("zebra", "apple", "apple", "zebra", "zebra", "mango")
       .toDF("Category")

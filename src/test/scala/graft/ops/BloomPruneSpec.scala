@@ -21,6 +21,21 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("narrowing probe cast (bigint fact vs int dim) matches plain semi join") {
+    // fact keys include values far outside int range: under ANSI mode a
+    // plain probe cast would raise CAST_OVERFLOW on them, where the join
+    // itself just drops them — try_cast keeps the two result sets equal
+    val wideFact = ((1L to 50L) ++ Seq(Int.MaxValue + 10L, Long.MaxValue))
+      .toDF("fk")
+    val intDim = (1 to 50 by 5).toDF("dk")
+    val got = BloomPrune.bloomSemiJoin(wideFact, intDim, "fk", "dk",
+        expectedItems = 100L)
+      .select("fk").as[Long].collect().toSet
+    val want = wideFact.join(intDim, col("fk") === col("dk"), "left_semi")
+      .select("fk").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("the bloom filter actually prunes non-candidates before the join") {
     val bloom = BloomPrune.keyBloomBytes(dim, "dk", expectedItems = 1000L)
     val kept = fact.filter(BloomPrune.mightContain(bloom, col("fk")))

@@ -38,6 +38,22 @@ class SkewStatsSpec extends AnyFunSuite {
     assert(m(("l_quantity", "l_discount")) == m(("l_discount", "l_quantity")))
   }
 
+  test("corrMatrix is pairwise-complete under nulls (pandas .corr parity)") {
+    // x and y correlate perfectly ONLY on rows where both are present;
+    // z makes y's all-rows stddev differ wildly from its pairwise one.
+    // Mixing populations (all-rows stddev / pairwise covariance) would
+    // push |corr| off 1.0 — pandas computes every moment pairwise.
+    val rows = Seq[(java.lang.Double, java.lang.Double, java.lang.Double)](
+      (1.0, 2.0, null), (2.0, 4.0, null), (3.0, 6.0, null), (4.0, 8.0, null),
+      (null, 1000.0, 1.0), (null, -1000.0, 2.0))
+    val df = rows.toDF("x", "y", "z")
+    val m = Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("x", "y")) - 1.0) < 1e-9, s"corr(x,y)=${m(("x", "y"))}")
+    // x and z share NO pairwise-complete rows → moments are null → NaN
+    assert(m(("x", "z")).isNaN)
+  }
+
   test("argmax matches np.argmax semantics (first max, 0-based)") {
     val df = Seq(Array(1.0f, 5.0f, 5.0f, 2.0f), Array(9.0f, 1.0f))
       .toDF("a").select(Stats.argmax(col("a")).as("i"))

@@ -91,30 +91,48 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  // Live-port smoke of the S3 socket source (SURVEY §5.5 keeps it
-  // optional: port availability varies by environment). Enable locally
-  // with: sbt 'testOnly graft.stream.IngestSpec -- -n SocketSmoke'
-  ignore("socket source consumes the producer contract end-to-end") {
-    val server = new java.net.ServerSocket(0)
+  // Live-loopback smoke of the S3 socket source — the reference's actual
+  // transport (stream.py:24-36): a ServerSocket inside this JVM plays the
+  // producer, the engine's socket consumer parses its framed payload.
+  // Ephemeral port (bind on 0) so no environment port is assumed.
+  test("socket source consumes the producer contract end-to-end") {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
     val port = server.getLocalPort
+    @volatile var client: java.net.Socket = null
     val producer = new Thread(() => {
-      val sock = server.accept()
-      val out = new java.io.PrintWriter(sock.getOutputStream, true)
-      out.println(payloadLine)
-      out.flush()
-      Thread.sleep(2000)
-      sock.close()
+      try {
+        val sock = server.accept()
+        client = sock
+        val out = new java.io.PrintWriter(sock.getOutputStream, true)
+        out.println(payloadLine)
+        out.flush()
+        // keep the connection open: the socket source treats EOF as end
+        // of stream; the test closes it after the rows are observed
+      } catch { case _: java.io.IOException => () }
     })
     producer.setDaemon(true)
     producer.start()
-    val parsed = Ingest.socketPayloadStream(spark, "localhost", port)
+    val parsed = Ingest.socketPayloadStream(spark,
+      java.net.InetAddress.getLoopbackAddress.getHostAddress, port)
     val q = parsed.writeStream.format("memory").queryName("socket_test")
       .outputMode("append").start()
     try {
-      Thread.sleep(3000)
-      q.processAllAvailable()
-      assert(spark.table("socket_test").count() == 2)
-    } finally { q.stop(); server.close() }
+      // sockets have no replayable offsets, so processAllAvailable can't
+      // see data still in flight — poll until the two payload rows land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n < 2 && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("socket_test").count()
+        if (n < 2) Thread.sleep(100)
+      }
+      assert(n == 2, s"expected 2 rows from the socket payload, saw $n")
+    } finally {
+      q.stop()
+      if (client != null) client.close()
+      server.close()
+    }
   }
 
   test("windowedCounts groups a typed stream by tumbling window + key") {
