@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sanity harness (diagnostic main, NOT part of the driver contract):
+  * synthesizes an sf1-equivalent corpus — `replicas`× the source scale
+  * factor, ~50k documents / 1M events at 10× sf0.1 — and runs the heavy
+  * query family against it, checking the invariants that pin correctness
+  * at scale:
+  *
+  *  - replica texts are token-suffixed (`tok` → `tok_rK`), so within-replica
+  *    Jaccard structure is IDENTICAL to the source corpus while cross-replica
+  *    similarity is exactly 0 — near-dup output must scale linearly, and the
+  *    replica-0 slice must equal the sf0.1 result bit-for-bit;
+  *  - event replicas keep timestamps and shift ids, so every windowed count
+  *    must be exactly `replicas`× its sf0.1 value;
+  *  - connected components must never cross replicas.
+  *
+  * A rounding/overflow/plan divergence that small SFs mask (the round-1
+  * lesson: sf0.01 hid a rounding tie sf0.1 caught) surfaces here as an
+  * invariant failure rather than as a wrong answer in production.
+  *
+  * Usage: runMain graft.ScaleCheck [srcSfDir] [outDir] [replicas]
+  */
+object ScaleCheck {
+
+  private val Stride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "target/sf1"
+    val replicas = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scalecheck").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, src, out, replicas)
+
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+    // noop sink, same as Bench: count() would let Spark collapse the
+    // projections to metadata-only scans and under-time the query
+    def exec(name: String, df: DataFrame): Unit =
+      timed(name)(df.write.format("noop").mode("overwrite").save())
+
+    var failures = List.empty[String]
+    def check(name: String)(ok: Boolean, detail: => String): Unit = {
+      println(s"[scale] ${if (ok) "OK  " else "FAIL"} $name${if (ok) "" else s": $detail"}")
+      if (!ok) failures ::= name
+    }
+
+    // --- heavy family, timed at scale ---------------------------------
+    exec("tfidf_top_terms", llm.LlmQueries.tfidfTopTerms(spark, out))
+    exec("text_normalize", llm.LlmQueries.textNormalize(spark, out))
+    exec("stream_windowed", stream.StreamQueries.streamWindowedCounts(spark, out))
+    val pairs = timed("minhash_pairs (materialize)") {
+      llm.Dedup.minhashNearDupPairs(
+        Tables.table(spark, out, "documents"), minJaccard = 0.9)
+        .localCheckpoint()
+    }
+    exec("near_dedup (from pairs)",
+      Tables.table(spark, out, "documents")
+        .join(pairs.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+    val comps = timed("dup_clusters (full corpus CC)") {
+      // returns an already-checkpointed frame, materialized by the fit
+      llm.Dedup.connectedComponents(
+        Tables.table(spark, out, "documents").select(col("doc_id").as("id")),
+        pairs)
+    }
+
+    // --- invariants ----------------------------------------------------
+    val srcPairs = llm.Dedup.minhashNearDupPairs(
+      Tables.table(spark, src, "documents"), minJaccard = 0.9)
+    val r0 = pairs.filter(col("id_a") < Stride && col("id_b") < Stride)
+    val diff = r0.unionByName(srcPairs).groupBy("id_a", "id_b", "jaccard")
+      .count().filter(col("count") =!= 2).count()
+    check("replica-0 minhash == sf0.1 minhash")(diff == 0, s"$diff odd rows")
+
+    val total = pairs.count(); val srcTotal = srcPairs.count()
+    val ratio = total.toDouble / srcTotal
+    check(s"pair volume scales ~linearly ($total vs $srcTotal x$replicas)")(
+      math.abs(ratio - replicas) / replicas < 0.05,
+      f"ratio $ratio%.2f, expected ~$replicas")
+
+    val crossReplica = comps
+      .filter(col("id").divide(Stride).cast("long")
+        =!= col("component").divide(Stride).cast("long")).count()
+    check("no dup cluster crosses replicas")(crossReplica == 0,
+      s"$crossReplica nodes labeled across")
+
+    val winScaled = stream.StreamQueries.streamWindowedCounts(spark, out)
+      .withColumnRenamed("n", "n_big")
+    val winSrc = stream.StreamQueries.streamWindowedCounts(spark, src)
+    val winBad = winSrc.join(winScaled, Seq("win_start", "event_type"), "full")
+      .filter(coalesce(col("n_big"), lit(-1L)) =!= coalesce(col("n"), lit(-1L)) * replicas)
+      .count()
+    check(s"windowed counts are exactly ${replicas}x")(winBad == 0,
+      s"$winBad windows off")
+
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
+    spark.stop()
+    if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
+    println("[scale] all invariants hold")
+  }
+
+  /** Replicate documents + events from `src` into `out`, one parquet FILE
+    * per table (the file-stream path globs on the exact name). Idempotent:
+    * skips tables that already exist.
+    */
+  private def generate(spark: SparkSession, src: String, out: String,
+                       replicas: Int): Unit = {
+    new java.io.File(out).mkdirs()
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      writeSingleFile((0 until replicas).map { i =>
+        if (i == 0) docs
+        else docs // suffix every token: same within-replica set structure,
+          .withColumn("doc_id", col("doc_id") + lit(i * Stride)) // zero across
+          .withColumn("text", concat(
+            regexp_replace(col("text"), lit(" "), lit(s"_r$i ")), lit(s"_r$i")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }.reduce(_ unionByName _), out, "documents")
+    }
+    if (!new java.io.File(s"$out/events.parquet").exists()) {
+      // keep ts (so windows line up as exact multiples); shift ids so
+      // per-user/per-batch group sizes stay constant instead of growing
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      writeSingleFile((0 until replicas).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * Stride))
+          .withColumn("user_id", col("user_id") + lit(i * Stride))
+      }.reduce(_ unionByName _), out, "events")
+    }
+  }
+
+  private def writeSingleFile(df: DataFrame, out: String, name: String): Unit = {
+    val tmp = new java.io.File(s"$out/__tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written for $name"))
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(out, s"$name.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(tmp)
+  }
+}

@@ -108,4 +108,29 @@ object Stages {
     new RegressionEvaluator()
       .setLabelCol(labelCol).setPredictionCol("prediction")
       .setMetricName(metric).evaluate(predictions)
+
+  /** Boosted-tree regression — the `XGBRegressor` import's MLlib mapping
+    * (crime.py:21; imported, never called). GBTRegressor IS gradient
+    * boosting (sequential trees on residuals), the same family XGBoost
+    * implements; per-tree training is distributed.
+    */
+  def boostedRegression(featureCols: Seq[String], labelCol: String,
+                        maxIter: Int = 20, maxDepth: Int = 5): Pipeline = {
+    val assembler = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+    val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(0L)
+    new Pipeline().setStages(Array(assembler, gbt))
+  }
+
+  /** ROC-AUC for a binary prediction frame — the `roc_auc_score` import's
+    * mapping (crime.py:29; imported, never called). Reads the raw score
+    * column, distributed threshold sweep.
+    */
+  def rocAuc(predictions: DataFrame, labelCol: String,
+             scoreCol: String = "rawPrediction"): Double =
+    new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol(labelCol).setRawPredictionCol(scoreCol)
+      .setMetricName("areaUnderROC").evaluate(predictions)
 }

@@ -31,6 +31,36 @@ class StagesSpec extends AnyFunSuite {
     assert(acc >= 0.8, s"accuracy=$acc")
   }
 
+  test("boosted regression (XGBRegressor mapping) fits a nonlinear curve") {
+    val rng = new scala.util.Random(13)
+    val df = (0 until 2000).map { _ =>
+      val x = rng.nextDouble() * 10
+      (x, x * x + rng.nextGaussian() * 0.5) // quadratic: linear models fail
+    }.toDF("x", "y")
+    val model = Stages.boostedRegression(Seq("x"), "y").fit(df)
+    val r2 = Stages.evaluateRegression(model.transform(df), "y", "r2")
+    assert(r2 >= 0.95, s"r2=$r2")
+  }
+
+  test("rocAuc (roc_auc_score mapping) separates a separable binary label") {
+    val rng = new scala.util.Random(17)
+    val df = (0 until 2000).map { i =>
+      val cls = i % 2
+      (cls.toDouble, cls + rng.nextGaussian() * 0.3)
+    }.toDF("label", "x")
+    val model = new org.apache.spark.ml.classification.LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("features").fit(
+        new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(Array("x")).setOutputCol("features").transform(df))
+    val auc = Stages.rocAuc(model.transform(
+      new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("x")).setOutputCol("features").transform(df)),
+      "label")
+    assert(auc >= 0.95, s"auc=$auc")
+    // and the metric is a real sweep, not a constant
+    assert(auc <= 1.0)
+  }
+
   test("linear regression recovers a linear relationship (R2 ~ 1)") {
     val rng = new scala.util.Random(3)
     val df = (0 until 500).map { _ =>
