@@ -47,8 +47,10 @@ object ScaleCheck {
       r
     }
     // noop sink, same as Bench: count() would let Spark collapse the
-    // projections to metadata-only scans and under-time the query
-    def exec(name: String, df: DataFrame): Unit =
+    // projections to metadata-only scans and under-time the query.
+    // By-name param: an eager query fn (the streaming one runs at call
+    // time) must execute INSIDE the timed block, not at argument eval
+    def exec(name: String, df: => DataFrame): Unit =
       timed(name)(df.write.format("noop").mode("overwrite").save())
 
     var failures = List.empty[String]

@@ -246,15 +246,9 @@ object Dedup {
                         idCol: String = "doc_id"): DataFrame = {
     val toks = docs.filter(col(idCol) < maxId)
       .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("toks"))
-    // docs shorter than n tokens have no n-shingles; without the guard,
-    // sequence(0, size-n) counts DOWN for size<n and slice() throws on
-    // the negative index
-    val nShingles = when(size(col("toks")) >= n,
-      transform(sequence(lit(0), size(col("toks")) - n),
-        i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
     val shingled = toks.select(col("id"),
-      array_distinct(if (n == 1) col("toks") else nShingles).as("shingles"))
+      array_distinct(if (n == 1) col("toks")
+                     else TextStats.shingles(col("toks"), n)).as("shingles"))
     val sizes = shingled.select(col("id"), size(col("shingles")).as("n_sh"))
     val inv = shingled.select(col("id"), explode(col("shingles")).as("sh"))
     val shared = inv.as("x").join(inv.as("y"),

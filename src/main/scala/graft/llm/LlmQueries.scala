@@ -217,6 +217,34 @@ object LlmQueries {
       .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition score: fraction of trigram occurrences that
+    * repeat an earlier one, in exact integer micro-units. The shingle
+    * array is hoisted into its own projection (referenced twice by the
+    * score; interpreted HOFs get no subexpression elimination).
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.shingles(TextStats.tokens(col("text")), 3).as("__sh"))
+      .select(col("doc_id"),
+        TextStats.repetitionMicroFromShingles(col("__sh")).as("rep3_micro"))
+      .orderBy("doc_id")
+
+  /** Mixture sampling: per-source token budget, documents admitted in
+    * doc_id order until the source's running token total hits the cap —
+    * the "sample source X down to N tokens" half of a mixture schedule
+    * (the accounting half is q_source_mix). Integer window sum: exact in
+    * any engine at any scale.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.budgetedPrefix(
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.tokenCount(col("text")).as("n_tokens")),
+        groupCol = "source", orderCol = "doc_id", weightCol = "n_tokens",
+        budget = 800L)
+      .orderBy("doc_id")
+
   /** Corpus mixture accounting: docs, token totals and exact parts-per-
     * million share per source — the bookkeeping op behind "sample source X
     * to N tokens" mixture schedules. Shares are integer floor-divisions
@@ -286,6 +314,8 @@ object LlmQueries {
     "q_text_normalize" -> (textNormalize _),
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_source_mix" -> (sourceMix _),
+    "q_repetition_score" -> (repetitionScore _),
+    "q_token_budget_sample" -> (tokenBudgetSample _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _)
@@ -474,6 +504,37 @@ object LlmQueries {
         |SELECT doc_id, md5(norm) AS norm_fp,
         |       CAST(length(norm) AS BIGINT) AS norm_len
         |FROM n
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_score" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END AS sh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(sh) = 0 THEN 0
+        |    ELSE CAST((1000000 * (len(sh) - len(list_distinct(sh)))) // len(sh)
+        |         AS BIGINT) END AS rep3_micro
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS BIGINT) AS cum_weight
+        |  FROM c)
+        |SELECT doc_id, source, n_tokens, cum_weight
+        |FROM s WHERE cum_weight <= 800
         |ORDER BY doc_id""".stripMargin,
 
     "q_source_mix" ->

@@ -132,7 +132,14 @@ object Similarity {
     // subset the same way — nlist centroids need ~nlist·10³ points, not
     // the full corpus.
     val fitParts = math.min(corpusU.rdd.getNumPartitions, 8)
+    // index-build economics (what faiss does for IVF training): centroids
+    // don't need a converged clustering, only a balanced space partition —
+    // random init + few iterations replaces k-means||'s multiple full
+    // passes, cutting the in-query build cost without moving recall
+    // (recall is gated in SimilaritySpec). At 100 TB the same fit runs
+    // offline on an ~nlist·10³-point sample.
     val model = new KMeans().setK(nlist).setSeed(42L)
+      .setInitMode("random").setMaxIter(10)
       .setFeaturesCol("uv").setPredictionCol("cell")
       .fit(corpusU.coalesce(fitParts))
     val assigned = model.transform(corpusU)

@@ -31,6 +31,35 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
+  /** Word n-gram shingles over a token array. Guarded for short docs:
+    * `sequence(0, size-n)` counts DOWN when size < n and slice would
+    * throw on the negative index (the round-1 trap), so docs shorter
+    * than n tokens shingle to an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Intra-document repetition (the Gopher-family "repetition removal"
+    * quality rule): the fraction of n-gram occurrences that repeat an
+    * earlier occurrence, 1 - |distinct shingles| / |shingles|, in exact
+    * integer micro-units (same engine-portable floor-division contract as
+    * [[qualityScoreMicroFromTokens]]; a rounded double hits .5e-6 ties
+    * that Spark and DuckDB round differently). Docs too short to have a
+    * shingle score 0. Hoist the shingle array into its own projection at
+    * call sites — it is referenced twice and HOF trees get no
+    * subexpression elimination.
+    */
+  def repetitionMicroFromShingles(sh: Column): Column = {
+    val t = size(sh).cast("bigint")
+    val d = size(array_distinct(sh)).cast("bigint")
+    val num = lit(1000000L) * (t - d)
+    when(t === 0L, lit(0L))
+      .otherwise(((num - pmod(num, t)) / t).cast("bigint"))
+  }
+
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("bigint")
 

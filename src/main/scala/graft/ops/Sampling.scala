@@ -48,4 +48,19 @@ object Sampling {
     val b = hashBucket(col(idCol), salt)
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
+
+  /** Per-group budgeted prefix: the rows whose running `weightCol` total
+    * (ordered by `orderCol` within each `groupCol`) stays within `budget`
+    * — the mixture-sampling primitive behind "take N tokens from source X"
+    * schedules. One window pass, shuffle keyed by group; the ordering
+    * column must be unique per group or the cumulative frame (RANGE on
+    * ties) makes membership ambiguous. Appends `cum_weight`.
+    */
+  def budgetedPrefix(df: DataFrame, groupCol: String, orderCol: String,
+                     weightCol: String, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+    df.withColumn("cum_weight", sum(col(weightCol)).over(w))
+      .filter(col("cum_weight") <= budget)
+  }
 }

@@ -102,6 +102,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
   }
 
+  test("banded near-dup paths join on bucket keys, never nested-loop") {
+    // the whole point of banding: candidate generation is an EQUI-join on
+    // (band_idx, band_key). A plan falling back to BroadcastNestedLoopJoin
+    // or CartesianProduct means the N² path snuck back in — the silent
+    // killer at corpus scale (only simhashPairs/jaccard, the bounded
+    // VERIFICATION forms, are allowed their nested-loop shape)
+    for (df <- Seq(
+        llm.LlmQueries.simhashBanded(spark, sf),
+        llm.LlmQueries.minhashPairs(spark, sf),
+        llm.LlmQueries.lshCosinePairs(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"banded path degenerated to an all-pairs join:\n${p.take(4000)}")
+    }
+  }
+
+  test("bloom semi join keeps the pushdown-friendly scan under the probe") {
+    val fact = Tables.table(spark, sf, "orders")
+    val dim = Tables.table(spark, sf, "customer").limit(100)
+    val p = plan(ops.BloomPrune.bloomSemiJoin(fact, dim, "o_custkey", "c_custkey"))
+    // the probe filter must sit on the scan side (pre-shuffle), and the
+    // final exact join stays a real equi-join
+    assert(p.contains("might_contain"), s"bloom probe missing:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("partition pruning: a partitioned layout skips non-matching directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part")
     try {

@@ -27,6 +27,18 @@ class TextStatsSpec extends AnyFunSuite {
     assert(one("ab cdef", TextStats.meanTokenLength($"text")).getDouble(0) == 3.0)
   }
 
+  test("repetition score counts repeated trigram occurrences in micro-units") {
+    def rep(t: String) = one(t, TextStats.repetitionMicroFromShingles(
+      TextStats.shingles(TextStats.tokens($"text"), 3))).getLong(0)
+    // "a b c a b c": shingles [abc, bca, cab, abc] → 1 repeat of 4 → 250000
+    assert(rep("a b c a b c") == 250000L)
+    // no repeats → 0; shorter than one trigram → 0 (guarded, not an error)
+    assert(rep("a b c d") == 0L)
+    assert(rep("a b") == 0L)
+    // degenerate full repetition: "x x x x x" → [xxx ×3] → 2/3 repeats
+    assert(rep("x x x x x") == 666666L)
+  }
+
   test("langId picks the language with most marker hits, name-asc on ties") {
     assert(one("the query of a table", TextStats.langId($"text")).getString(0) == "en")
     assert(one("der scan und die row", TextStats.langId($"text")).getString(0) == "de")

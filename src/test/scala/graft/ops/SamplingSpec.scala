@@ -28,6 +28,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(!got.contains("view"))
   }
 
+  test("budgetedPrefix admits rows in order until each group's budget") {
+    val df = Seq(
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L), // 40, 80, 120
+      ("b", 1L, 100L), ("b", 2L, 1L),                 // 100, 101
+      ("c", 1L, 999L)                                 // over budget alone
+    ).toDF("g", "id", "w")
+    val got = Sampling.budgetedPrefix(df, "g", "id", "w", budget = 100L)
+      .select("g", "id", "cum_weight").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 1L, 40L), ("a", 2L, 80L), ("b", 1L, 100L)))
+  }
+
   test("stratified sample is layout-stable, not just lineage-deterministic") {
     val fractions = Map("click" -> 0.2, "error" -> 0.2, "purchase" -> 0.2,
       "signup" -> 0.2, "view" -> 0.2)
