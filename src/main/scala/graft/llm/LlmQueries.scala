@@ -230,6 +230,15 @@ object LlmQueries {
         TextStats.repetitionMicroFromShingles(col("__sh")).as("rep3_micro"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: per-doc fraction of distinct trigrams
+    * shared with the "benchmark" block (doc_id < 50), integer micro-units.
+    * Docs inside the block trivially score 1e6 — the check's fixed point.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    TextStats.contaminationMicro(table(spark, dir, "documents"),
+        benchMaxId = 50L)
+      .orderBy("doc_id")
+
   /** Mixture sampling: per-source token budget, documents admitted in
     * doc_id order until the source's running token total hits the cap —
     * the "sample source X down to N tokens" half of a mixture schedule
@@ -315,6 +324,7 @@ object LlmQueries {
     "q_tfidf_top_terms" -> (tfidfTopTerms _),
     "q_source_mix" -> (sourceMix _),
     "q_repetition_score" -> (repetitionScore _),
+    "q_contamination" -> (contamination _),
     "q_token_budget_sample" -> (tokenBudgetSample _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
@@ -522,6 +532,28 @@ object LlmQueries {
         |         AS BIGINT) END AS rep3_micro
         |FROM s
         |ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS grams
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 50),
+        |hit AS (
+        |  SELECT g.doc_id, count(*) AS h FROM g JOIN b USING (g)
+        |  GROUP BY g.doc_id)
+        |SELECT sh.doc_id,
+        |  CASE WHEN len(sh.grams) = 0 THEN 0
+        |    ELSE CAST((1000000 * COALESCE(hit.h, 0)) // len(sh.grams)
+        |         AS BIGINT) END AS contam_micro
+        |FROM sh LEFT JOIN hit ON sh.doc_id = hit.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
 
     "q_token_budget_sample" ->
       """WITH c AS (

@@ -155,6 +155,39 @@ object TextStats {
   def qualityScore(text: Column, nChars: Column): Column =
     qualityScoreMicro(text, nChars).cast("double") / 1000000.0
 
+  /** Benchmark decontamination scores: for every document, the fraction
+    * of its distinct word n-grams that also appear in the benchmark set
+    * (docs with id < `benchMaxId`), in exact integer micro-units — the
+    * standard "n-gram overlap" contamination check run before training on
+    * scraped corpora (a doc scoring high contains eval data).
+    *
+    * Scale shape: the benchmark gram set is SMALL by nature (eval suites,
+    * not corpora) → broadcast semi join against it; the corpus side is one
+    * explode + one aggregation, linear in corpus grams, no self-join.
+    */
+  def contaminationMicro(docs: org.apache.spark.sql.DataFrame,
+                         benchMaxId: Long, n: Int = 3,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+    val grams = sh.select(col(idCol), explode(col("sh")).as("g"))
+    val bench = grams.filter(col(idCol) < benchMaxId).select("g").distinct()
+    val hits = grams.join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("h"))
+    // docs too short for one n-gram have t=0: define contamination 0
+    // (nothing to leak), guarded against the ANSI divide
+    sh.select(col(idCol), size(col("sh")).cast("bigint").as("t"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), {
+        val h = coalesce(col("h"), lit(0L))
+        val num = lit(1000000L) * h
+        when(col("t") === 0L, lit(0L))
+          .otherwise(((num - pmod(num, col("t"))) / col("t")).cast("bigint"))
+          .as("contam_micro")
+      })
+  }
+
   /** Content-addressed fingerprint (exact-dedup key). md5 over utf-8 text —
     * 16 bytes of shuffle key instead of the full document.
     */

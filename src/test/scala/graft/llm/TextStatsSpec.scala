@@ -39,6 +39,18 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rep("x x x x x") == 666666L)
   }
 
+  test("contamination: benchmark docs score 1e6, overlap scores fractionally") {
+    val docs = Seq(
+      (0L, "a b c d"),        // benchmark: grams {abc, bcd}
+      (10L, "a b c x y z"),   // grams {abc, bcx, cxy, xyz}: 1 of 4 hit
+      (11L, "p q r s"),       // no overlap
+      (12L, "p q")            // too short: no grams, score 0
+    ).toDF("doc_id", "text")
+    val got = TextStats.contaminationMicro(docs, benchMaxId = 5L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1000000L, 10L -> 250000L, 11L -> 0L, 12L -> 0L))
+  }
+
   test("langId picks the language with most marker hits, name-asc on ties") {
     assert(one("the query of a table", TextStats.langId($"text")).getString(0) == "en")
     assert(one("der scan und die row", TextStats.langId($"text")).getString(0) == "de")
