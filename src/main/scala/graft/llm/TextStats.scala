@@ -169,20 +169,27 @@ object TextStats {
                          benchMaxId: Long, n: Int = 3,
                          idCol: String = "doc_id",
                          textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val sh = docs.select(col(idCol),
-      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
-    val grams = sh.select(col(idCol), explode(col("sh")).as("g"))
-    val bench = grams.filter(col(idCol) < benchMaxId).select("g").distinct()
-    val hits = grams.join(broadcast(bench), Seq("g"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("h"))
-    // docs too short for one n-gram have t=0: define contamination 0
-    // (nothing to leak), guarded against the ANSI divide
-    sh.select(col(idCol), size(col("sh")).cast("bigint").as("t"))
-      .join(hits, Seq(idCol), "left")
+    // ONE corpus-side evaluation of the (interpreted-HOF) shingle chain:
+    // both the per-doc gram total and the hit count come from the same
+    // exploded frame via a broadcast LEFT join + one keyed aggregation.
+    // Splitting totals and hits into separate branches re-evaluates the
+    // shingling per branch — measured 3× slower at sf0.1.
+    val grams = docs.select(col(idCol),
+      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
+    val bench = grams.filter(col(idCol) < benchMaxId) // pushed under explode
+      .select("g").distinct()
+      .withColumn("__hit", lit(1))
+    val perDoc = grams.join(broadcast(bench), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("t"), count(col("__hit")).as("h"))
+    // docs too short for one n-gram explode to nothing: restore them from
+    // the id spine with contamination 0 (nothing to leak), guarded
+    // against the ANSI divide
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), {
-        val h = coalesce(col("h"), lit(0L))
-        val num = lit(1000000L) * h
-        when(col("t") === 0L, lit(0L))
+        val num = lit(1000000L) * coalesce(col("h"), lit(0L))
+        when(col("t").isNull || col("t") === 0L, lit(0L))
           .otherwise(((num - pmod(num, col("t"))) / col("t")).cast("bigint"))
           .as("contam_micro")
       })
