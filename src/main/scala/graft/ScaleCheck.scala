@@ -62,7 +62,11 @@ object ScaleCheck {
     // --- heavy family, timed at scale ---------------------------------
     exec("tfidf_top_terms", llm.LlmQueries.tfidfTopTerms(spark, out))
     exec("text_normalize", llm.LlmQueries.textNormalize(spark, out))
-    exec("stream_windowed", stream.StreamQueries.streamWindowedCounts(spark, out))
+    // the windowed-count invariant below reuses this run's result — the
+    // streaming query executes eagerly inside the timed block
+    val winScaled = timed("stream_windowed") {
+      stream.StreamQueries.streamWindowedCounts(spark, out).localCheckpoint()
+    }
     val pairs = timed("minhash_pairs (materialize)") {
       llm.Dedup.minhashNearDupPairs(
         Tables.table(spark, out, "documents"), minJaccard = 0.9)
@@ -80,8 +84,10 @@ object ScaleCheck {
     }
 
     // --- invariants ----------------------------------------------------
+    // materialized once: two separate actions read it (set-diff + count)
     val srcPairs = llm.Dedup.minhashNearDupPairs(
       Tables.table(spark, src, "documents"), minJaccard = 0.9)
+      .localCheckpoint()
     val r0 = pairs.filter(col("id_a") < Stride && col("id_b") < Stride)
     val diff = r0.unionByName(srcPairs).groupBy("id_a", "id_b", "jaccard")
       .count().filter(col("count") =!= 2).count()
@@ -99,10 +105,10 @@ object ScaleCheck {
     check("no dup cluster crosses replicas")(crossReplica == 0,
       s"$crossReplica nodes labeled across")
 
-    val winScaled = stream.StreamQueries.streamWindowedCounts(spark, out)
-      .withColumnRenamed("n", "n_big")
     val winSrc = stream.StreamQueries.streamWindowedCounts(spark, src)
-    val winBad = winSrc.join(winScaled, Seq("win_start", "event_type"), "full")
+    val winBad = winSrc
+      .join(winScaled.withColumnRenamed("n", "n_big"),
+        Seq("win_start", "event_type"), "full")
       .filter(coalesce(col("n_big"), lit(-1L)) =!= coalesce(col("n"), lit(-1L)) * replicas)
       .count()
     check(s"windowed counts are exactly ${replicas}x")(winBad == 0,
@@ -110,18 +116,32 @@ object ScaleCheck {
 
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(winScaled)
     spark.stop()
     if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
     println("[scale] all invariants hold")
   }
 
   /** Replicate documents + events from `src` into `out`, one parquet FILE
-    * per table (the file-stream path globs on the exact name). Idempotent:
-    * skips tables that already exist.
+    * per table (the file-stream path globs on the exact name). Idempotent
+    * per (src, replicas): a marker file records the generation arguments,
+    * and any mismatch regenerates everything — silently reusing a corpus
+    * built with different arguments would fail the ×N invariants and
+    * misread as an engine scaling bug.
     */
   private def generate(spark: SparkSession, src: String, out: String,
                        replicas: Int): Unit = {
     new java.io.File(out).mkdirs()
+    val marker = new java.io.File(out, "gen_args.txt")
+    val wanted = s"src=$src replicas=$replicas"
+    val current = if (marker.exists())
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) else ""
+    if (current != wanted) {
+      new java.io.File(s"$out/documents.parquet").delete()
+      new java.io.File(s"$out/events.parquet").delete()
+      marker.delete()
+    }
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       writeSingleFile((0 until replicas).map { i =>
@@ -143,6 +163,10 @@ object ScaleCheck {
           .withColumn("user_id", col("user_id") + lit(i * Stride))
       }.reduce(_ unionByName _), out, "events")
     }
+    // marker LAST: a crash mid-generation leaves no marker, so the next
+    // run regenerates instead of trusting partial output
+    java.nio.file.Files.write(marker.toPath,
+      wanted.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
   }
 
   private def writeSingleFile(df: DataFrame, out: String, name: String): Unit = {
