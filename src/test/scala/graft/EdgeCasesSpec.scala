@@ -31,6 +31,23 @@ class EdgeCasesSpec extends AnyFunSuite {
       && rows(1).getLong(2) == 1L)
   }
 
+  test("repetition and contamination degrade to 0 on null/empty/short text") {
+    val docs = Seq((0L, Some("a b c d e f")), (1L, None), (2L, Some("")),
+        (3L, Some("x y")))
+      .toDF("doc_id", "text")
+    val rep = docs.select($"doc_id", TextStats.repetitionMicroFromShingles(
+        TextStats.shingles(TextStats.tokens($"text"), 3)).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // null tokens → null size → shingle guard falls to the empty branch →
+    // score 0, same as genuinely-short docs; no ANSI divide, no crash
+    assert(rep == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    val contam = TextStats.contaminationMicro(docs, benchMaxId = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 0 IS the benchmark (score 1e6); everything else has no grams →
+    // dropped by the explode, restored from the id spine at 0
+    assert(contam == Map(0L -> 1000000L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("null text flows through fingerprints as null, not a crash") {
     val df = Seq(Some("abc"), None).toDF("text").select(
       TextStats.fingerprint($"text").as("fp"),
