@@ -64,19 +64,52 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
+  /** ANALYZE-style column profile of the orders table (long form). */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    Profile.tableProfile(table(spark, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+      .orderBy("column")
+
+  /** Fixed-width value histogram of event values (bucket ids, not
+    * engine-rounded bin edges — integer-exact in any engine).
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    Profile.histogram(table(spark, dir, "events"), col("value"), width = 25.0)
+      .orderBy("bucket")
+
   val all: Map[String, Q] = Map(
     "q_corr_matrix" -> (corrMatrix _),
     "q_top_correlated" -> (topCorrelated _),
     "q_argmax_embedding" -> (argmaxEmbedding _),
     "q_percentiles" -> (percentiles _),
     "q_resample_hourly" -> (resampleHourly _),
-    "q_asof_clicks" -> (asofClicks _)
+    "q_asof_clicks" -> (asofClicks _),
+    "q_table_profile" -> (tableProfile _),
+    "q_value_histogram" -> (valueHistogram _)
   )
 
   private def corrPair(a: String, b: String): String =
     s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS corr FROM lineitem"
 
+  private def profileArm(c: String): String =
+    s"""SELECT '$c' AS "column", count(*) AS n_rows, count($c) AS n_non_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_val,
+       |  CAST(max($c) AS VARCHAR) AS max_val
+       |FROM orders""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_table_profile" -> (
+      Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(profileArm)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+
+    "q_value_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events
+        |WHERE value IS NOT NULL
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
     "q_corr_matrix" -> (
       (for { a <- liCols; b <- liCols } yield corrPair(a, b))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")),

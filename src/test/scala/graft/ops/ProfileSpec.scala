@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  test("tableProfile counts rows, non-nulls, distincts, and string ranges") {
+    val df = Seq((Some("a"), 1L), (Some("b"), 2L), (None, 2L), (Some("a"), 3L))
+      .toDF("s", "k")
+    val got = Profile.tableProfile(df, Seq("s", "k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got("s") == (4L, 3L, 2L, "a", "b"))
+    assert(got("k") == (4L, 4L, 3L, "1", "3"))
+  }
+
+  test("histogram buckets by floor(v/w), drops nulls, handles negatives") {
+    val df = Seq[java.lang.Double](0.0, 24.99, 25.0, 49.0, -1.0, null)
+      .toDF("v")
+    val got = Profile.histogram(df, col("v"), width = 25.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // floor semantics: -1.0/25 → bucket -1 (not 0); the boundary 25.0
+    // opens bucket 1; the null contributes nowhere
+    assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 2L))
+  }
+}
