@@ -177,6 +177,38 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Winnowing-overlap pairs: documents sharing at least `minShared`
+    * winnowed fingerprints (TextStats.winnowingFingerprints — cf.
+    * Schleimer et al., SIGMOD'03). Detects LOCAL overlap — a copied
+    * passage of ≥ w+k-1 tokens inside otherwise-different documents —
+    * which global Jaccard/MinHash similarity misses entirely; this is the
+    * plagiarism/boilerplate-detection mode of near-dup.
+    *
+    * Scale shape: inverted-index equi-join on fingerprints (winnowing
+    * keeps ~2/(w+1) of grams, so the index is sparse), with a frequency
+    * cap first: fingerprints present in more than `maxDocFreq` documents
+    * are boilerplate by definition and would each contribute O(df²)
+    * candidate pairs — dropping them is the standard stop-gram move that
+    * keeps the join linear-ish at corpus scale (they carry no dedup
+    * signal; a gram shared by half the corpus identifies nothing).
+    */
+  def winnowingOverlapPairs(docs: DataFrame, minShared: Int,
+                            maxDocFreq: Long = 1000L,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+        explode(TextStats.winnowingFingerprints(col(textCol))).as("fp"))
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val indexed = fp.join(rare, Seq("fp"), "left_semi")
+    indexed.as("x").join(indexed.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+  }
+
   /** Connected components over a near-dup pair list by iterative min-label
     * propagation: every node starts as its own component; each round a
     * node takes the minimum label among itself and its neighbors, until a

@@ -58,6 +58,16 @@ object LlmQueries {
         maxHamming = 12)
       .orderBy("id_a", "id_b")
 
+  /** Winnowing local-overlap pairs (rows-only: xxhash64 fingerprints
+    * aren't DuckDB-reproducible): docs sharing ≥ 3 winnowed fingerprints
+    * after the stop-gram frequency cap. The LOCAL-overlap complement to
+    * the global-similarity minhash query.
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingOverlapPairs(table(spark, dir, "documents"),
+        minShared = 3, maxDocFreq = 20L)
+      .orderBy("id_a", "id_b")
+
   /** Brute-force cosine top-10 for query vectors vec_id < 5. */
   def knnCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
@@ -307,6 +317,7 @@ object LlmQueries {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_simhash_banded" -> (simhashBanded _),
     "q_near_dedup_exact" -> (nearDedupExact _),
+    "q_winnow_pairs" -> (winnowPairs _),
     "q_knn_cosine" -> (knnCosine _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),

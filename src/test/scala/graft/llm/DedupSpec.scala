@@ -89,6 +89,31 @@ class DedupSpec extends AnyFunSuite {
     assert(exact3.subsetOf(banded3) && banded3 == exact3)
   }
 
+  test("winnowing overlap finds a copied passage inside different docs") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"one two three $passage four five six"),
+      (1L, s"seven eight nine ten $passage eleven twelve"),
+      (2L, "completely different words about nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOverlapPairs(docs, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the ≥ w+k-1-token shared run guarantees shared window minima for
+    // docs 0/1; doc 2 shares no trigram with either
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("winnowing stop-gram cap drops ubiquitous fingerprints") {
+    // every doc shares the same passage: with the cap below the corpus
+    // size, its fingerprints are boilerplate and no pair survives
+    val docs = (0L until 6L).map(i => (i, s"doc$i unique$i filler$i " +
+      "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val capped = Dedup.winnowingOverlapPairs(docs, minShared = 2, maxDocFreq = 3L)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.winnowingOverlapPairs(docs, minShared = 2)
+    assert(uncapped.count() == 15) // all C(6,2) pairs share the passage
+  }
+
   test("simhashPairs: duplicate texts have hamming 0") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 0, maxId = 10)
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet

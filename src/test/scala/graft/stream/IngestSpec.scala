@@ -135,6 +135,37 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  // ST5/S8: the DURABLE sink path executed end to end — micro-batches
+  // land as parquet files under a checkpointed query, and the files read
+  // back complete. This is the exactly-once file-sink contract (the
+  // manifest under _spark_metadata records committed batches), vs the
+  // at-most-once socket transport the reference ships.
+  test("streaming parquet file sink commits batches durably") {
+    implicit val sq = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v").writeStream
+      .format("parquet")
+      .option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$base/data")
+      assert(back.count() == 3)
+      assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
   test("windowedCounts groups a typed stream by tumbling window + key") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
