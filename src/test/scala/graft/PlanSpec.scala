@@ -118,6 +118,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing/contamination explodes don't regress to inferred pre-filters") {
+    // InferFiltersFromGenerate + predicate pushdown can inline a staged
+    // HOF chain into a per-row size(...) > 0 filter under the Generate —
+    // re-deriving the whole fingerprint array per row (measured 94 s vs
+    // 0.7 s at sf0.1). explode_outer + attribute null-filter avoids it;
+    // this pins that no filter carries the re-inlined array pipeline.
+    for (df <- Seq(
+        llm.LlmQueries.winnowPairs(spark, sf),
+        llm.LlmQueries.contamination(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("size(array_sort") && !p.contains("size(array_distinct"),
+        s"inferred generate filter re-inlined the array chain:\n${p.take(3000)}")
+    }
+  }
+
   test("bloom semi join keeps the pushdown-friendly scan under the probe") {
     val fact = Tables.table(spark, sf, "orders")
     val dim = Tables.table(spark, sf, "customer").limit(100)
