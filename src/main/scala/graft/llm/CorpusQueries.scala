@@ -1,0 +1,249 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.table
+
+/** Second wave of LLM-training-corpus operators: rule-based quality
+  * filtering (the Gopher/C4 family), corpus-frequency statistics (heavy
+  * hitters, unigram language-model scoring), inter-document duplication
+  * accounting (the Dolma "duplicate paragraph fraction" shape) and
+  * greedy sequence packing.
+  *
+  * All oracle-checked (DuckDB hash parity). Score outputs follow the
+  * repo's engine-portable contracts: exact integer micro-units for
+  * rational scores ([[TextStats.microRatio]]), round-6 for transcendental
+  * ones (ln-based log-probabilities can't land on a .5e-6 tie).
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Stopwords for the Gopher-style "must contain ≥2 stop words" rule —
+    * drawn from the corpus vocabulary so the rule discriminates.
+    */
+  val stopWords: Seq[String] = Seq("the", "a", "and", "of")
+
+  /** Gopher-family quality filter rules, one row per document:
+    * word-count bound, mean-word-length band [3,10], minimum stop-word
+    * hits; `keep` is the conjunction. Pure per-row column arithmetic —
+    * embarrassingly parallel at any corpus size. Flags are 0/1 BIGINTs
+    * (engine-portable; DuckDB booleans hash fine but integers remove all
+    * doubt). The token array is staged once: four expressions read it.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("__toks")).cast("bigint")
+    val meanMicro =
+      TextStats.microRatio(TextStats.sumTokenLengthsFromTokens(col("__toks")), n)
+    val stopHits =
+      size(filter(col("__toks"), t => t.isInCollection(stopWords))).cast("bigint")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), n.as("n_tokens"), meanMicro.as("mean_len_micro"),
+        stopHits.as("stop_hits"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_len_micro"),
+        col("stop_hits"),
+        (col("n_tokens") < 50L).cast("bigint").as("flag_short"),
+        (col("mean_len_micro") < 3000000L ||
+          col("mean_len_micro") > 10000000L).cast("bigint").as("flag_meanlen"),
+        (col("stop_hits") < 2L).cast("bigint").as("flag_stop"))
+      .withColumn("keep",
+        (col("flag_short") === 0L && col("flag_meanlen") === 0L &&
+          col("flag_stop") === 0L).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus heavy hitters: top-20 tokens by frequency (count desc, token
+    * asc tiebreak). The explode shuffles (token, 1) pairs with map-side
+    * combine; the ranking window runs on the AGGREGATED frame, which is
+    * vocabulary-sized — bounded regardless of corpus size, so the
+    * unpartitioned window is safe (a 100 TB corpus still has a ~1M-row
+    * vocabulary after the combine).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(TextStats.tokens(col("text")).as("__toks"))
+      .select(explode(col("__toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
+          .cast("bigint"))
+      .filter(col("rk") <= 20L)
+      .select("rk", "token", "cnt")
+      .orderBy("rk")
+
+  /** Unigram language-model score per document (the CCNet/perplexity-
+    * filter shape, degree 1): average ln p(token) under the corpus's own
+    * unigram distribution. Two aggregations — corpus term frequencies
+    * (vocabulary-sized, broadcast back) and the per-document mean. The
+    * per-doc sum of ~1e2-magnitude doubles has order noise ~1e-13, so
+    * round-6 is deterministic across engines (ln values cannot tie at
+    * .5e-6 — they're transcendental).
+    */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"))
+    val lp = freq.crossJoin(broadcast(tot))
+      .select(col("token"), log(col("cnt").cast("double") / col("total")).as("lp"))
+    tok.join(broadcast(lp), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Inter-document duplication: the fraction of each document's distinct
+    * trigrams that also appear in at least one OTHER document (micro-
+    * units) — the corpus-level "duplicate paragraph fraction" signal that
+    * complements the intra-doc q_repetition_score. Shape at scale:
+    * explode distinct shingles → shingle document-frequency aggregate →
+    * join back → per-doc aggregate. Every stage is shuffle-partitioned by
+    * its key; nothing is corpus-quadratic. explode_outer + null filter
+    * (not plain explode) so InferFiltersFromGenerate can't re-inline the
+    * staged shingle chain as a per-row `size(...) > 0` filter — the
+    * round-3 winnowing trap.
+    */
+  def interDocDupFraction(spark: SparkSession, dir: String): DataFrame = {
+    val sh = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.shingles(TextStats.tokens(col("text")), 3).as("__raw"))
+      .select(col("doc_id"), array_distinct(col("__raw")).as("__sh"))
+    val ex = sh.select(col("doc_id"), explode_outer(col("__sh")).as("g"))
+      .filter(col("g").isNotNull)
+    val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val agg = ex.join(dfreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("tot"),
+        sum(when(col("df") > 1L, 1L).otherwise(0L)).as("dup"))
+    sh.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tot"), lit(0L)).as("n_shingles"),
+        TextStats.microRatio(coalesce(col("dup"), lit(0L)),
+          coalesce(col("tot"), lit(0L))).as("interdup_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy sequence packing: documents stream into ~2048-token bins per
+    * source ([[graft.ops.Sampling.packBins]]); output is the per-bin
+    * manifest (doc count + token total). Parallel across sources; no
+    * global sort anywhere.
+    */
+  def seqPack(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.packBins(
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextStats.tokenCount(col("text")).as("n_tokens")),
+        groupCol = "source", orderCol = "doc_id", weightCol = "n_tokens",
+        binBudget = 2048L)
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy("source", "bin_id")
+
+  val all: Map[String, Q] = Map(
+    "q_gopher_rules" -> (gopherRules _),
+    "q_heavy_hitters" -> (heavyHitters _),
+    "q_unigram_logprob" -> (unigramLogprob _),
+    "q_interdoc_dup" -> (interDocDupFraction _),
+    "q_seq_pack" -> (seqPack _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |      ELSE CAST((1000000 * CAST(list_sum(list_transform(toks,
+        |             x -> len(x))) AS BIGINT)) // len(toks) AS BIGINT)
+        |    END AS mean_len_micro,
+        |    CAST(len(list_filter(toks,
+        |      x -> list_contains(['the', 'a', 'and', 'of'], x)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_tokens, mean_len_micro, stop_hits,
+        |  CAST(n_tokens < 50 AS BIGINT) AS flag_short,
+        |  CAST(mean_len_micro < 3000000 OR mean_len_micro > 10000000
+        |       AS BIGINT) AS flag_meanlen,
+        |  CAST(stop_hits < 2 AS BIGINT) AS flag_stop,
+        |  CAST(n_tokens >= 50 AND mean_len_micro >= 3000000
+        |       AND mean_len_micro <= 10000000 AND stop_hits >= 2
+        |       AS BIGINT) AS keep
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+        |r AS (
+        |  SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        |  FROM c)
+        |SELECT rk, token, cnt FROM r WHERE rk <= 20
+        |ORDER BY rk""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(ln(CAST(freq.cnt AS DOUBLE) / tot.total)) / count(*), 6)
+        |    AS avg_logprob
+        |FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_interdoc_dup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS grams
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        |f AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+        |agg AS (
+        |  SELECT ex.doc_id,
+        |    CAST(count(*) AS BIGINT) AS tot,
+        |    CAST(count(*) FILTER (WHERE f.df > 1) AS BIGINT) AS dup
+        |  FROM ex JOIN f USING (g) GROUP BY ex.doc_id)
+        |SELECT sh.doc_id,
+        |  COALESCE(agg.tot, 0) AS n_shingles,
+        |  CASE WHEN COALESCE(agg.tot, 0) = 0 THEN 0
+        |    ELSE CAST((1000000 * agg.dup) // agg.tot AS BIGINT)
+        |  END AS interdup_micro
+        |FROM sh LEFT JOIN agg ON sh.doc_id = agg.doc_id
+        |ORDER BY sh.doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n,
+        |    COALESCE(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM d)
+        |SELECT source, CAST(before // 2048 AS BIGINT) AS bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS bin_tokens
+        |FROM c
+        |GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin
+  )
+}

@@ -60,6 +60,19 @@ object TextStats {
       .otherwise(((num - pmod(num, t)) / t).cast("bigint"))
   }
 
+  /** Exact micro-unit ratio `num / den` as a BIGINT floor division —
+    * the engine-portable score contract shared by the quality /
+    * repetition / contamination family: integer micro-units can't hit
+    * the .5e-6 rounding ties that make a rounded double diverge between
+    * Spark and DuckDB. Both operands must be non-negative counts;
+    * den = 0 degrades to 0 (the "too short to score" convention).
+    */
+  def microRatio(num: Column, den: Column): Column = {
+    val scaled = lit(1000000L) * num
+    when(den === 0L, lit(0L))
+      .otherwise(((scaled - pmod(scaled, den)) / den).cast("bigint"))
+  }
+
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("bigint")
 
@@ -75,7 +88,14 @@ object TextStats {
 
   /** Total characters across tokens (exact integer arithmetic). */
   def sumTokenLengths(text: Column): Column =
-    aggregate(transform(tokens(text), t => length(t).cast("bigint")),
+    sumTokenLengthsFromTokens(tokens(text))
+
+  /** Same, over an already-staged token-array attribute (callers that
+    * reference the tokens more than once hoist them into a projection
+    * first — interpreted HOF trees get no subexpression elimination).
+    */
+  def sumTokenLengthsFromTokens(toks: Column): Column =
+    aggregate(transform(toks, t => length(t).cast("bigint")),
       lit(0L), (acc, x) => acc + x)
 
   def meanTokenLength(text: Column): Column =

@@ -63,4 +63,24 @@ object Sampling {
     df.withColumn("cum_weight", sum(col(weightCol)).over(w))
       .filter(col("cum_weight") <= budget)
   }
+
+  /** Sequence packing: assign each row to a fixed-budget bin by the
+    * running `weightCol` total BEFORE it (ordered by `orderCol` within
+    * `groupCol`) — the greedy streaming packer that turns a document
+    * stream into ~`binBudget`-token training sequences. bin_id =
+    * floor(tokens_before / budget): deterministic, one window pass, and
+    * embarrassingly parallel across groups (at corpus scale the group is
+    * the shard/source key, so no global sort exists anywhere). A row
+    * larger than the remaining slack spills into the next bin — standard
+    * greedy packing slack, bounded by one max-doc per bin.
+    */
+  def packBins(df: DataFrame, groupCol: String, orderCol: String,
+               weightCol: String, binBudget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(col(weightCol)).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__before DIV ${binBudget}L"))
+      .drop("__before")
+  }
 }
