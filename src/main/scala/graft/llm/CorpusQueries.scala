@@ -144,12 +144,110 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
       .orderBy("source", "bin_id")
 
+  /** PII detection + redaction. The corpus itself is synthetic and
+    * PII-free, so the query derives a deterministic PII-bearing column
+    * from (text, doc_id) first — BOTH engines derive the identical string,
+    * making the regex count/redact stage a real, non-trivially-zero
+    * oracle check. At corpus scale this is the standard pre-training
+    * scrub pass: per-row regex chains, no shuffle at all.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val synth = concat(
+      col("text"), lit(" user"), id, lit("@mail.com"),
+      when(col("doc_id") % 3 === 0, concat(lit(" alt"), id, lit("@ex.org")))
+        .otherwise(""),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+        .otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" +14155550"), (col("doc_id") % 1000).cast("string")))
+        .otherwise(""))
+    table(spark, dir, "documents")
+      // stage the synthesized text once: four regex expressions read it
+      .select(col("doc_id"), synth.as("__synth"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("__synth"), lit(TextStats.emailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("__synth"), lit(TextStats.ipv4Re), lit(0)))
+          .cast("bigint").as("n_ips"),
+        size(regexp_extract_all(col("__synth"), lit(TextStats.phoneRe), lit(0)))
+          .cast("bigint").as("n_phones"),
+        md5(TextStats.redactPii(col("__synth"))).as("red_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic md5-rank sample: 10 docs per source
+    * ([[graft.ops.Sampling.md5RankSample]]) — reproducible down-sampling
+    * for eval sets and ablations, WindowGroupLimit-pruned per group.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.md5RankSample(
+        table(spark, dir, "documents").select(col("doc_id"), col("source")),
+        groupCol = "source", idCol = "doc_id", k = 10)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+
+  /** Bigram language-model score per document: average ln p(w_i | w_{i-1})
+    * under the corpus's own bigram distribution — one LM degree up from
+    * [[unigramLogprob]], the distributed stand-in for a KenLM-style
+    * perplexity filter. Conditional probabilities divide each bigram count
+    * by its PREFIX total (occurrences of w1 as a bigram head), both from
+    * the same aggregate. Docs with fewer than two tokens degrade to
+    * (0, NULL) rather than disappearing.
+    */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bg = docs.select(col("doc_id"),
+      TextStats.shingles(TextStats.tokens(col("text")), 2).as("__bg"))
+    val ex = bg.select(col("doc_id"), explode_outer(col("__bg")).as("g"))
+      .filter(col("g").isNotNull)
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val prefixTot = freq
+      .groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).as("ptot"))
+    val p = freq.withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(prefixTot, Seq("w1"))
+      .select(col("g"), log(col("cnt").cast("double") / col("ptot")).as("lp"))
+    val agg = ex.join(broadcast(p), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source vocabulary statistics: doc/token/distinct-token counts and
+    * the type-token ratio (micro-units) — the Heaps'-law corpus-health
+    * numbers a mixture dashboard reads. One exploded aggregate; the two
+    * exact distincts expand-and-reaggregate, still keyed by source.
+    */
+  def sourceVocab(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        TextStats.tokens(col("text")).as("__toks"))
+      .select(col("source"), col("doc_id"), explode(col("__toks")).as("token"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_vocab"))
+      .withColumn("ttr_micro",
+        TextStats.microRatio(col("n_vocab"), col("n_tokens")))
+      .orderBy("source")
+
   val all: Map[String, Q] = Map(
     "q_gopher_rules" -> (gopherRules _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_interdoc_dup" -> (interDocDupFraction _),
-    "q_seq_pack" -> (seqPack _)
+    "q_seq_pack" -> (seqPack _),
+    "q_pii_redact" -> (piiRedact _),
+    "q_hash_sample" -> (hashSample _),
+    "q_bigram_logprob" -> (bigramLogprob _),
+    "q_source_vocab" -> (sourceVocab _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -227,6 +325,79 @@ object CorpusQueries {
         |  END AS interdup_micro
         |FROM sh LEFT JOIN agg ON sh.doc_id = agg.doc_id
         |ORDER BY sh.doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    text || ' user' || CAST(doc_id AS VARCHAR) || '@mail.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' alt' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' +14155550' || CAST(doc_id % 1000 AS VARCHAR) ELSE '' END
+        |      AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(synth, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+        |       AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(synth,
+        |       '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(synth, '\+[0-9]{8,}')) AS BIGINT)
+        |       AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(synth,
+        |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |    '\+[0-9]{8,}', '<PHONE>', 'g')) AS red_fp
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_hash_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, rk, doc_id FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i+1]) AS l
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(l) AS g FROM bg),
+        |freq AS (SELECT g, count(*) AS cnt FROM ex GROUP BY g),
+        |pt AS (
+        |  SELECT split_part(g, ' ', 1) AS w1, sum(cnt) AS ptot
+        |  FROM freq GROUP BY w1),
+        |p AS (
+        |  SELECT g, ln(CAST(cnt AS DOUBLE) / ptot) AS lp
+        |  FROM freq JOIN pt ON split_part(freq.g, ' ', 1) = pt.w1),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(sum(lp) / count(*), 6) AS avg_logprob
+        |  FROM ex JOIN p USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+        |  agg.avg_logprob
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_source_vocab" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT token) AS BIGINT) AS n_vocab,
+        |  CAST((1000000 * count(DISTINCT token)) // count(*) AS BIGINT)
+        |    AS ttr_micro
+        |FROM tok
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_seq_pack" ->
       """WITH d AS (

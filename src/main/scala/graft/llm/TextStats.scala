@@ -60,6 +60,27 @@ object TextStats {
       .otherwise(((num - pmod(num, t)) / t).cast("bigint"))
   }
 
+  /** PII patterns, deliberately in the regex subset that Java regex and
+    * RE2-family engines treat identically (char classes, bounded
+    * quantifiers — no backrefs, no lookaround): the redaction must be
+    * reproducible anywhere the corpus is processed.
+    */
+  val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  val ipv4Re = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  val phoneRe = "\\+[0-9]{8,}"
+
+  /** Scrub emails, IPv4s and international phone numbers to typed
+    * placeholder tags. Email first: the other patterns can't match inside
+    * an already-redacted tag, so the order is conflict-free. Pure per-row
+    * regex chain — embarrassingly parallel.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
   /** Exact micro-unit ratio `num / den` as a BIGINT floor division —
     * the engine-portable score contract shared by the quality /
     * repetition / contamination family: integer micro-units can't hit

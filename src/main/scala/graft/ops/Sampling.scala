@@ -64,6 +64,22 @@ object Sampling {
       .filter(col("cum_weight") <= budget)
   }
 
+  /** Deterministic uniform sample: keep the `k` rows with the smallest
+    * md5(id) per group. Hash-rank sampling is reproducible across engines
+    * and runs (unlike rand(seed), whose stream depends on partitioning),
+    * uniform for any id distribution, and one window pass per group —
+    * Spark plans it as WindowGroupLimit, so only k rows per group survive
+    * the shuffle. md5 (not xxhash64) keeps it DuckDB-replayable.
+    */
+  def md5RankSample(df: DataFrame, groupCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
+
   /** Sequence packing: assign each row to a fixed-budget bin by the
     * running `weightCol` total BEFORE it (ordered by `orderCol` within
     * `groupCol`) — the greedy streaming packer that turns a document

@@ -121,6 +121,88 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pii redact: typed placeholders, exact counts, idempotent") {
+    val t = "call +141555501234 or mail bob@site.org from 10.0.3.7 x@y.io"
+    val row = Seq(t).toDF("text")
+      .select(TextStats.redactPii($"text").as("red"),
+        size(regexp_extract_all($"text", lit(TextStats.emailRe), lit(0)))
+          .as("emails"),
+        size(regexp_extract_all($"text", lit(TextStats.ipv4Re), lit(0)))
+          .as("ips"),
+        size(regexp_extract_all($"text", lit(TextStats.phoneRe), lit(0)))
+          .as("phones"))
+      .head()
+    assert(row.getAs[String]("red") ==
+      "call <PHONE> or mail <EMAIL> from <IP> <EMAIL>")
+    assert(row.getAs[Int]("emails") == 2)
+    assert(row.getAs[Int]("ips") == 1)
+    assert(row.getAs[Int]("phones") == 1)
+    // idempotent: placeholders contain nothing any pattern can match
+    val twice = Seq(t).toDF("text")
+      .select(TextStats.redactPii(TextStats.redactPii($"text"))).head().getString(0)
+    assert(twice == row.getAs[String]("red"))
+  }
+
+  test("md5 hash sample: deterministic, k per group, hash-ordered") {
+    val docs = graft.Tables.table(spark, sf, "documents")
+      .select($"doc_id", $"source")
+    def sample() = graft.ops.Sampling
+      .md5RankSample(docs, "source", "doc_id", 5)
+      .select("source", "rk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val s1 = sample()
+    assert(s1 == sample()) // reproducible across runs
+    val perGroup = s1.groupBy(_._1)
+    perGroup.values.foreach(g => assert(g.length <= 5))
+    // the sample is hash-ordered, not id-ordered: across all sources at
+    // least one sampled id must differ from the group's smallest ids
+    val idOrdered = docs.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map(_._2).sorted.take(5).toSeq }
+    assert(perGroup.exists { case (s, g) =>
+      g.map(_._3).sorted.toSeq != idOrdered(s) })
+  }
+
+  test("bigram logprob: exact conditional probabilities on a hand corpus") {
+    val docs = Seq((0L, "a b"), (1L, "a c"), (2L, "z")).toDF("doc_id", "text")
+    val bg = docs.select($"doc_id",
+      TextStats.shingles(TextStats.tokens($"text"), 2).as("__bg"))
+    val ex = bg.select($"doc_id", explode_outer($"__bg").as("g"))
+      .filter($"g".isNotNull)
+    val freq = ex.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val pt = freq.groupBy(substring_index($"g", " ", 1).as("w1"))
+      .agg(sum($"cnt").as("ptot"))
+    val p = freq.withColumn("w1", substring_index($"g", " ", 1))
+      .join(pt, Seq("w1"))
+      .select($"g", log($"cnt".cast("double") / $"ptot").as("lp"))
+    val agg = ex.join(p, Seq("g")).groupBy("doc_id")
+      .agg(round(sum($"lp") / count(lit(1)), 6).as("avg_logprob"))
+    val out = docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    // bigrams: "a b" ×1, "a c" ×1 → P(b|a) = P(c|a) = 1/2
+    val half = BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L).contains(half))
+    assert(out(1L).contains(half))
+    assert(out(2L).isEmpty) // single-token doc: no bigrams, NULL score
+  }
+
+  test("source vocab: type-token ratio on a hand corpus") {
+    val docs = Seq((0L, "a b a", "s1"), (1L, "a a", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = docs
+      .select($"source", $"doc_id", explode(TextStats.tokens($"text")).as("token"))
+      .groupBy("source")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_tokens"),
+        countDistinct($"token").as("n_vocab"))
+      .withColumn("ttr_micro", TextStats.microRatio($"n_vocab", $"n_tokens"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("s1") == ((2L, 5L, 2L, 400000L))) // 2 vocab / 5 tokens
+    assert(out("s2") == ((1L, 2L, 2L, 1000000L)))
+  }
+
   test("seq pack on a hand frame: spill goes to the next bin") {
     val d = Seq(
       ("s", 1L, 1500L), ("s", 2L, 1000L), ("s", 3L, 100L), ("s", 4L, 2000L))
