@@ -162,6 +162,16 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** PQ (product-quantization) approximate top-10 for query vectors
+    * vec_id < 5 (rows-only: KMeans codebooks aren't SQL-reproducible;
+    * recall vs brute force is gated in SimilaritySpec).
+    */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** Per-vector L2 norms (exact fold, rounded). */
   def embeddingNorms(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -325,6 +335,7 @@ object LlmQueries {
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_ivf_topk" -> (ivfTopK _),
+    "q_pq_topk" -> (pqTopK _),
     "q_embedding_dedup" -> (embeddingDedup _),
     "q_embedding_norms" -> (embeddingNorms _),
     "q_label_centroids" -> (labelCentroids _),

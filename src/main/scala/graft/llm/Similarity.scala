@@ -165,6 +165,137 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "score")
   }
 
+  /** Product-quantization (PQ) approximate top-k — the third standard ANN
+    * scale path next to LSH (pair recall) and IVF (cell pruning). Build:
+    * each unit vector splits into `m` subvectors; a per-subspace KMeans
+    * codebook (`codebookSize` centroids) quantizes every subvector to a
+    * 1-byte code, so a 64-dim float vector compresses to `m` bytes plus
+    * the id — the representation that lets a 100 TB corpus live in
+    * cluster memory. Search (ADC): per query, a tiny m×codebookSize
+    * lookup table of subspace dot products; each candidate's score is m
+    * array lookups summed — a full scan whose per-row cost is O(m), not
+    * O(dim), with the LUT broadcast. The codebooks and LUT are
+    * index-build metadata (bounded by m·codebookSize·subdim and the
+    * query-set size, never by the corpus), so building them driver-side
+    * is the faiss shape, not a driver-side data loop; at 100 TB the
+    * codebook fit runs offline on a sample exactly like the IVF build.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 16, codebookSize: Int = 32, shortlist: Int = 50,
+             sampleN: Int = 2048,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // ---- build (bounded, driver-side — the faiss offline-train shape):
+    // codebooks come from Lloyd's iterations over an id-prefix SAMPLE of
+    // at most sampleN unit vectors. The collect is bounded by sampleN
+    // regardless of corpus size; at 100 TB this is the offline index
+    // build on a sample, exactly like the IVF centroid fit.
+    val sample = corpus
+      .select(col(idCol).as("id"), unitNormalize(col(vecCol)).as("u"))
+      .orderBy("id").limit(sampleN)
+      .select("u").collect().map(_.getSeq[Double](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * d, s * d + d)),
+        codebookSize, iters = 10, seed = 42L + s)
+    }
+
+    // ---- encode: argmin over each subspace codebook, per row, no
+    // shuffle. Interpreted HOF arithmetic is fine at test scale; the
+    // 100 TB encode pass would be one codegen'd Expression of the same
+    // O(m·k·d) per-row loop (cf. functions.DotProduct).
+    val codeCols = (0 until m).map { s =>
+      val cents = typedlit(books(s).map(_.toSeq).toSeq)
+      val sub = slice(col("u"), s * d + 1, d)
+      val dists = transform(cents, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z))
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__code$s")
+    }
+    val staged = corpus
+      .select(col(idCol).as("neighbor_id"), unitNormalize(col(vecCol)).as("u"))
+      .select(Seq(col("neighbor_id")) ++ codeCols: _*)
+      .select(col("neighbor_id"),
+        array((0 until m).map(i => col(s"__code$i")): _*).as("codes"))
+
+    // ---- search (ADC): per-query LUT of subspace dot products, m array
+    // lookups per candidate, shortlist by approximate score…
+    val qU = queries
+      .select(col(idCol).as("query_id"), unitNormalize(col(vecCol)).as("qu"))
+    val luts = qU.collect() // the QUERY set — bounded input, not corpus data
+      .map { r =>
+        val qu = r.getSeq[Double](1)
+        val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+          val qsub = qu.slice(s * d, s * d + d)
+          books(s).map(c => c.zip(qsub).map { case (a, b) => a * b }.sum).toSeq
+        }
+        (r.getLong(0), lut)
+      }.toSeq.toDF("query_id", "lut")
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(desc("approx"), asc("neighbor_id"))
+    val short = staged.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        aggregate(zip_with(col("codes"), col("lut"),
+            (c, row) => element_at(row, c + 1)),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("srk", row_number().over(wApprox))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // ---- …then EXACT rerank of the shortlist (what production PQ does):
+    // the shortlist is Q·shortlist rows — broadcast it against the corpus
+    // so only shortlisted vectors are ever re-read at full precision.
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("neighbor_id"))
+    val corpusVecs = corpus.select(col(idCol).as("neighbor_id"),
+      unitNormalize(col(vecCol)).as("cu"))
+    corpusVecs.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qU), Seq("query_id"))
+      .withColumn("score", round(dotProduct(col("cu"), col("qu")), 6))
+      .withColumn("rk", row_number().over(wFinal).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "score")
+  }
+
+  /** Lloyd's k-means over a bounded in-memory sample (the PQ codebook
+    * trainer): seeded distinct-point init, empty clusters keep their
+    * previous centroid, fixed iteration count — fully deterministic.
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val d = points.head.length
+    var cents = rnd.shuffle((0 until n).toVector).take(math.min(k, n))
+      .map(i => points(i).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length, d)(0.0)
+      val cnts = new Array[Int](cents.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var j = 0
+          while (j < d) { val t = p(j) - cents(c)(j); s += t * t; j += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnts(c) == 0) cents(c)
+        else Array.tabulate(d)(j => sums(c)(j) / cnts(c))
+      }
+    }
+    cents
+  }
+
   /** Embedding-cosine near-dedup: retain every vector that is not the
     * higher id of a pair with cosine ≥ `minCosine` — the embedding-space
     * analog of [[graft.llm.Dedup.nearDedupKeepFirst]] (semantic dedup:

@@ -71,6 +71,34 @@ object StreamQueries {
     spark.table(name).orderBy("win_start", "event_type")
   }
 
+  /** Streaming dedup, EXECUTED and adversarial: the events file stream
+    * unioned with itself — every event arrives exactly twice — then
+    * `dropDuplicatesWithinWatermark` on the event id collapses the pairs
+    * in state-store before a per-type count. Without the dedup stage the
+    * counts are exactly doubled (asserted in the spec), so the green
+    * oracle row is a real proof the state-store dedup ran. At 100 TB this
+    * is the at-least-once → effectively-once ingest repair: the watermark
+    * bounds state to one delay window instead of the whole history.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.eventTsFromNanos)
+    val counts = src.unionAll(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val name = "graft_stream_dedup"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   /** Batch sessionization (gap rule 6 h) — the window-function form of
     * [[Sessionize.sessionize]]; the streaming form is covered by the
     * flatMapGroupsWithState spec.
@@ -87,6 +115,7 @@ object StreamQueries {
   val all: Map[String, Q] = Map(
     "q_stream_roundtrip" -> (streamRoundtrip _),
     "q_stream_windowed" -> (streamWindowedCounts _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_sessions" -> (sessions _)
   )
 
@@ -112,6 +141,12 @@ object StreamQueries {
         |FROM events
         |GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_stream_roundtrip" ->
       """SELECT CAST(event_id // 100 AS BIGINT) AS batch_id,

@@ -46,6 +46,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.3, s"mean recall $mean")
   }
 
+  test("PQ shortlist+rerank: high recall vs brute force, deterministic, " +
+      "exact rerank scores") {
+    val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = asMap(Similarity.knnBruteForce(emb, queries, k = 10))
+    val pqDf = Similarity.pqTopK(emb, queries, k = 10)
+    val pq = asMap(pqDf)
+    val recalls = exact.map { case (q, nbrs) =>
+      pq.getOrElse(q, Set.empty).count(nbrs.contains).toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 16×32 codebooks + exact rerank of a 50-deep shortlist: ~0.9 on this
+    // corpus; anything near the direct-ADC 0.5 means the rerank is broken
+    assert(mean >= 0.7, s"mean recall $mean")
+    // deterministic end to end (seeded sample + seeded Lloyd's)
+    assert(asMap(Similarity.pqTopK(emb, queries, k = 10)) == pq)
+    // rerank emits EXACT cosine: spot-check surviving pairs against the
+    // brute-force scores
+    val bfScores = Similarity.knnBruteForce(emb, queries, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val hits = pqDf.collect()
+      .filter(r => bfScores.contains((r.getLong(0), r.getLong(2))))
+    assert(hits.nonEmpty)
+    hits.foreach { r =>
+      assert(r.getDouble(3) == bfScores((r.getLong(0), r.getLong(2))))
+    }
+  }
+
   test("LSH cosine pairs: reported cosine matches exact within LSH tolerance") {
     val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
     val pairs = Similarity.lshCosinePairs(emb, minCosine = 0.3).limit(5).collect()

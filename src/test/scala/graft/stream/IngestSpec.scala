@@ -140,6 +140,33 @@ class IngestSpec extends AnyFunSuite {
   // back complete. This is the exactly-once file-sink contract (the
   // manifest under _spark_metadata records committed batches), vs the
   // at-most-once socket transport the reference ships.
+  test("q_stream_dedup's self-union actually doubles without the dedup " +
+      "stage, and the dedup query returns the batch answer") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.Tables.table(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // control: the same plan WITHOUT dropDuplicatesWithinWatermark
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", graft.Tables.eventTsFromNanos)
+    val ctl = src.unionAll(src)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val q = ctl.writeStream.format("memory").queryName("dedup_ctl")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val doubled = spark.table("dedup_ctl").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(doubled == batch.map { case (k, v) => k -> v * 2 })
+    // the real query: dedup collapses the pairs back to the batch answer
+    val deduped = StreamQueries.streamDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deduped == batch)
+  }
+
   test("streaming parquet file sink commits batches durably") {
     implicit val sq = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_sink_").toString
