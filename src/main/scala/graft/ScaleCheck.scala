@@ -114,6 +114,68 @@ object ScaleCheck {
     check(s"windowed counts are exactly ${replicas}x")(winBad == 0,
       s"$winBad windows off")
 
+    // --- round-3 wave-2 operators ------------------------------------
+    // inter-doc duplication: replica-0 slice must equal the source result
+    // EXACTLY — suffixed replicas share no shingles with replica 0, so
+    // replica-0 document frequencies are untouched by 10× growth
+    timed("interdoc_dup (sf1 + compare)") {
+      val idSrc = llm.CorpusQueries.interDocDupFraction(spark, src)
+      val idBig = llm.CorpusQueries.interDocDupFraction(spark, out)
+        .filter(col("doc_id") < Stride)
+      val idDiff = idBig.unionByName(idSrc)
+        .groupBy("doc_id", "n_shingles", "interdup_micro").count()
+        .filter(col("count") =!= 2).count()
+      check("replica-0 interdoc-dup == sf0.1")(idDiff == 0, s"$idDiff odd rows")
+    }
+
+    // unigram LM: disjoint-vocab 10× growth leaves replica-0 token counts
+    // unchanged but multiplies the total, so every replica-0 doc score
+    // shifts by EXACTLY -ln(replicas)
+    timed("unigram_logprob (sf1 + compare)") {
+      val ugSrc = llm.CorpusQueries.unigramLogprob(spark, src)
+        .select(col("doc_id"), col("avg_logprob").as("lp_src"))
+      val ugBig = llm.CorpusQueries.unigramLogprob(spark, out)
+        .filter(col("doc_id") < Stride)
+        .select(col("doc_id"), col("avg_logprob").as("lp_big"))
+      val ugBad = ugSrc.join(ugBig, Seq("doc_id"))
+        .filter(abs(col("lp_src") - col("lp_big") - math.log(replicas)) > 2e-6)
+        .count()
+      check(s"replica-0 unigram logprob shifts by ln($replicas)")(ugBad == 0,
+        s"$ugBad docs off")
+    }
+
+    // bigram LM: conditionals divide a bigram count by its prefix total,
+    // BOTH replica-local — replica-0 scores are corpus-size INVARIANT
+    timed("bigram_logprob (sf1 + compare)") {
+      val bgSrc = llm.CorpusQueries.bigramLogprob(spark, src)
+        .select(col("doc_id"), col("avg_logprob").as("lp_src"))
+      val bgBig = llm.CorpusQueries.bigramLogprob(spark, out)
+        .filter(col("doc_id") < Stride)
+        .select(col("doc_id"), col("avg_logprob").as("lp_big"))
+      val bgBad = bgSrc.join(bgBig, Seq("doc_id"))
+        .filter(!(col("lp_src").isNull && col("lp_big").isNull) &&
+          (col("lp_src").isNull || col("lp_big").isNull ||
+            abs(col("lp_src") - col("lp_big")) > 1e-6))
+        .count()
+      check("replica-0 bigram logprob is corpus-size invariant")(bgBad == 0,
+        s"$bgBad docs off")
+    }
+
+    // cohort retention: replicas shift user ids but keep timestamps, so
+    // every (cohort_day, offset) cell must be exactly replicas× its
+    // source value
+    timed("cohort_retention (sf1 + compare)") {
+      val cSrc = ops.EventQueries.cohortRetention(spark, src)
+      val cBig = ops.EventQueries.cohortRetention(spark, out)
+        .withColumnRenamed("users", "users_big")
+      val cBad = cSrc.join(cBig, Seq("cohort_day", "day_offset"), "full")
+        .filter(coalesce(col("users_big"), lit(-1L)) =!=
+          coalesce(col("users"), lit(-1L)) * replicas)
+        .count()
+      check(s"cohort retention cells are exactly ${replicas}x")(cBad == 0,
+        s"$cBad cells off")
+    }
+
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)

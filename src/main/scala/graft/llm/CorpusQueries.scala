@@ -64,7 +64,11 @@ object CorpusQueries {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(TextStats.tokens(col("text")).as("__toks"))
-      .select(explode(col("__toks")).as("token"))
+      // explode_outer + null filter, NOT plain explode: the inferred
+      // `size(...) > 0` filter re-inlines the split() chain and tokenizes
+      // every row twice (the round-3 winnowing trap)
+      .select(explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .withColumn("rk",
         row_number().over(Window.orderBy(col("cnt").desc, col("token")))
@@ -84,7 +88,10 @@ object CorpusQueries {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val tok = table(spark, dir, "documents")
       .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      // explode_outer + null filter: dodge the inferred-filter re-inline
+      // (see heavyHitters)
+      .select(col("doc_id"), explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
     val freq = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("total"))
     val lp = freq.crossJoin(broadcast(tot))
@@ -229,7 +236,10 @@ object CorpusQueries {
     table(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         TextStats.tokens(col("text")).as("__toks"))
-      .select(col("source"), col("doc_id"), explode(col("__toks")).as("token"))
+      // explode_outer + null filter: see heavyHitters
+      .select(col("source"), col("doc_id"),
+        explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
       .groupBy("source")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),

@@ -133,6 +133,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("token explodes never re-inline split() into an inferred filter") {
+    // same trap, token-family queries: a Filter containing split( means
+    // InferFiltersFromGenerate re-derived the tokenization per row and
+    // every document is split twice
+    for (df <- Seq(
+        llm.CorpusQueries.heavyHitters(spark, sf),
+        llm.CorpusQueries.unigramLogprob(spark, sf),
+        llm.CorpusQueries.sourceVocab(spark, sf),
+        llm.CorpusQueries.bigramLogprob(spark, sf),
+        llm.CorpusQueries.interDocDupFraction(spark, sf))) {
+      val p = plan(df)
+      val bad = p.linesIterator.exists(l => l.contains("Filter") && l.contains("split("))
+      assert(!bad, s"split() re-inlined into a filter:\n${p.take(3000)}")
+    }
+  }
+
+  test("hash-rank sampling keeps the WindowGroupLimit pushdown") {
+    val p = plan(llm.CorpusQueries.hashSample(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+  }
+
+  test("equi-depth histogram broadcasts the boundary row (no ntile sort)") {
+    val p = plan(graft.ops.EventQueries.equidepthHistogram(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"boundary row not broadcast:\n$p")
+    // "ntile(" not "ntile": percentile_disc contains the substring
+    assert(!p.contains("ntile("), s"global ntile crept in:\n$p")
+  }
+
   test("bloom semi join keeps the pushdown-friendly scan under the probe") {
     val fact = Tables.table(spark, sf, "orders")
     val dim = Tables.table(spark, sf, "customer").limit(100)
