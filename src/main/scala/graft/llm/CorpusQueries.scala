@@ -216,7 +216,10 @@ object CorpusQueries {
     val p = freq.withColumn("w1", substring_index(col("g"), " ", 1))
       .join(prefixTot, Seq("w1"))
       .select(col("g"), log(col("cnt").cast("double") / col("ptot")).as("lp"))
-    val agg = ex.join(broadcast(p), Seq("g"))
+    // no broadcast hint: a bigram table grows with vocab², so the side
+    // choice belongs to AQE (it will broadcast at this SF, shuffle at web
+    // scale) — unlike the UNIGRAM table, which stays broadcastable
+    val agg = ex.join(p, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
