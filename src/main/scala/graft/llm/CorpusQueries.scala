@@ -251,7 +251,57 @@ object CorpusQueries {
         TextStats.microRatio(col("n_vocab"), col("n_tokens")))
       .orderBy("source")
 
+  /** One BPE-training merge step, corpus-weighted: the top adjacent
+    * character pairs by total occurrence count. The trick that makes
+    * this corpus-size-proof: pairs are enumerated over the DISTINCT
+    * token table (vocabulary-sized) and weighted by the token's corpus
+    * frequency — the full text is never re-scanned at the character
+    * level. `sequence(1, len-1)` is guarded for 1-char tokens (sequence
+    * counts DOWN when start > stop — the round-1 trap).
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val freq = table(spark, dir, "documents")
+      .select(TextStats.tokens(col("text")).as("__toks"))
+      .select(explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val pairsArr = when(length(col("token")) >= 2,
+        transform(sequence(lit(1), length(col("token")) - 1),
+          i => col("token").substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    freq.select(col("c"), pairsArr.as("__pairs"))
+      .select(col("c"), explode_outer(col("__pairs")).as("pair"))
+      .filter(col("pair").isNotNull)
+      .groupBy("pair").agg(sum(col("c")).as("cnt"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+          .cast("bigint"))
+      .filter(col("rk") <= 10L)
+      .select("rk", "pair", "cnt")
+      .orderBy("rk")
+  }
+
+  /** Mixture accounting by quality band: documents bucketed by their
+    * quality score (micro-units, 250k-wide bands) with doc and token
+    * mass per band — the "how much high-quality data do we have"
+    * dashboard behind quality-curriculum sampling. Composes the exact
+    * integer quality contract, so the band edges are engine-identical.
+    */
+  def qualityMix(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(TextStats.tokens(col("text")).as("__toks"), col("n_chars"))
+      .select(
+        TextStats.qualityScoreMicroFromTokens(col("__toks"), col("n_chars"))
+          .as("q"),
+        size(col("__toks")).cast("bigint").as("n_tokens"))
+      .withColumn("band", expr("q DIV 250000"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      .orderBy("band")
+
   val all: Map[String, Q] = Map(
+    "q_bpe_pairs" -> (bpePairs _),
+    "q_quality_mix" -> (qualityMix _),
     "q_gopher_rules" -> (gopherRules _),
     "q_heavy_hitters" -> (heavyHitters _),
     "q_unigram_logprob" -> (unigramLogprob _),
@@ -264,6 +314,46 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |f AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+        |p AS (
+        |  SELECT CASE WHEN len(token) >= 2
+        |    THEN list_transform(range(1, len(token)), i -> substr(token, i, 2))
+        |    ELSE CAST([] AS VARCHAR[]) END AS pr, c
+        |  FROM f),
+        |e AS (SELECT unnest(pr) AS pair, c FROM p),
+        |g AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM e GROUP BY pair),
+        |r AS (
+        |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
+        |  FROM g)
+        |SELECT rk, pair, cnt FROM r WHERE rk <= 10
+        |ORDER BY rk""".stripMargin,
+
+    "q_quality_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','query','table',
+        |                 'der','die','das','und','scan','row',
+        |                 'le','la','les','et','join','merge'))) AS BIGINT) AS h,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS d,
+        |    least(n_chars, 500) AS m
+        |  FROM documents),
+        |q AS (
+        |  SELECT CAST((1000000 * (10 * m * t + 3750 * (h + d))) // (12500 * t)
+        |           AS BIGINT) AS q,
+        |         t
+        |  FROM c)
+        |SELECT CAST(q // 250000 AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS tokens
+        |FROM q
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
     "q_gopher_rules" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

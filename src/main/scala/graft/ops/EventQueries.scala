@@ -60,9 +60,62 @@ object EventQueries {
       .orderBy("bucket")
   }
 
+  /** Daily-volume anomaly detection: per event type, flag days whose
+    * count z-score (vs that type's daily mean/stddev) exceeds 2. The
+    * stats frame is type-cardinality-sized (broadcast); the z pass is
+    * per-row. Zero-variance types degrade to NaN z / flag 0 instead of
+    * tripping ANSI division-by-zero (the Spark 4 trap). Transcendental-
+    * free but merge-order-dependent (stddev), so z is round-6 — the
+    * established portability contract for moment statistics.
+    */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round(
+        when(col("sd").isNull || col("sd") === 0.0, lit(Double.NaN))
+          .otherwise((col("n") - col("mu")) / col("sd")), 6))
+      .withColumn("is_anomaly",
+        when(isnan(col("z")), lit(0L))
+          .otherwise((abs(col("z")) > 2.0).cast("bigint")))
+      .select("event_type", "day", "n", "z", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
+  /** First-order Markov transitions over each user's event sequence:
+    * counts and exact micro-unit conditional probabilities
+    * p(next | prev) — the event-stream analog of the corpus bigram LM
+    * (session modeling, next-action prediction features). One lag window
+    * per user, two bounded aggregates; ties in ts break on event_id so
+    * the sequence — and therefore the answer — is total-order
+    * deterministic.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val cnt = pairs
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("prev_type").agg(sum(col("cnt")).as("tot"))
+    cnt.join(tot, Seq("prev_type"))
+      .withColumn("p_micro",
+        graft.llm.TextStats.microRatio(col("cnt"), col("tot")))
+      .select("prev_type", "next_type", "cnt", "p_micro")
+      .orderBy("prev_type", "next_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q_cohort_retention" -> (cohortRetention _),
-    "q_equidepth_hist" -> (equidepthHistogram _)
+    "q_equidepth_hist" -> (equidepthHistogram _),
+    "q_anomaly_days" -> (anomalyDays _),
+    "q_event_transitions" -> (eventTransitions _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -77,6 +130,41 @@ object EventQueries {
         |FROM d JOIN c USING (user_id)
         |GROUP BY c.cohort_day, day_offset
         |ORDER BY c.cohort_day, day_offset""".stripMargin,
+
+    "q_anomaly_days" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |s AS (
+        |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        |  FROM d GROUP BY event_type),
+        |z AS (
+        |  SELECT d.event_type, d.day, d.n,
+        |    round(CASE WHEN s.sd IS NULL OR s.sd = 0 THEN 'NaN'::DOUBLE
+        |          ELSE (d.n - s.mu) / s.sd END, 6) AS z
+        |  FROM d JOIN s USING (event_type))
+        |SELECT event_type, day, n, z,
+        |  CAST(CASE WHEN isnan(z) THEN 0
+        |       WHEN abs(z) > 2 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM z
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type,
+        |         event_type AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM p WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, next_type),
+        |t AS (
+        |  SELECT prev_type, sum(cnt) AS tot FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, c.next_type, c.cnt,
+        |  CAST((1000000 * c.cnt) // t.tot AS BIGINT) AS p_micro
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
 
     "q_equidepth_hist" ->
       """WITH b AS (

@@ -203,6 +203,37 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(out("s2") == ((1L, 2L, 2L, 1000000L)))
   }
 
+  test("bpe pairs: corpus-frequency-weighted adjacent char counts, " +
+      "1-char tokens guarded") {
+    // "ab ab x abc": token freqs ab×2, x×1, abc×1 → pairs: "ab" 2+1=3,
+    // "bc" 1; "x" contributes nothing (guarded, not a crash)
+    val freq = Seq("ab ab x abc").toDF("text")
+      .select(explode_outer(TextStats.tokens($"text")).as("token"))
+      .filter($"token".isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val pairsArr = when(length($"token") >= 2,
+        transform(sequence(lit(1), length($"token") - 1),
+          i => $"token".substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val out = freq.select($"c", pairsArr.as("__pairs"))
+      .select($"c", explode_outer($"__pairs").as("pair"))
+      .filter($"pair".isNotNull)
+      .groupBy("pair").agg(sum($"c").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 3L, "bc" -> 1L))
+  }
+
+  test("quality mix: bands partition the corpus and carry its token mass") {
+    val rows = CorpusQueries.qualityMix(spark, sf).collect()
+    val docs = graft.Tables.table(spark, sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalTokens = docs
+      .select(sum(TextStats.tokenCount($"text"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("tokens")).sum == totalTokens)
+    // bands are micro-unit quarters of [0, 1e6]
+    rows.foreach(r => assert((0L to 4L).contains(r.getAs[Long]("band"))))
+  }
+
   test("seq pack on a hand frame: spill goes to the next bin") {
     val d = Seq(
       ("s", 1L, 1500L), ("s", 2L, 1000L), ("s", 3L, 100L), ("s", 4L, 2000L))
