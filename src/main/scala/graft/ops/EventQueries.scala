@@ -111,11 +111,26 @@ object EventQueries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** PageRank over the event-transition graph (rows-only: iterative
+    * fixed-point, not SQL-expressible; exact small-graph values are
+    * spec-gated in GraphSpec). Node importance for session modeling —
+    * which event types anchor user journeys.
+    */
+  def transitionPageRank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(
+        eventTransitions(spark, dir)
+          .select(col("prev_type").as("src"), col("next_type").as("dst"),
+            col("cnt").as("weight")),
+        iters = 10)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+
   val all: Map[String, Q] = Map(
     "q_cohort_retention" -> (cohortRetention _),
     "q_equidepth_hist" -> (equidepthHistogram _),
     "q_anomaly_days" -> (anomalyDays _),
-    "q_event_transitions" -> (eventTransitions _)
+    "q_event_transitions" -> (eventTransitions _),
+    "q_pagerank" -> (transitionPageRank _)
   )
 
   val oracle: Map[String, String] = Map(

@@ -71,29 +71,84 @@ object StreamQueries {
     spark.table(name).orderBy("win_start", "event_type")
   }
 
-  /** Streaming dedup, EXECUTED and adversarial: the events file stream
-    * unioned with itself — every event arrives exactly twice — then
-    * `dropDuplicatesWithinWatermark` on the event id collapses the pairs
-    * in state-store before a per-type count. Without the dedup stage the
-    * counts are exactly doubled (asserted in the spec), so the green
-    * oracle row is a real proof the state-store dedup ran. At 100 TB this
-    * is the at-least-once → effectively-once ingest repair: the watermark
-    * bounds state to one delay window instead of the whole history.
+  /** Streaming dedup, EXECUTED and adversarial: every event from the
+    * file stream arrives exactly twice (one scan, each row exploded into
+    * two copies), then `dropDuplicatesWithinWatermark` on the event id
+    * collapses the pairs in state-store before a per-type count. Without
+    * the dedup stage the counts are exactly doubled (asserted in the
+    * spec), so the green oracle row is a real proof the state-store
+    * dedup ran. At 100 TB this is the at-least-once → effectively-once
+    * ingest repair: the watermark bounds state to one delay window
+    * instead of the whole history.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema)
+    val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", graft.Tables.eventTsFromNanos)
-    val counts = src.unionAll(src)
+    // double every arrival from ONE scan (explode a 2-element array)
+    // rather than self-union: same duplicated-delivery semantics, half
+    // the source reads — the spec still proves the control plan doubles
+    val counts = src
+      .withColumn("__copy", explode(typedlit(Seq(1, 2))))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val name = "graft_stream_dedup"
     val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
+  /** The NATIVE session-window operator (gap 6 h), batch form: Spark's
+    * `session_window` merges per-key event-time windows inside the
+    * aggregate itself — the operator the incremental planner uses for
+    * streaming sessionization, here run on the bounded table so DuckDB
+    * can replicate it with the lag/gap formulation. Complements
+    * q_sessions (the manual window-function form) by proving the
+    * built-in operator produces the same session boundaries.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** Stream-static enrichment, EXECUTED: the events file stream joined to
+    * a STATIC per-type profile (computed from the batch table) — the
+    * canonical "enrich a stream with a dimension" plan, where the static
+    * side is broadcast into every micro-batch, then a windowless global
+    * aggregate per type (count + how many rows exceed the profile mean —
+    * an INTEGER deviation measure: a float deviation sum would hover
+    * near zero where rounding flaps, while `value > mu` can only flip on
+    * an exact tie, which the 2-decimal values and transcendental-ish
+    * mean can't produce). DuckDB replicates both sides from the same
+    * parquet, so the executed streaming join is oracle-checked.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val static = table(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(avg(col("value")).as("mu"))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val enriched = stream
+      .join(broadcast(static), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > col("mu"), 1L).otherwise(0L)).as("n_above"))
+    val name = "graft_stream_enrich"
+    val q = enriched.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name).orderBy("event_type")
@@ -116,6 +171,8 @@ object StreamQueries {
     "q_stream_roundtrip" -> (streamRoundtrip _),
     "q_stream_windowed" -> (streamWindowedCounts _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_enrich" -> (streamEnrich _),
+    "q_session_window" -> (sessionWindows _),
     "q_sessions" -> (sessions _)
   )
 
@@ -147,6 +204,34 @@ object StreamQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_stream_enrich" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS mu FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(count(*) FILTER (WHERE e.value > s.mu) AS BIGINT) AS n_above
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              >= CAST(21600000000 AS BIGINT) THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM g
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_stream_roundtrip" ->
       """SELECT CAST(event_id // 100 AS BIGINT) AS batch_id,

@@ -153,7 +153,7 @@ class IngestSpec extends AnyFunSuite {
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
       .withColumn("ts", graft.Tables.eventTsFromNanos)
-    val ctl = src.unionAll(src)
+    val ctl = src.withColumn("__copy", explode(typedlit(Seq(1, 2))))
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
     val q = ctl.writeStream.format("memory").queryName("dedup_ctl")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
