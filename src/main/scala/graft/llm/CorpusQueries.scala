@@ -299,7 +299,80 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
       .orderBy("band")
 
+  /** Collocation extraction: top-10 token bigrams by pointwise mutual
+    * information, PMI = ln( p(ab) / (p(a)·p(b)) ), among bigrams seen
+    * ≥ 20 times — the phrase-mining pass (multi-word expressions) of a
+    * corpus pipeline. Unigram and bigram counts come from the same
+    * token-frequency aggregates the LM queries use. Cross-engine rank on
+    * a transcendental score uses the round-then-rank contract
+    * (tf-idf lesson): row_number orders by the ROUNDED pmi with the
+    * bigram string as tiebreak, so both engines rank identical keys.
+    */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .select(explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+    val uni = tok.groupBy("token").agg(count(lit(1)).as("uc"))
+    val uniTot = uni.agg(sum(col("uc")).as("utot"))
+    val bg = docs
+      .select(col("doc_id"),
+        TextStats.shingles(TextStats.tokens(col("text")), 2).as("__bg"))
+      .select(explode_outer(col("__bg")).as("g"))
+      .filter(col("g").isNotNull)
+    val big = bg.groupBy("g").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= 20L)
+    val bigTot = bg.agg(count(lit(1)).as("btot"))
+    val scored = big
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+      .join(broadcast(uni.select(col("token").as("w1"), col("uc").as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("token").as("w2"), col("uc").as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(bigTot)).crossJoin(broadcast(uniTot))
+      .withColumn("pmi", round(
+        log((col("bc").cast("double") / col("btot")) /
+          ((col("c1").cast("double") / col("utot")) *
+            (col("c2").cast("double") / col("utot")))), 6))
+    scored
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("pmi").desc, col("g")))
+          .cast("bigint"))
+      .filter(col("rk") <= 10L)
+      .select("rk", "g", "bc", "pmi")
+      .orderBy("rk")
+  }
+
+  /** Zipf rank-frequency slope: the least-squares slope of ln(frequency)
+    * against ln(rank) over the vocabulary (≈ −1 for natural language —
+    * the corpus-health diagnostic that catches template/boilerplate
+    * corpora). Ranking is count-desc with token tiebreak (deterministic),
+    * the fit is one covariance aggregate over the vocabulary-sized frame,
+    * round-6 (moment contract).
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val uni = table(spark, dir, "documents")
+      .select(TextStats.tokens(col("text")).as("__toks"))
+      .select(explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("token"))))
+    uni.select(log(col("rk").cast("double")).as("lr"),
+        log(col("c").cast("double")).as("lf"))
+      .agg(count(lit(1)).cast("bigint").as("n_vocab"),
+        covar_pop(col("lr"), col("lf")).as("cv"),
+        var_pop(col("lr")).as("vr"))
+      // one-token vocabulary has zero rank variance: NaN, not an ANSI
+      // division error (the Spark 4 default)
+      .select(col("n_vocab"), round(
+        when(col("vr").isNull || col("vr") === 0.0, lit(Double.NaN))
+          .otherwise(col("cv") / col("vr")), 6).as("slope"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q_collocations" -> (collocations _),
+    "q_zipf_slope" -> (zipfSlope _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_quality_mix" -> (qualityMix _),
     "q_gopher_rules" -> (gopherRules _),
@@ -314,6 +387,53 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_collocations" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uni AS (SELECT token, count(*) AS uc FROM tok GROUP BY token),
+        |ut AS (SELECT sum(uc) AS utot FROM uni),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i+1])) AS g
+        |  FROM documents),
+        |big AS (
+        |  SELECT g, count(*) AS bc FROM bg GROUP BY g HAVING count(*) >= 20),
+        |bt AS (SELECT count(*) AS btot FROM bg),
+        |s AS (
+        |  SELECT big.g, big.bc,
+        |    round(ln((CAST(big.bc AS DOUBLE) / bt.btot) /
+        |      ((CAST(u1.uc AS DOUBLE) / ut.utot) *
+        |       (CAST(u2.uc AS DOUBLE) / ut.utot))), 6) AS pmi
+        |  FROM big
+        |  JOIN uni u1 ON u1.token = split_part(big.g, ' ', 1)
+        |  JOIN uni u2 ON u2.token = split_part(big.g, ' ', 2)
+        |  CROSS JOIN bt CROSS JOIN ut),
+        |r AS (
+        |  SELECT g, bc, pmi, row_number() OVER (ORDER BY pmi DESC, g) AS rk
+        |  FROM s)
+        |SELECT rk, g, bc, pmi FROM r WHERE rk <= 10
+        |ORDER BY rk""".stripMargin,
+
+    "q_zipf_slope" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |rk AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
+        |  FROM uni),
+        |l AS (
+        |  SELECT ln(CAST(rk AS DOUBLE)) AS lr, ln(CAST(c AS DOUBLE)) AS lf
+        |  FROM rk),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |    covar_pop(lr, lf) AS cv, var_pop(lr) AS vr
+        |  FROM l)
+        |SELECT n_vocab,
+        |  round(CASE WHEN vr IS NULL OR vr = 0 THEN 'NaN'::DOUBLE
+        |        ELSE cv / vr END, 6) AS slope
+        |FROM a""".stripMargin,
+
     "q_bpe_pairs" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

@@ -4,6 +4,29 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.GraftTestSpark
 
+/** Shared helper: Zipf slope of a tiny in-memory corpus (mirrors
+  * [[CorpusQueries.zipfSlope]]'s pipeline without the table loader).
+  */
+object CorpusQueriesSpecHelper {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.expressions.Window
+  def slopeOf(spark: SparkSession, texts: Seq[String]): Double = {
+    import spark.implicits._
+    texts.toDF("text")
+      .select(explode_outer(TextStats.tokens($"text")).as("token"))
+      .filter($"token".isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"c".desc, $"token")))
+      .select(log($"rk".cast("double")).as("lr"), log($"c".cast("double")).as("lf"))
+      .agg(covar_pop($"lr", $"lf").as("cv"), var_pop($"lr").as("vr"))
+      .select(round(
+        when($"vr".isNull || $"vr" === 0.0, lit(Double.NaN))
+          .otherwise($"cv" / $"vr"), 6))
+      .head().getDouble(0)
+  }
+}
+
 /** Unit semantics for the second-wave corpus operators (the hash-level
   * cross-engine proof lives in the DuckDB oracle gate; these pin the
   * intended behavior on small hand-checked frames).
@@ -232,6 +255,52 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("tokens")).sum == totalTokens)
     // bands are micro-unit quarters of [0, 1e6]
     rows.foreach(r => assert((0L to 4L).contains(r.getAs[Long]("band"))))
+  }
+
+  test("collocations: PMI of an always-together pair matches the formula") {
+    // corpus "x y a" + "x y b": unigrams x2 y2 a1 b1 (utot 6); bigrams
+    // "x y"×2, "y a", "y b" (btot 4) → PMI(x y) = ln((2/4)/((2/6)(2/6)))
+    val docs = Seq((0L, "x y a"), (1L, "x y b")).toDF("doc_id", "text")
+    val tok = docs.select(explode_outer(TextStats.tokens($"text")).as("token"))
+      .filter($"token".isNotNull)
+    val uni = tok.groupBy("token").agg(count(lit(1)).as("uc"))
+    val ut = uni.agg(sum($"uc").as("utot"))
+    val bg = docs.select(explode_outer(
+        TextStats.shingles(TextStats.tokens($"text"), 2)).as("g"))
+      .filter($"g".isNotNull)
+    val big = bg.groupBy("g").agg(count(lit(1)).as("bc"))
+    val bt = bg.agg(count(lit(1)).as("btot"))
+    val pmi = big
+      .withColumn("w1", substring_index($"g", " ", 1))
+      .withColumn("w2", substring_index($"g", " ", -1))
+      .join(uni.select($"token".as("w1"), $"uc".as("c1")), Seq("w1"))
+      .join(uni.select($"token".as("w2"), $"uc".as("c2")), Seq("w2"))
+      .crossJoin(bt).crossJoin(ut)
+      .withColumn("pmi", round(
+        log(($"bc".cast("double") / $"btot") /
+          (($"c1".cast("double") / $"utot") * ($"c2".cast("double") / $"utot"))), 6))
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("pmi")).toMap
+    val expect = BigDecimal(math.log((2.0 / 4) / ((2.0 / 6) * (2.0 / 6))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi(("x y")) == expect)
+  }
+
+  test("zipf slope: uniform corpus is flat, decaying corpus is negative") {
+    val uniform = CorpusQueriesSpecHelper.slopeOf(spark,
+      Seq("a b c", "a b c")) // every token count 2 → ln f constant
+    assert(uniform == 0.0)
+    val decaying = CorpusQueriesSpecHelper.slopeOf(spark,
+      Seq("a a a a b b c")) // counts 4, 2, 1
+    assert(decaying < -1.0) // steeper than Zipf's -1 for this tiny corpus
+    // exact least squares on the three (ln r, ln f) points
+    val pts = Seq((math.log(1.0), math.log(4.0)), (math.log(2.0), math.log(2.0)),
+      (math.log(3.0), math.log(1.0)))
+    val mx = pts.map(_._1).sum / 3; val my = pts.map(_._2).sum / 3
+    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val expect = BigDecimal(slope)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(decaying - expect) <= 1e-6)
   }
 
   test("seq pack on a hand frame: spill goes to the next bin") {
