@@ -241,16 +241,18 @@ object LlmQueries {
       .orderBy("doc_id")
 
   /** Gopher-style repetition score: fraction of trigram occurrences that
-    * repeat an earlier one, in exact integer micro-units. The shingle
-    * array is hoisted into its own projection (referenced twice by the
-    * score; interpreted HOFs get no subexpression elimination).
+    * repeat an earlier one, in exact integer micro-units — via the
+    * codegen'd [[graft.functions.RepetitionMicro]] (one interning pass
+    * per row; the HOF reference form materialized every trigram string
+    * and paid O(shingles²) string compares in array_distinct, ~2.9 s at
+    * sf0.1 vs ~0.6 s for this plan). Bit-identity between the two forms
+    * is asserted in TextStatsSpec.
     */
   def repetitionScore(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        TextStats.shingles(TextStats.tokens(col("text")), 3).as("__sh"))
-      .select(col("doc_id"),
-        TextStats.repetitionMicroFromShingles(col("__sh")).as("rep3_micro"))
+        graft.functions.RepetitionMicro
+          .repetitionMicro(TextStats.tokens(col("text"))).as("rep3_micro"))
       .orderBy("doc_id")
 
   /** Benchmark decontamination: per-doc fraction of distinct trigrams

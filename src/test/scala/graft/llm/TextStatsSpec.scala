@@ -27,6 +27,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(one("ab cdef", TextStats.meanTokenLength($"text")).getDouble(0) == 3.0)
   }
 
+  test("codegen RepetitionMicro is bit-identical to the HOF reference form") {
+    val docs = graft.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", TextStats.tokens($"text").as("toks"))
+    val both = docs.select($"doc_id",
+        graft.functions.RepetitionMicro.repetitionMicro($"toks").as("fast"),
+        TextStats.repetitionMicroFromShingles(
+          TextStats.shingles($"toks", 3)).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: fast=${r.getLong(1)} ref=${r.getLong(2)}"))
+    // edge shapes the corpus can't produce: short docs, empty tokens,
+    // heavy repetition
+    val edge = Seq("a b", "x x x x x", "a b c a b c", "", " ",
+      "p q r p q r p q r p")
+      .toDF("text").select(TextStats.tokens($"text").as("toks"))
+      .select(
+        graft.functions.RepetitionMicro.repetitionMicro($"toks").as("fast"),
+        TextStats.repetitionMicroFromShingles(
+          TextStats.shingles($"toks", 3)).as("ref"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("repetition score counts repeated trigram occurrences in micro-units") {
     def rep(t: String) = one(t, TextStats.repetitionMicroFromShingles(
       TextStats.shingles(TextStats.tokens($"text"), 3))).getLong(0)
