@@ -303,6 +303,23 @@ object RelationalQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** S1/S8 companion for ORC — Spark's other first-class columnar
+    * format: same sink→scan→aggregate proof as [[csvRoundtrip]]. The
+    * oracle never reads ORC (DuckDB can't); it checks the AGGREGATE
+    * against the original parquet table, which is exactly what proves
+    * the round-trip lossless.
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val supp = table(spark, dir, "supplier")
+    val path = roundtripPath("orc_supplier", dir)
+    supp.write.mode("overwrite").orc(path)
+    val back = spark.read.schema(supp.schema).orc(path)
+    back.groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("s_acctbal"))).cast("double").as("bal"))
+      .orderBy("s_nationkey")
+  }
+
   /** Runtime-bloom-pruned semi join: orders from BUILDING-segment
     * customers, with non-candidate orders dropped by a broadcast bloom
     * of the customer keys before the join shuffle. Result identical to
@@ -480,6 +497,7 @@ object RelationalQueries {
     "q_bloom_semi" -> (bloomSemiOrders _),
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
+    "q_orc_roundtrip" -> (orcRoundtrip _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -580,6 +598,13 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM supplier
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
 
     "q_bloom_semi" ->
       """SELECT o_orderkey, o_custkey
