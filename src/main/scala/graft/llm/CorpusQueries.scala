@@ -370,7 +370,26 @@ object CorpusQueries {
           .otherwise(col("cv") / col("vr")), 6).as("slope"))
   }
 
+  /** Sketch-based cardinality next to ground truth: per source, the
+    * HLL++ estimate (`approx_count_distinct`, the mergeable sketch that
+    * replaces exact distinct at 100 TB) beside the exact distinct token
+    * count. Rows-only (HLL internals aren't SQL-replayable in DuckDB);
+    * the ≤5% relative-error contract is spec-gated, and the estimate is
+    * deterministic for the driver's rows-only hash (HLL++ is unseeded —
+    * same data, same estimate).
+    */
+  def sketchCounts(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("source"), TextStats.tokens(col("text")).as("__toks"))
+      .select(col("source"), explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("source")
+      .agg(countDistinct(col("token")).as("exact"),
+        approx_count_distinct(col("token"), rsd = 0.02).as("estimate"))
+      .orderBy("source")
+
   val all: Map[String, Q] = Map(
+    "q_sketch_counts" -> (sketchCounts _),
     "q_collocations" -> (collocations _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_bpe_pairs" -> (bpePairs _),

@@ -320,6 +320,32 @@ object RelationalQueries {
       .orderBy("s_nationkey")
   }
 
+  /** Fuzzy record linkage: near-identical customer names found by
+    * blocking (equi-join on the name prefix — never all-pairs) + an
+    * edit-distance verify (`levenshtein ≤ 2`), the blocking/verify
+    * split every entity-resolution pipeline uses at scale — recall is
+    * scoped to same-block pairs by construction (the standard blocking
+    * trade; the oracle checks the SAME blocked semantics). Identical
+    * levenshtein semantics in DuckDB make it oracle-checkable; the
+    * bounded key block keeps the within-block candidate count honest for
+    * the bench while the plan shape (prefix-keyed shuffle) is the 100 TB
+    * path.
+    */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .filter(col("c_custkey") < 500L)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"),
+        substring(col("c_name"), 1, 16).as("blk"))
+    val a = c.select(col("id").as("id_a"), col("name").as("name_a"), col("blk"))
+    val b = c.select(col("id").as("id_b"), col("name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast("bigint").as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Runtime-bloom-pruned semi join: orders from BUILDING-segment
     * customers, with non-candidate orders dropped by a broadcast bloom
     * of the customer keys before the join shuffle. Result identical to
@@ -498,6 +524,7 @@ object RelationalQueries {
     "q_csv_roundtrip" -> (csvRoundtrip _),
     "q_json_roundtrip" -> (jsonRoundtrip _),
     "q_orc_roundtrip" -> (orcRoundtrip _),
+    "q_fuzzy_pairs" -> (fuzzyNamePairs _),
     "q_fill_missing" -> (fillMissing _),
     "q_select_rename" -> (selectRename _),
     "q_zscore_acctbal" -> (zscoreAcctbal _),
@@ -598,6 +625,17 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    substr(c_name, 1, 16) AS blk
+        |  FROM customer WHERE c_custkey < 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT s_nationkey, count(*) AS n,

@@ -154,6 +154,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
   }
 
+  test("PQ ADC shortlist and rerank both get WindowGroupLimit pruning") {
+    // per-query rank windows over corpus-sized input MUST pre-prune to
+    // top-k per input partition or one window partition holds the corpus
+    val emb = Tables.table(spark, sf, "embeddings")
+    val p = plan(llm.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5))
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 4,
+      s"shortlist/rerank windows not group-limited:\n${p.take(3000)}")
+  }
+
   test("equi-depth histogram broadcasts the boundary row (no ntile sort)") {
     val p = plan(graft.ops.EventQueries.equidepthHistogram(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -303,6 +303,21 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(math.abs(decaying - expect) <= 1e-6)
   }
 
+  test("sketch counts: HLL estimate within the 2% rsd contract of exact") {
+    val rows = CorpusQueries.sketchCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact")
+      val est = r.getAs[Long]("estimate")
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"${r.getString(0)}: estimate $est vs exact $exact")
+    }
+    // deterministic: HLL++ is unseeded — same data, same estimate
+    val again = CorpusQueries.sketchCounts(spark, sf).collect()
+      .map(_.getAs[Long]("estimate")).toSeq
+    assert(again == rows.map(_.getAs[Long]("estimate")).toSeq)
+  }
+
   test("seq pack on a hand frame: spill goes to the next bin") {
     val d = Seq(
       ("s", 1L, 1500L), ("s", 2L, 1000L), ("s", 3L, 100L), ("s", 4L, 2000L))

@@ -5,6 +5,26 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.GraftTestSpark
 
 class RelationalSpec extends AnyFunSuite {
+
+  test("fuzzy pairs: levenshtein verify inside blocks, cross-block unseen") {
+    val spark2 = GraftTestSpark.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val c = Seq((1L, "alpha-store-01"), (2L, "alpha-store-02"),
+      (3L, "alpha-store-99"), (4L, "other-shop-001"))
+      .toDF("id", "name")
+      .withColumn("blk", substring($"name", 1, 11))
+    val a = c.select($"id".as("id_a"), $"name".as("name_a"), $"blk")
+    val b = c.select($"id".as("id_b"), $"name".as("name_b"), $"blk")
+    val pairs = a.join(b, Seq("blk")).filter($"id_a" < $"id_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("dist")).toMap
+    // within-block: 01↔02 dist 1; 01↔99 and 02↔99 dist 2; the other-shop
+    // row shares no block so never pairs (blocking recall contract)
+    assert(pairs == Map((1L, 2L) -> 1, (1L, 3L) -> 2, (2L, 3L) -> 2))
+  }
   lazy val spark = GraftTestSpark.spark
   import spark.implicits._
 
