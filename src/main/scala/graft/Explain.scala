@@ -12,7 +12,9 @@ object Explain {
     */
   val eagerQueries: Set[String] = Set(
     "q_ml_pipeline", "q_ml_cluster_sizes", "q_dup_clusters",
-    "q_stream_windowed", "q_csv_roundtrip", "q_json_roundtrip")
+    "q_stream_windowed", "q_csv_roundtrip", "q_json_roundtrip",
+    "q_stream_dedup", "q_stream_enrich", "q_orc_roundtrip",
+    "q_pq_topk", "q_pagerank", "q_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
