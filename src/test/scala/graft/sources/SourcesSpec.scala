@@ -36,6 +36,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(s.contains("n: integer") && s.contains("s: string"))
   }
 
+  test("schema evolution: mergeSchema unifies parquet written in two versions") {
+    val dir = Files.createTempDirectory("graft_evolve").toFile
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("append").parquet(s"$dir/t")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 2)
+    // pre-evolution files surface the new column as null, not an error
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getAs[Double]("score") == 9.5)
+  }
+
+  test("corrupt CSV records land in _corrupt_record under PERMISSIVE mode " +
+      "instead of failing the scan") {
+    val dir = Files.createTempDirectory("graft_corrupt").toFile
+    val f = new java.io.File(dir, "t.csv")
+    Files.writeString(f.toPath,
+      "id,score\n1,2.5\nnot_a_number,whoops_extra,3\n2,4.5\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(f.getAbsolutePath)
+    // caching avoids the Spark 4 restriction on querying the corrupt
+    // column alone (internal-row reuse), and mirrors real triage usage
+    val cached = df.cache()
+    try {
+      assert(cached.count() == 3)
+      val bad = cached.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length == 1)
+      assert(bad.head.getAs[String]("_corrupt_record")
+        .startsWith("not_a_number"))
+      val good = cached.filter(col("_corrupt_record").isNull)
+      assert(good.count() == 2)
+    } finally { cached.unpersist(): Unit }
+  }
+
   test("writeParquet partitionBy produces prunable directory layout (S8)") {
     val out = Files.createTempDirectory("graft_pq").toFile.getAbsolutePath + "/t"
     val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "k")
