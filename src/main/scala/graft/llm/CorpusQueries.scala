@@ -388,7 +388,33 @@ object CorpusQueries {
         approx_count_distinct(col("token"), rsd = 0.02).as("estimate"))
       .orderBy("source")
 
+  /** Per-document character-distribution Shannon entropy (nats, round-6)
+    * — the gibberish/binary-junk detector of the quality-filter family:
+    * natural text sits in a narrow entropy band, base64 blobs and
+    * repeated-char padding fall far outside it. Explode to (doc, char)
+    * → per-doc char counts → one aggregate computing −Σ p·ln p; the
+    * char-count frame is bounded by |doc|·|alphabet|, every stage keyed
+    * by doc_id.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "").as("__chars"))
+      .select(col("doc_id"), explode_outer(col("__chars")).as("ch"))
+      .filter(col("ch").isNotNull)
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("doc_id").agg(sum(col("c")).as("len"))
+    counts.join(totals, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(max(col("len")).as("n_chars_split"),
+        round(-sum((col("c").cast("double") / col("len")) *
+          log(col("c").cast("double") / col("len"))), 6).as("entropy"))
+      .select(col("doc_id"), col("n_chars_split").cast("bigint").as("n_chars_split"),
+        col("entropy"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_char_entropy" -> (charEntropy _),
     "q_sketch_counts" -> (sketchCounts _),
     "q_collocations" -> (collocations _),
     "q_zipf_slope" -> (zipfSlope _),
@@ -406,6 +432,19 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+        |t AS (SELECT doc_id, sum(c) AS len FROM c GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(max(t.len) AS BIGINT) AS n_chars_split,
+        |  round(-sum((CAST(c.c AS DOUBLE) / t.len) *
+        |        ln(CAST(c.c AS DOUBLE) / t.len)), 6) AS entropy
+        |FROM c JOIN t USING (doc_id)
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
     "q_collocations" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

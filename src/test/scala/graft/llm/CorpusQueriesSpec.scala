@@ -303,6 +303,26 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(math.abs(decaying - expect) <= 1e-6)
   }
 
+  test("char entropy: uniform alphabet hits ln(k), repetition scores low") {
+    def entropyOf(text: String): Double = {
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val c = docs.select($"doc_id", explode_outer(split($"text", "")).as("ch"))
+        .filter($"ch".isNotNull)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val t = c.groupBy("doc_id").agg(sum($"c").as("len"))
+      c.join(t, Seq("doc_id")).groupBy("doc_id")
+        .agg(round(-sum(($"c".cast("double") / $"len") *
+          log($"c".cast("double") / $"len")), 6).as("e"))
+        .head().getDouble(1)
+    }
+    val uniform = entropyOf("abcd") // 4 chars once each → ln 4
+    val expect = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(uniform == expect)
+    assert(entropyOf("aaaa") == 0.0)     // one class → zero entropy
+    assert(entropyOf("aaab") < uniform)  // skew lowers entropy
+  }
+
   test("sketch counts: HLL estimate within the 2% rsd contract of exact") {
     val rows = CorpusQueries.sketchCounts(spark, sf).collect()
     assert(rows.nonEmpty)
