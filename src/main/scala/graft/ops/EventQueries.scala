@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.table
 
-/** Event-analytics operators round 2: cohort retention and an equi-depth
-  * histogram. Both oracle-checked.
+/** Event-analytics operators: cohort retention, equi-depth histogram,
+  * daily-volume anomaly detection, Markov transitions, and PageRank over
+  * the transition graph. All oracle-checked except PageRank (iterative
+  * fixed-point — spec-gated instead).
   */
 object EventQueries {
 
