@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.table
 
@@ -56,10 +55,13 @@ object CorpusQueries {
 
   /** Corpus heavy hitters: top-20 tokens by frequency (count desc, token
     * asc tiebreak). The explode shuffles (token, 1) pairs with map-side
-    * combine; the ranking window runs on the AGGREGATED frame, which is
-    * vocabulary-sized — bounded regardless of corpus size, so the
-    * unpartitioned window is safe (a 100 TB corpus still has a ~1M-row
-    * vocabulary after the combine).
+    * combine; the top-k itself is `orderBy(...).limit(k)`, which plans
+    * TakeOrderedAndProject — per-partition bounded heaps merged once,
+    * never a global sort. No rank column: the (cnt desc, token) order IS
+    * the rank (the tiebreak makes it a total order), and emitting it
+    * would force a window over the vocabulary, which at 100 TB is
+    * Heaps-law unbounded (billions of distinct tokens) — the one frame
+    * you must never single-partition sort.
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
@@ -70,12 +72,8 @@ object CorpusQueries {
       .select(explode_outer(col("__toks")).as("token"))
       .filter(col("token").isNotNull)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("token")))
-          .cast("bigint"))
-      .filter(col("rk") <= 20L)
-      .select("rk", "token", "cnt")
-      .orderBy("rk")
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
 
   /** Unigram language-model score per document (the CCNet/perplexity-
     * filter shape, degree 1): average ln p(token) under the corpus's own
@@ -273,12 +271,10 @@ object CorpusQueries {
       .select(col("c"), explode_outer(col("__pairs")).as("pair"))
       .filter(col("pair").isNotNull)
       .groupBy("pair").agg(sum(col("c")).as("cnt"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
-          .cast("bigint"))
-      .filter(col("rk") <= 10L)
-      .select("rk", "pair", "cnt")
-      .orderBy("rk")
+      // top-k as TakeOrderedAndProject, not a vocabulary-wide rank
+      // window — see heavyHitters; the sort order is the rank
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(10)
   }
 
   /** Mixture accounting by quality band: documents bucketed by their
@@ -303,10 +299,14 @@ object CorpusQueries {
     * information, PMI = ln( p(ab) / (p(a)·p(b)) ), among bigrams seen
     * ≥ 20 times — the phrase-mining pass (multi-word expressions) of a
     * corpus pipeline. Unigram and bigram counts come from the same
-    * token-frequency aggregates the LM queries use. Cross-engine rank on
+    * token-frequency aggregates the LM queries use. Cross-engine top-k on
     * a transcendental score uses the round-then-rank contract
-    * (tf-idf lesson): row_number orders by the ROUNDED pmi with the
-    * bigram string as tiebreak, so both engines rank identical keys.
+    * (tf-idf lesson): the limit orders by the ROUNDED pmi with the
+    * bigram string as tiebreak, so both engines keep identical keys.
+    * The top-k is `orderBy(...).limit(k)` (TakeOrderedAndProject); no
+    * rank window over the bigram-vocabulary frame, which grows as
+    * vocab² and must never be single-partition sorted (see
+    * heavyHitters).
     */
   def collocations(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -335,30 +335,45 @@ object CorpusQueries {
           ((col("c1").cast("double") / col("utot")) *
             (col("c2").cast("double") / col("utot")))), 6))
     scored
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("pmi").desc, col("g")))
-          .cast("bigint"))
-      .filter(col("rk") <= 10L)
-      .select("rk", "g", "bc", "pmi")
-      .orderBy("rk")
+      .select("g", "bc", "pmi")
+      .orderBy(col("pmi").desc, col("g"))
+      .limit(10)
   }
 
+  /** How far the Zipf fit looks down the rank-frequency curve. The slope
+    * is fit on the HEAD of the distribution: the tail departs from the
+    * power law anyway (hapax plateau), and at 100 TB the full vocabulary
+    * is Heaps-law unbounded — a global rank over it is the
+    * single-partition sort this operator must never plan.
+    */
+  val zipfHeadK = 1000
+
   /** Zipf rank-frequency slope: the least-squares slope of ln(frequency)
-    * against ln(rank) over the vocabulary (≈ −1 for natural language —
-    * the corpus-health diagnostic that catches template/boilerplate
-    * corpora). Ranking is count-desc with token tiebreak (deterministic),
-    * the fit is one covariance aggregate over the vocabulary-sized frame,
-    * round-6 (moment contract).
+    * against ln(rank) over the top-[[zipfHeadK]] vocabulary head (≈ −1
+    * for natural language — the corpus-health diagnostic that catches
+    * template/boilerplate corpora). The head is `orderBy(...).limit(k)`
+    * (TakeOrderedAndProject — never a global sort), and ranks over the
+    * ≤k survivors are assigned WITHOUT a window: rank(t) = |{t' :
+    * (c',token') at-or-before (c,token) in the total order}|, a broadcast
+    * self-join count over a k-row frame (k² ≤ 1e6 comparisons; AQE's
+    * exchange reuse dedups the shared token-frequency aggregate under
+    * both sides). The fit is one covariance aggregate, round-6 (moment
+    * contract).
     */
   def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
-    val uni = table(spark, dir, "documents")
+    val head = table(spark, dir, "documents")
       .select(TextStats.tokens(col("text")).as("__toks"))
       .select(explode_outer(col("__toks")).as("token"))
       .filter(col("token").isNotNull)
       .groupBy("token").agg(count(lit(1)).as("c"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("c").desc, col("token"))))
-    uni.select(log(col("rk").cast("double")).as("lr"),
+      .orderBy(col("c").desc, col("token"))
+      .limit(zipfHeadK)
+    val peers = broadcast(head.select(col("c").as("__c2"), col("token").as("__t2")))
+    val ranked = head.join(peers,
+        col("__c2") > col("c") ||
+          (col("__c2") === col("c") && col("__t2") <= col("token")))
+      .groupBy("token", "c").agg(count(lit(1)).as("rk"))
+    ranked.select(log(col("rk").cast("double")).as("lr"),
         log(col("c").cast("double")).as("lf"))
       .agg(count(lit(1)).cast("bigint").as("n_vocab"),
         covar_pop(col("lr"), col("lf")).as("cv"),
@@ -466,20 +481,20 @@ object CorpusQueries {
         |  FROM big
         |  JOIN uni u1 ON u1.token = split_part(big.g, ' ', 1)
         |  JOIN uni u2 ON u2.token = split_part(big.g, ' ', 2)
-        |  CROSS JOIN bt CROSS JOIN ut),
-        |r AS (
-        |  SELECT g, bc, pmi, row_number() OVER (ORDER BY pmi DESC, g) AS rk
-        |  FROM s)
-        |SELECT rk, g, bc, pmi FROM r WHERE rk <= 10
-        |ORDER BY rk""".stripMargin,
+        |  CROSS JOIN bt CROSS JOIN ut)
+        |SELECT g, bc, pmi FROM s
+        |ORDER BY pmi DESC, g
+        |LIMIT 10""".stripMargin,
 
     "q_zipf_slope" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |head AS (
+        |  SELECT token, c FROM uni ORDER BY c DESC, token LIMIT 1000),
         |rk AS (
         |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
-        |  FROM uni),
+        |  FROM head),
         |l AS (
         |  SELECT ln(CAST(rk AS DOUBLE)) AS lr, ln(CAST(c AS DOUBLE)) AS lf
         |  FROM rk),
@@ -502,12 +517,10 @@ object CorpusQueries {
         |    ELSE CAST([] AS VARCHAR[]) END AS pr, c
         |  FROM f),
         |e AS (SELECT unnest(pr) AS pair, c FROM p),
-        |g AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM e GROUP BY pair),
-        |r AS (
-        |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk
-        |  FROM g)
-        |SELECT rk, pair, cnt FROM r WHERE rk <= 10
-        |ORDER BY rk""".stripMargin,
+        |g AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM e GROUP BY pair)
+        |SELECT pair, cnt FROM g
+        |ORDER BY cnt DESC, pair
+        |LIMIT 10""".stripMargin,
 
     "q_quality_mix" ->
       """WITH c AS (
@@ -561,13 +574,10 @@ object CorpusQueries {
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (
-        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
-        |r AS (
-        |  SELECT token, cnt,
-        |    row_number() OVER (ORDER BY cnt DESC, token) AS rk
-        |  FROM c)
-        |SELECT rk, token, cnt FROM r WHERE rk <= 20
-        |ORDER BY rk""".stripMargin,
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+        |SELECT token, cnt FROM c
+        |ORDER BY cnt DESC, token
+        |LIMIT 20""".stripMargin,
 
     "q_unigram_logprob" ->
       """WITH tok AS (

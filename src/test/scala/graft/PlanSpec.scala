@@ -181,6 +181,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("vocab top-k family plans TakeOrderedAndProject, never a rank window") {
+    // A 100 TB corpus has a Heaps-law-unbounded vocabulary; an
+    // unpartitioned rank window over it single-partition sorts the one
+    // frame that must stay distributed. The whole family must plan
+    // orderBy+limit (TakeOrderedAndProject) with ZERO window operators.
+    val qs = Seq(
+      "q_heavy_hitters" -> graft.llm.CorpusQueries.heavyHitters(spark, sf),
+      "q_bpe_pairs" -> graft.llm.CorpusQueries.bpePairs(spark, sf),
+      "q_collocations" -> graft.llm.CorpusQueries.collocations(spark, sf),
+      "q_zipf_slope" -> graft.llm.CorpusQueries.zipfSlope(spark, sf))
+    qs.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name lost the top-k fusion:\n$p")
+      assert(!p.contains("Window ["),
+        s"$name plans a window over the vocabulary frame:\n$p")
+    }
+  }
+
+  test("zipf head rank self-join broadcasts the k-row peer side") {
+    val p = plan(graft.llm.CorpusQueries.zipfSlope(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"peer rank join is not broadcast:\n$p")
+  }
+
   test("partition pruning: a partitioned layout skips non-matching directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part")
     try {

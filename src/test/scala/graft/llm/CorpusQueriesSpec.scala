@@ -4,26 +4,29 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.GraftTestSpark
 
-/** Shared helper: Zipf slope of a tiny in-memory corpus (mirrors
-  * [[CorpusQueries.zipfSlope]]'s pipeline without the table loader).
+/** Shared helper: Zipf slope of a tiny corpus, computed entirely in
+  * driver-side Scala — an INDEPENDENT reference implementation of
+  * [[CorpusQueries.zipfSlope]]'s semantics (rank by count desc / token
+  * asc, population least-squares of ln f on ln r, round-6, NaN on zero
+  * rank variance), so the spec compares two implementations that share
+  * no code path.
   */
 object CorpusQueriesSpecHelper {
   import org.apache.spark.sql.SparkSession
-  import org.apache.spark.sql.expressions.Window
   def slopeOf(spark: SparkSession, texts: Seq[String]): Double = {
-    import spark.implicits._
-    texts.toDF("text")
-      .select(explode_outer(TextStats.tokens($"text")).as("token"))
-      .filter($"token".isNotNull)
-      .groupBy("token").agg(count(lit(1)).as("c"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy($"c".desc, $"token")))
-      .select(log($"rk".cast("double")).as("lr"), log($"c".cast("double")).as("lf"))
-      .agg(covar_pop($"lr", $"lf").as("cv"), var_pop($"lr").as("vr"))
-      .select(round(
-        when($"vr".isNull || $"vr" === 0.0, lit(Double.NaN))
-          .otherwise($"cv" / $"vr"), 6))
-      .head().getDouble(0)
+    val counts = texts.flatMap(_.split(" ")).filterNot(_.isEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val ranked = counts.sortBy { case (tok, c) => (-c, tok) }.zipWithIndex
+      .map { case ((_, c), i) => (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = ranked.size.toDouble
+    val mx = ranked.map(_._1).sum / n
+    val my = ranked.map(_._2).sum / n
+    val vr = ranked.map(p => (p._1 - mx) * (p._1 - mx)).sum / n
+    if (vr == 0.0) Double.NaN
+    else {
+      val cv = ranked.map(p => (p._1 - mx) * (p._2 - my)).sum / n
+      BigDecimal(cv / vr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
   }
 }
 
@@ -66,15 +69,28 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(micro == 2500000L)
   }
 
-  test("heavy hitters: rank is dense-total, count-desc then token-asc") {
+  test("heavy hitters: top-k in count-desc token-asc total order") {
     val out = CorpusQueries.heavyHitters(spark, sf).collect()
     assert(out.length <= 20 && out.nonEmpty)
-    assert(out.map(_.getAs[Long]("rk")).toSeq == (1L to out.length))
     val pairs = out.map(r => (r.getAs[Long]("cnt"), r.getAs[String]("token")))
     pairs.sliding(2).foreach {
       case Array((c1, t1), (c2, t2)) =>
         assert(c1 > c2 || (c1 == c2 && t1 < t2))
       case _ =>
+    }
+    // the limit really kept the TOP k: every kept count >= every dropped
+    val all = graft.Tables.table(spark, sf, "documents")
+      .select(explode_outer(TextStats.tokens($"text")).as("token"))
+      .filter($"token".isNotNull)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("cnt"), r.getAs[String]("token")))
+    val kept = pairs.toSet
+    val dropped = all.filterNot(kept)
+    if (dropped.nonEmpty && out.length == 20) {
+      val worstKept = pairs.last
+      dropped.foreach { d =>
+        assert(d._1 < worstKept._1 || (d._1 == worstKept._1 && d._2 > worstKept._2))
+      }
     }
   }
 
@@ -301,6 +317,18 @@ class CorpusQueriesSpec extends AnyFunSuite {
     val expect = BigDecimal(slope)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(decaying - expect) <= 1e-6)
+  }
+
+  test("zipf slope: broadcast self-join head rank equals the window-rank form") {
+    // the production query ranks the ≤1000-token head via a broadcast
+    // self-join count (no window anywhere in the plan); with this
+    // corpus's vocabulary < 1000 the head is the whole vocabulary, so
+    // the result must equal the windowed reference bit-for-bit
+    val texts = graft.Tables.table(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val ref = CorpusQueriesSpecHelper.slopeOf(spark, texts)
+    val got = CorpusQueries.zipfSlope(spark, sf).head().getAs[Double]("slope")
+    assert(got == ref)
   }
 
   test("char entropy: uniform alphabet hits ln(k), repetition scores low") {
