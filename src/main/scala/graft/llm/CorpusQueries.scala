@@ -406,27 +406,22 @@ object CorpusQueries {
   /** Per-document character-distribution Shannon entropy (nats, round-6)
     * — the gibberish/binary-junk detector of the quality-filter family:
     * natural text sits in a narrow entropy band, base64 blobs and
-    * repeated-char padding fall far outside it. Explode to (doc, char)
-    * → per-doc char counts → one aggregate computing −Σ p·ln p; the
-    * char-count frame is bounded by |doc|·|alphabet|, every stage keyed
-    * by doc_id.
+    * repeated-char padding fall far outside it. One codegen'd per-row
+    * expression ([[graft.functions.CharEntropy]]) — ZERO shuffle, where
+    * the explode/groupBy/join reference form moved one row per corpus
+    * CHARACTER through an exchange (bit-matched to it, round-6, in
+    * CorpusQueriesSpec). Empty documents are excluded on BOTH engines:
+    * Spark's `split('', '')` yields [''] while DuckDB's `string_split`
+    * yields [] — the one edge where the two explode references diverge.
     */
-  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val chars = table(spark, dir, "documents")
-      .select(col("doc_id"), split(col("text"), "").as("__chars"))
-      .select(col("doc_id"), explode_outer(col("__chars")).as("ch"))
-      .filter(col("ch").isNotNull)
-    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-    val totals = counts.groupBy("doc_id").agg(sum(col("c")).as("len"))
-    counts.join(totals, Seq("doc_id"))
-      .groupBy("doc_id")
-      .agg(max(col("len")).as("n_chars_split"),
-        round(-sum((col("c").cast("double") / col("len")) *
-          log(col("c").cast("double") / col("len"))), 6).as("entropy"))
-      .select(col("doc_id"), col("n_chars_split").cast("bigint").as("n_chars_split"),
-        col("entropy"))
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_split"),
+        round(graft.functions.CharEntropy.charEntropy(col("text")), 6)
+          .as("entropy"))
       .orderBy("doc_id")
-  }
 
   val all: Map[String, Q] = Map(
     "q_char_entropy" -> (charEntropy _),
@@ -450,7 +445,7 @@ object CorpusQueries {
     "q_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(string_split(text, '')) AS ch
-        |  FROM documents),
+        |  FROM documents WHERE length(text) > 0),
         |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
         |t AS (SELECT doc_id, sum(c) AS len FROM c GROUP BY doc_id)
         |SELECT c.doc_id, CAST(max(t.len) AS BIGINT) AS n_chars_split,

@@ -200,6 +200,19 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("char entropy is one codegen'd per-row pass: no explode, no aggregate shuffle") {
+    val df = graft.llm.CorpusQueries.charEntropy(spark, sf)
+    val p = plan(df)
+    assert(p.contains("charentropy"), s"expression missing from plan:\n$p")
+    assert(!p.contains("Generate"), s"per-character explode resurfaced:\n$p")
+    assert(!p.contains("HashAggregate"), s"char-count aggregate resurfaced:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"shuffle in a per-row query (only the presentation sort may exchange):\n$p")
+    df.collect() // AQE shows codegen stars only after an action
+    assert(plan(df).contains("*(1) Project"),
+      s"entropy projection fell out of codegen:\n${plan(df)}")
+  }
+
   test("zipf head rank self-join broadcasts the k-row peer side") {
     val p = plan(graft.llm.CorpusQueries.zipfSlope(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"),

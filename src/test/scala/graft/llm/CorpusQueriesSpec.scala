@@ -332,8 +332,31 @@ class CorpusQueriesSpec extends AnyFunSuite {
   }
 
   test("char entropy: uniform alphabet hits ln(k), repetition scores low") {
-    def entropyOf(text: String): Double = {
-      val docs = Seq((0L, text)).toDF("doc_id", "text")
+    def entropyOf(text: String): Double =
+      Seq((0L, text)).toDF("doc_id", "text")
+        .select(round(graft.functions.CharEntropy.charEntropy($"text"), 6))
+        .head().getDouble(0)
+    val uniform = entropyOf("abcd") // 4 chars once each → ln 4
+    val expect = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(uniform == expect)
+    assert(entropyOf("aaaa") == 0.0)     // one class → zero entropy
+    assert(entropyOf("aaab") < uniform)  // skew lowers entropy
+    assert(entropyOf("") == 0.0)         // total, not NaN (callers filter)
+  }
+
+  test("char entropy expression is round-6 identical to the exploded reference") {
+    // the reference is the pre-round-4 pipeline: one row per character
+    // through explode/groupBy/join — kept here as the semantic oracle
+    // the codegen'd expression must match, including multibyte UTF-8
+    // and astral (surrogate-pair) code points
+    val texts = Seq(
+      "abcd", "aaab", "the quick brown fox", "a b a b a b",
+      "åéîøü åéîøü mixed ascii", "𝄞music𝄞notes", "日本語テキスト",
+      "tab\tnewline\nmix", "a"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    val exploded = {
       val c = docs.select($"doc_id", explode_outer(split($"text", "")).as("ch"))
         .filter($"ch".isNotNull)
         .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
@@ -341,14 +364,28 @@ class CorpusQueriesSpec extends AnyFunSuite {
       c.join(t, Seq("doc_id")).groupBy("doc_id")
         .agg(round(-sum(($"c".cast("double") / $"len") *
           log($"c".cast("double") / $"len")), 6).as("e"))
-        .head().getDouble(1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     }
-    val uniform = entropyOf("abcd") // 4 chars once each → ln 4
-    val expect = BigDecimal(math.log(4.0))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(uniform == expect)
-    assert(entropyOf("aaaa") == 0.0)     // one class → zero entropy
-    assert(entropyOf("aaab") < uniform)  // skew lowers entropy
+    val fused = docs
+      .select($"doc_id", round(graft.functions.CharEntropy.charEntropy($"text"), 6).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused == exploded)
+    // and across the real corpus, doc for doc
+    val corpus = graft.Tables.table(spark, sf, "documents")
+      .filter(length($"text") > 0)
+    val corpusRef = {
+      val c = corpus.select($"doc_id", explode_outer(split($"text", "")).as("ch"))
+        .filter($"ch".isNotNull)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val t = c.groupBy("doc_id").agg(sum($"c").as("len"))
+      c.join(t, Seq("doc_id")).groupBy("doc_id")
+        .agg(round(-sum(($"c".cast("double") / $"len") *
+          log($"c".cast("double") / $"len")), 6).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val corpusGot = CorpusQueries.charEntropy(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(corpusGot == corpusRef)
   }
 
   test("sketch counts: HLL estimate within the 2% rsd contract of exact") {
