@@ -12,28 +12,62 @@ class GraphSpec extends AnyFunSuite {
     Graph.pageRank(edges.toDF("src", "dst", "weight"), iters)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
+  /** Independent driver-side reference: dense weighted PageRank with
+    * uniform dangling-mass redistribution — the semantics Graph.pageRank
+    * must reproduce distributedly.
+    */
+  private def refRanks(edges: Seq[(String, String, Long)], iters: Int = 10,
+                       damping: Double = 0.85): Map[String, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dmass = nodes.filterNot(wout.contains).map(r).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) * e._3 / wout(e._1)).sum).toMap
+      r = nodes.map(v => v ->
+        ((1.0 - damping) / n +
+          damping * (in.getOrElse(v, 0.0) + dmass / n))).toMap
+    }
+    r
+  }
+
+  private def assertClose(got: Map[String, Double], want: Map[String, Double]): Unit = {
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"$k: $v vs ${want(k)}") }
+  }
+
   test("symmetric 2-cycle sits at the uniform fixed point") {
     val r = ranks(Seq(("a", "b", 1L), ("b", "a", 1L)))
     assert(math.abs(r("a") - 0.5) < 1e-12)
     assert(math.abs(r("b") - 0.5) < 1e-12)
   }
 
-  test("star: equal-weight targets tie, the pure source holds teleport mass") {
-    // a→b, a→c (b, c dangling): a receives nothing but teleport
+  test("dangling mass is redistributed: ranks sum to 1 on a dangling graph") {
+    // a→b, a→c: b and c have no out-edges — without redistribution ~81%
+    // of the mass would leak over 10 rounds
     val r = ranks(Seq(("a", "b", 1L), ("a", "c", 1L)))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, s"mass leaked: ${r.values.sum}")
     assert(math.abs(r("b") - r("c")) < 1e-12)
-    assert(math.abs(r("a") - 0.15 / 3) < 1e-12)
-    assert(r("b") > r("a"))
-    // dangling leak: total mass below 1 is the documented simplification
-    assert(r.values.sum < 1.0)
+    assert(r("b") > r("a")) // b/c receive a's mass; a only teleport + dangling share
+    assertClose(r, refRanks(Seq(("a", "b", 1L), ("a", "c", 1L))))
+  }
+
+  test("chain with a sink matches the dense reference and conserves mass") {
+    val e = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "d", 1L), ("a", "d", 3L))
+    val r = ranks(e) // d is a pure sink
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assertClose(r, refRanks(e))
   }
 
   test("weights matter: the heavier edge's target outranks the lighter's") {
-    val r = ranks(Seq(("a", "b", 3L), ("a", "c", 1L),
-      ("b", "a", 1L), ("c", "a", 1L)))
+    val e = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+    val r = ranks(e)
     assert(r("b") > r("c"))
     // strongly-connected: mass is conserved up to fp noise
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assertClose(r, refRanks(e))
   }
 
   test("deterministic across runs") {
