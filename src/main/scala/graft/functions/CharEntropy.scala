@@ -51,9 +51,12 @@ object CharEntropy {
 
   /** One pass over the UTF-8 bytes: ASCII code points count in a flat
     * 128-slot array (the corpus fast path), multibyte code points spill
-    * to a map. Malformed trailing sequences are truncated at the buffer
-    * edge rather than thrown — the expression stays total on arbitrary
-    * binary-ish strings.
+    * to a map. Malformed input stays total, never thrown: a stray
+    * continuation byte (0x80–0xBF) in lead position counts as one
+    * U+FFFD replacement code point and consumes exactly one byte — so
+    * the decode stays ALIGNED on arbitrary binary-ish input instead of
+    * swallowing the next (possibly valid) character as a bogus
+    * continuation; truncated trailing sequences clamp at the buffer edge.
     */
   def entropyNats(s: UTF8String): Double = {
     val b = s.getBytes
@@ -65,6 +68,15 @@ object CharEntropy {
       val b0 = b(i) & 0xFF
       if (b0 < 0x80) {
         ascii(b0) += 1L
+        i += 1
+      } else if (b0 < 0xC0) {
+        // continuation byte with no lead: one replacement code point,
+        // advance one byte (misreading it as a 2-byte lead would consume
+        // the next byte and misalign the rest of the decode)
+        if (other == null) other = new java.util.HashMap()
+        var cell = other.get(0xFFFD)
+        if (cell == null) { cell = new Array[Long](1); other.put(0xFFFD, cell) }
+        cell(0) += 1L
         i += 1
       } else {
         val len = if (b0 < 0xE0) 2 else if (b0 < 0xF0) 3 else 4

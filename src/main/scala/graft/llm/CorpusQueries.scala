@@ -77,11 +77,15 @@ object CorpusQueries {
 
   /** Unigram language-model score per document (the CCNet/perplexity-
     * filter shape, degree 1): average ln p(token) under the corpus's own
-    * unigram distribution. Two aggregations — corpus term frequencies
-    * (vocabulary-sized, broadcast back) and the per-document mean. The
-    * per-doc sum of ~1e2-magnitude doubles has order noise ~1e-13, so
-    * round-6 is deterministic across engines (ln values cannot tie at
-    * .5e-6 — they're transcendental).
+    * unigram distribution. Two aggregations — corpus term frequencies and
+    * the per-document mean. The LM frame is keyed by token, and a 100 TB
+    * corpus's vocabulary is Heaps-law unbounded — so it is deliberately
+    * NOT broadcast-hinted: AQE broadcasts it at bench SF (same plan) and
+    * shuffles it at web scale, the same contract bigramLogprob uses. Only
+    * the 1-row grand total carries a hint. The per-doc sum of
+    * ~1e2-magnitude doubles has order noise ~1e-13, so round-6 is
+    * deterministic across engines (ln values cannot tie at .5e-6 —
+    * they're transcendental).
     */
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val tok = table(spark, dir, "documents")
@@ -94,7 +98,7 @@ object CorpusQueries {
     val tot = freq.agg(sum(col("cnt")).as("total"))
     val lp = freq.crossJoin(broadcast(tot))
       .select(col("token"), log(col("cnt").cast("double") / col("total")).as("lp"))
-    tok.join(broadcast(lp), Seq("token"))
+    tok.join(lp, Seq("token"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("bigint").as("n_tokens"),
         round(sum(col("lp")) / count(lit(1)), 6).as("avg_logprob"))
@@ -324,11 +328,15 @@ object CorpusQueries {
     val big = bg.groupBy("g").agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= 20L)
     val bigTot = bg.agg(count(lit(1)).as("btot"))
+    // the unigram-count side is token-keyed — vocabulary-sized, Heaps-law
+    // unbounded at 100 TB — so no broadcast hint: AQE picks the build side
+    // at bench SF and shuffles at web scale (only the two 1-row totals are
+    // hinted; see unigramLogprob for the contract)
     val scored = big
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
-      .join(broadcast(uni.select(col("token").as("w1"), col("uc").as("c1"))), Seq("w1"))
-      .join(broadcast(uni.select(col("token").as("w2"), col("uc").as("c2"))), Seq("w2"))
+      .join(uni.select(col("token").as("w1"), col("uc").as("c1")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("uc").as("c2")), Seq("w2"))
       .crossJoin(broadcast(bigTot)).crossJoin(broadcast(uniTot))
       .withColumn("pmi", round(
         log((col("bc").cast("double") / col("btot")) /
@@ -373,14 +381,16 @@ object CorpusQueries {
         col("__c2") > col("c") ||
           (col("__c2") === col("c") && col("__t2") <= col("token")))
       .groupBy("token", "c").agg(count(lit(1)).as("rk"))
+    // n_head, not n_vocab: the count is the ≤zipfHeadK-row fit head, not
+    // the corpus vocabulary size (which q_source_vocab reports)
     ranked.select(log(col("rk").cast("double")).as("lr"),
         log(col("c").cast("double")).as("lf"))
-      .agg(count(lit(1)).cast("bigint").as("n_vocab"),
+      .agg(count(lit(1)).cast("bigint").as("n_head"),
         covar_pop(col("lr"), col("lf")).as("cv"),
         var_pop(col("lr")).as("vr"))
       // one-token vocabulary has zero rank variance: NaN, not an ANSI
       // division error (the Spark 4 default)
-      .select(col("n_vocab"), round(
+      .select(col("n_head"), round(
         when(col("vr").isNull || col("vr") === 0.0, lit(Double.NaN))
           .otherwise(col("cv") / col("vr")), 6).as("slope"))
   }
@@ -482,11 +492,11 @@ object CorpusQueries {
         |LIMIT 10""".stripMargin,
 
     "q_zipf_slope" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
         |head AS (
-        |  SELECT token, c FROM uni ORDER BY c DESC, token LIMIT 1000),
+        |  SELECT token, c FROM uni ORDER BY c DESC, token LIMIT $zipfHeadK),
         |rk AS (
         |  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk
         |  FROM head),
@@ -494,10 +504,10 @@ object CorpusQueries {
         |  SELECT ln(CAST(rk AS DOUBLE)) AS lr, ln(CAST(c AS DOUBLE)) AS lf
         |  FROM rk),
         |a AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  SELECT CAST(count(*) AS BIGINT) AS n_head,
         |    covar_pop(lr, lf) AS cv, var_pop(lr) AS vr
         |  FROM l)
-        |SELECT n_vocab,
+        |SELECT n_head,
         |  round(CASE WHEN vr IS NULL OR vr = 0 THEN 'NaN'::DOUBLE
         |        ELSE cv / vr END, 6) AS slope
         |FROM a""".stripMargin,

@@ -213,6 +213,32 @@ class PlanSpec extends AnyFunSuite {
       s"entropy projection fell out of codegen:\n${plan(df)}")
   }
 
+  test("corpus LM/collocation queries never broadcast-hint a token-keyed frame") {
+    // a 100 TB corpus's vocabulary is Heaps-law unbounded, so any frame
+    // KEYED by token must reach its join un-hinted (AQE broadcasts at
+    // bench SF, shuffles at web scale). The only explicit broadcast hints
+    // allowed in this family wrap grouping-free (scalar, 1-row) aggregates
+    // — the grand totals. A hint over a grouped aggregate is a plan that
+    // driver-OOMs at 100×.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    for ((name, df) <- Seq(
+        "unigram_logprob" -> llm.CorpusQueries.unigramLogprob(spark, sf),
+        "collocations" -> llm.CorpusQueries.collocations(spark, sf),
+        "bigram_logprob" -> llm.CorpusQueries.bigramLogprob(spark, sf))) {
+      df.queryExecution.analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.isDefined =>
+          // the TOPMOST aggregate under the hint is the frame broadcast;
+          // grouped aggregates deeper in its input are fine (a scalar
+          // total legitimately consumes the vocab counts)
+          h.child.collectFirst { case a: Aggregate => a }.foreach { a =>
+            assert(a.groupingExpressions.isEmpty,
+              s"$name: broadcast hint over an unbounded grouped aggregate:\n$h")
+          }
+        case _ => ()
+      }
+    }
+  }
+
   test("zipf head rank self-join broadcasts the k-row peer side") {
     val p = plan(graft.llm.CorpusQueries.zipfSlope(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"),
