@@ -6,8 +6,10 @@ import graft.Tables.table
 
 /** Event-analytics operators: cohort retention, equi-depth histogram,
   * daily-volume anomaly detection, Markov transitions, and PageRank over
-  * the transition graph. All oracle-checked except PageRank (iterative
-  * fixed-point — spec-gated instead).
+  * the transition graph. All oracle-checked — including PageRank: with
+  * dangling mass redistributed each round the iteration is a pure
+  * function of the edge table, so the oracle unrolls the 10 rounds as
+  * chained CTEs (generated below, one d/c/r block per round).
   */
 object EventQueries {
 
@@ -113,10 +115,12 @@ object EventQueries {
       .orderBy("prev_type", "next_type")
   }
 
-  /** PageRank over the event-transition graph (rows-only: iterative
-    * fixed-point, not SQL-expressible; exact small-graph values are
-    * spec-gated in GraphSpec). Node importance for session modeling —
-    * which event types anchor user journeys.
+  /** PageRank over the event-transition graph. Node importance for
+    * session modeling — which event types anchor user journeys. Exact
+    * small-graph fixed-point values are spec-gated in GraphSpec, and the
+    * full query is oracle-checked against a DuckDB unroll of the same 10
+    * rounds (see [[pageRankOracleSql]]) — possible because the dangling
+    * fix makes each round a deterministic function of (edges, ranks).
     */
   def transitionPageRank(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRank(
@@ -135,7 +139,62 @@ object EventQueries {
     "q_pagerank" -> (transitionPageRank _)
   )
 
+  /** DuckDB unroll of [[Graph.pageRank]]'s 10 damped rounds over the
+    * transition graph: one (dangling-mass, contribution, rank) CTE block
+    * per round, chained. Arithmetic mirrors the Spark side op-for-op —
+    * (1−d)/n + d·(in_mass + dmass/n) in double precision — so the only
+    * cross-engine divergence is summation order (~1e-15), absorbed by the
+    * round-6 contract.
+    */
+  private def pageRankOracleSql(iters: Int = 10, damping: Double = 0.85): String = {
+    // every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    // round references r{i-1} twice (dangling mass + contributions) — an
+    // inlined chain re-evaluates the transition window 2^iters times
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT COALESCE(sum(r.rank), 0.0) AS dm
+         |  FROM r${i - 1} r JOIN dang USING (node)),
+         |c$i AS MATERIALIZED (
+         |  SELECT norm.dst AS node, sum(r.rank * norm.p) AS in_mass
+         |  FROM norm JOIN r${i - 1} r ON norm.src = r.node
+         |  GROUP BY norm.dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    (1 - $damping) / nn.n +
+         |      $damping * (COALESCE(c$i.in_mass, 0.0) + d$i.dm / nn.n) AS rank
+         |  FROM nodes LEFT JOIN c$i USING (node) CROSS JOIN d$i CROSS JOIN nn)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pv AS MATERIALIZED (
+       |  SELECT lag(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS prev_type,
+       |         event_type AS next_type
+       |  FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT prev_type AS src, next_type AS dst,
+       |    CAST(count(*) AS BIGINT) AS weight
+       |  FROM pv WHERE prev_type IS NOT NULL
+       |  GROUP BY prev_type, next_type),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outs AS (SELECT src, sum(weight) AS wout FROM edges GROUP BY src),
+       |norm AS MATERIALIZED (
+       |  SELECT e.src, e.dst,
+       |    CAST(e.weight AS DOUBLE) / CAST(o.wout AS DOUBLE) AS p
+       |  FROM edges e JOIN outs o USING (src)),
+       |dang AS MATERIALIZED (
+       |  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM edges)),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, round(rank, 6) AS rank FROM r$iters ORDER BY node"""
+      .stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracleSql(),
+
     "q_cohort_retention" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
