@@ -64,6 +64,12 @@ object MlQueries {
     * transform + forest scoring per consumer. All metrics are computed
     * eagerly against cached, right-sized inputs, so the returned frame
     * holds plain values and the caches drop before returning.
+    *
+    * Metrics are emitted as integer MICRO-UNITS (floor, the repo's exact
+    * contract for rational scores): the driver's rows-only check hashes
+    * the values, and a raw double metric can wobble in its last ulps
+    * across sessions (thread-order-dependent float reductions inside the
+    * evaluator) — pinned by MlQueriesSpec across two fresh sessions.
     */
   def mlPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -81,15 +87,16 @@ object MlQueries {
             .setMetricName(metric).evaluate(preds)
         // accuracy (ML6) plus the reference's actual training metric,
         // multi_logloss (crime.py:177), from the same cached predictions
-        val accuracy = eval("accuracy")
-        val logLoss = eval("logLoss")
+        val accuracyMicro = math.floor(eval("accuracy") * 1e6).toLong
+        val logLossMicro = math.floor(eval("logLoss") * 1e6).toLong
         // ML7's decode path (prediction index → Category string) on the
         // same cached predictions the evaluator read
         val nPred = preds
           .select(CrimePipeline.decodePrediction(model, schema).as("Category"))
           .agg(countDistinct(col("Category"))).as[Long].head()
-        Seq((accuracy, logLoss, nPred, sized.rows))
-          .toDF("accuracy", "log_loss", "n_predicted_classes", "n_rows")
+        Seq((accuracyMicro, logLossMicro, nPred, sized.rows))
+          .toDF("accuracy_micro", "log_loss_micro", "n_predicted_classes",
+            "n_rows")
       } finally preds.unpersist(blocking = false)
     } finally sized.release()
   }
