@@ -413,6 +413,38 @@ object CorpusQueries {
         approx_count_distinct(col("token"), rsd = 0.02).as("estimate"))
       .orderBy("source")
 
+  /** CMS accuracy knob for [[approxHeavyHitters]]: estimates overshoot
+    * true counts by at most eps·N tokens w.p. `cmsConfidence` — ~2.7 KB
+    * of sketch per depth row at 1e-4, constant regardless of corpus size.
+    */
+  val cmsEps = 1e-4
+  val cmsConfidence = 0.99
+
+  /** Heavy hitters through the SKETCH path, next to the exact aggregate —
+    * the q_sketch_counts exact-vs-estimate contract applied to top-k.
+    * At 100 TB the exact top-k still pays a vocabulary-sized shuffle
+    * (mitigated by map-side combine); the count-min sketch replaces it
+    * with ONE shuffle-free pass (`stat.countMinSketch` runs a
+    * treeAggregate of fixed-size mergeable sketches) and answers any
+    * token's count in O(depth). Output: the exact top-20 with both
+    * counts side by side. Deterministic for the driver's rows-only hash:
+    * the sketch is seeded and its counters are order-independent sums.
+    * The 20-row collect is bounded output, not corpus data — the
+    * established index-build pattern.
+    */
+  def approxHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = table(spark, dir, "documents")
+      .select(TextStats.tokens(col("text")).as("__toks"))
+      .select(explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+    val cms = tok.stat.countMinSketch(col("token"), eps = cmsEps,
+      confidence = cmsConfidence, seed = 42)
+    heavyHitters(spark, dir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      .toDF("token", "cnt", "cnt_est")
+  }
+
   /** Per-document character-distribution Shannon entropy (nats, round-6)
     * — the gibberish/binary-junk detector of the quality-filter family:
     * natural text sits in a narrow entropy band, base64 blobs and
@@ -442,6 +474,7 @@ object CorpusQueries {
     "q_quality_mix" -> (qualityMix _),
     "q_gopher_rules" -> (gopherRules _),
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_approx_heavy_hitters" -> (approxHeavyHitters _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_interdoc_dup" -> (interDocDupFraction _),
     "q_seq_pack" -> (seqPack _),

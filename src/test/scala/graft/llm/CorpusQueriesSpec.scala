@@ -355,6 +355,34 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(entropyOf("") == 0.0)         // total, not NaN (callers filter)
   }
 
+  test("approx heavy hitters: CMS estimates bound exact counts, freqItems recalls them") {
+    val out = CorpusQueries.approxHeavyHitters(spark, sf).collect()
+    assert(out.length == 20)
+    val tok = graft.Tables.table(spark, sf, "documents")
+      .select(explode_outer(split($"text", " ")).as("token"))
+      .filter($"token".isNotNull)
+    val total = tok.count()
+    // count-min never underestimates; overshoot is ≤ eps·N w.p. 0.99 per
+    // query — 20 queries at 0.99 leave the joint bound loose, so allow 2×
+    val slack = math.max(1L, (2 * CorpusQueries.cmsEps * total).toLong)
+    out.foreach { r =>
+      val (cnt, est) = (r.getAs[Long]("cnt"), r.getAs[Long]("cnt_est"))
+      assert(est >= cnt, s"CMS underestimated ${r.getString(0)}: $est < $cnt")
+      assert(est <= cnt + slack,
+        s"CMS overshoot beyond 2·eps·N for ${r.getString(0)}: $est vs $cnt+$slack")
+    }
+    // recall side (candidate discovery at scale): freqItems guarantees a
+    // SUPERSET of items with frequency above the support threshold, so
+    // every exact top-20 token above it must be recalled
+    val support = 0.01
+    val recalled = tok.stat.freqItems(Array("token"), support)
+      .head().getSeq[String](0).toSet
+    out.filter(_.getAs[Long]("cnt") > support * total).foreach { r =>
+      assert(recalled.contains(r.getString(0)),
+        s"freqItems missed heavy hitter ${r.getString(0)}")
+    }
+  }
+
   test("char entropy decode stays aligned on invalid UTF-8") {
     import org.apache.spark.unsafe.types.UTF8String
     // a stray continuation byte (0x80) in lead position must count as ONE
