@@ -205,22 +205,14 @@ object Similarity {
     }
 
     // ---- encode: argmin over each subspace codebook, per row, no
-    // shuffle. Interpreted HOF arithmetic is fine at test scale; the
-    // 100 TB encode pass would be one codegen'd Expression of the same
-    // O(m·k·d) per-row loop (cf. functions.DotProduct).
-    val codeCols = (0 until m).map { s =>
-      val cents = typedlit(books(s).map(_.toSeq).toSeq)
-      val sub = slice(col("u"), s * d + 1, d)
-      val dists = transform(cents, c =>
-        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z))
-      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"__code$s")
-    }
+    // shuffle — one codegen'd primitive loop ([[graft.functions.PqEncode]],
+    // bit-identical to the HOF reference form below, spec-pinned). The
+    // encode pass walks EVERY corpus vector, so at 100 TB it must stay
+    // inside whole-stage codegen like DotProduct/CharEntropy.
     val staged = corpus
       .select(col(idCol).as("neighbor_id"), unitNormalize(col(vecCol)).as("u"))
-      .select(Seq(col("neighbor_id")) ++ codeCols: _*)
       .select(col("neighbor_id"),
-        array((0 until m).map(i => col(s"__code$i")): _*).as("codes"))
+        graft.functions.PqEncode.pqEncode(col("u"), books).as("codes"))
 
     // ---- search (ADC): per-query LUT of subspace dot products, m array
     // lookups per candidate, shortlist by approximate score…
@@ -260,6 +252,27 @@ object Similarity {
       .withColumn("rk", row_number().over(wFinal).cast("bigint"))
       .filter(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "score")
+  }
+
+  /** Interpreted-HOF reference form of the PQ encode — the semantic
+    * oracle [[graft.functions.PqEncode]] must match bit-for-bit
+    * (SimilaritySpec): per subspace, squared distances fold
+    * left-to-right and `array_position(array_min)` keeps the FIRST
+    * minimal centroid. Not used in the production path (CodegenFallback,
+    * three intermediate arrays per subspace per row).
+    */
+  def pqEncodeHofReference(u: Column,
+                           books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val d = books(0)(0).length
+    array((0 until m).map { s =>
+      val cents = typedlit(books(s).map(_.toSeq).toSeq)
+      val sub = slice(u, s * d + 1, d)
+      val dists = transform(cents, c =>
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
   }
 
   /** Lloyd's k-means over a bounded in-memory sample (the PQ codebook

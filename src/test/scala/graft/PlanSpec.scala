@@ -163,6 +163,23 @@ class PlanSpec extends AnyFunSuite {
       s"shortlist/rerank windows not group-limited:\n${p.take(3000)}")
   }
 
+  test("PQ encode runs inside whole-stage codegen (no interpreted fallback)") {
+    // the encode pass walks every corpus vector — a CodegenFallback here
+    // is the difference between a primitive loop and three intermediate
+    // arrays per subspace per row at 100 TB. Isolate the expression over
+    // a plain double-array column (unitNormalize's HOFs are fallback by
+    // nature and would break the span for unrelated reasons).
+    val books = Array.tabulate(4, 3, 16)((s, c, j) => (s + c + j) * 0.1)
+    val df = Tables.table(spark, sf, "embeddings")
+      .select(col("embedding").cast("array<double>").as("u"))
+      .select(graft.functions.PqEncode.pqEncode(col("u"), books).as("codes"))
+    df.collect() // AQE shows codegen stars only after an action
+    val p = plan(df)
+    assert(p.contains("pqencode"), s"expression missing from plan:\n$p")
+    assert(p.contains("*(1) Project"),
+      s"PQ encode projection fell out of codegen:\n$p")
+  }
+
   test("equi-depth histogram broadcasts the boundary row (no ntile sort)") {
     val p = plan(graft.ops.EventQueries.equidepthHistogram(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

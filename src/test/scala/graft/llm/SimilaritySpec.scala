@@ -77,6 +77,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncode expression is bit-identical to the interpreted HOF reference") {
+    val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
+    // deterministic toy codebooks exercising ties and sign structure
+    val m = 4; val k = 3; val d = 16
+    val books = Array.tabulate(m, k, d) { (s, c, j) =>
+      math.sin(s * 1.7 + c * 0.9 + j * 0.31) * (if (c == 2) 0.5 else 1.0)
+    }
+    val u = Similarity.unitNormalize($"embedding")
+    val both = emb.select($"vec_id",
+        graft.functions.PqEncode.pqEncode(u, books).as("fast"),
+        Similarity.pqEncodeHofReference(u, books).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+    // malformed input (wrong length for m·d) encodes to null, not garbage
+    val bad = Seq(Seq(1.0, 2.0)).toDF("u")
+      .select(graft.functions.PqEncode.pqEncode($"u", books).as("c"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
   test("LSH cosine pairs: reported cosine matches exact within LSH tolerance") {
     val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
     val pairs = Similarity.lshCosinePairs(emb, minCosine = 0.3).limit(5).collect()
