@@ -8,9 +8,11 @@ import graft.Tables.table
   * (SURVEY.md §0 third finding, §7.2.5): dedup, similarity search, text
   * analysis, multimodal plumbing over the documents/embeddings tables.
   *
-  * Oracle-checked where SQL-expressible; the MinHash/SimHash/LSH/decode
-  * paths are rows-only (driver's weaker check) and covered by ScalaTest
-  * instead.
+  * Oracle-checked where SQL-expressible — including the multimodal
+  * decode/frame queries (the fixture's closed-form pixel functions let
+  * DuckDB predict decoded statistics without parsing binary); the
+  * MinHash/SimHash/LSH paths are rows-only (driver's weaker check) and
+  * covered by ScalaTest instead.
   */
 object LlmQueries {
 
@@ -315,12 +317,18 @@ object LlmQueries {
         col("meta.sha").as("sha"))
       .orderBy("doc_id")
 
-  /** Partition-parallel decode via the stubbed codec (rows-only). */
+  /** Partition-parallel REAL BMP decode + 8×8 resize, oracle-checked:
+    * the fixture pixel function is closed-form in doc_id, so DuckDB
+    * predicts every decoded statistic without parsing binary — a header
+    * offset, row padding or orientation bug breaks the hash.
+    */
   def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(spark, table(spark, dir, "documents"))
       .orderBy("doc_id")
 
-  /** Resize + frame-sample stage over the binary payload (rows-only). */
+  /** PPM frame-sample stage over the concatenated-frame video payload
+    * (every 2nd frame), oracle-checked the same way as the decode.
+    */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.frameFeatures(spark, table(spark, dir, "documents"))
       .orderBy("doc_id", "frame_idx")
@@ -634,6 +642,55 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS sha
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // predicts the DECODED statistics from the closed-form fixture pixel
+    // function (w = 8 + id%24, h = 8 + 3id%24, px(i) = (31id + 7i)%256):
+    // mean over the raster, the raster top-left byte, and the
+    // nearest-neighbor 8×8 resize mean (sy = ry·h//8, sx = rx·w//8,
+    // idx = (sy·w + sx)·3 + c with j enumerating (ry, rx, c))
+    "q_multimodal_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 24 AS w,
+        |    8 + (3 * doc_id) % 24 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    list_sum(list_transform(range(0, w * h * 3),
+        |      i -> (doc_id * 31 + i * 7) % 256)) AS s,
+        |    list_sum(list_transform(range(0, 192),
+        |      j -> (doc_id * 31 +
+        |            (((j // 24) * h // 8 * w + ((j // 3) % 8) * w // 8) * 3
+        |             + j % 3) * 7) % 256)) AS rs
+        |  FROM dims)
+        |SELECT doc_id,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST((1000000 * s) // (w * h * 3) AS BIGINT) AS mean_px_micro,
+        |  CAST((doc_id * 31) % 256 AS BIGINT) AS top_left,
+        |  CAST((1000000 * rs) // 192 AS BIGINT) AS resized_mean_micro
+        |FROM px
+        |ORDER BY doc_id""".stripMargin,
+
+    // every 2nd frame of F = 1 + id%4 frames; per frame f:
+    // w = 4 + (id+f)%5, h = 3 + (2id+f)%4, px(i) = (id + 13f + 7i)%256
+    "q_multimodal_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, r.f AS f,
+        |    4 + (doc_id + r.f) % 5 AS w,
+        |    3 + (2 * doc_id + r.f) % 4 AS h
+        |  FROM documents CROSS JOIN range(0, 4) r(f)
+        |  WHERE r.f < 1 + doc_id % 4 AND r.f % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, f, w, h,
+        |    list_sum(list_transform(range(0, w * h * 3),
+        |      i -> (doc_id + 13 * f + 7 * i) % 256)) AS s
+        |  FROM fr)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST((1000000 * s) // (w * h * 3) AS BIGINT) AS mean_px_micro
+        |FROM px
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -6,100 +6,229 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §7.2.5): media as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so [[FakeDecoder]] is a
-  * clearly-marked deterministic stand-in — but everything Spark-level is
-  * real: binary column + metadata struct schema, partition-parallel decode
-  * via mapPartitions (one decoder instantiation per partition, the same
-  * batch shape a JNI/FFmpeg binding would need), and pruning-friendly
-  * metadata columns so scans that only need width/height never touch bytes.
+  * The decode is REAL: payloads are genuine BMP images / concatenated
+  * binary PPM frames (synthesized deterministically from doc_id, since
+  * the corpus ships no media), and [[BmpCodec]]/[[PpmCodec]] parse the
+  * actual bytes — little-endian headers, bottom-up padded BMP rows, ASCII
+  * PPM dimensions. That makes the decode oracle-checkable end to end: the
+  * DuckDB oracle predicts width/height/pixel statistics from the same
+  * closed-form pixel function, so a header-offset, row-padding or
+  * orientation bug in either codec breaks the hash compare.
+  *
+  * Spark-side shape (the part that carries to 100 TB): binary column +
+  * pruning-friendly metadata struct, repartition by id to spread decode
+  * cost regardless of upstream layout, and mapPartitions so a real codec
+  * binding initializes once per partition, not per row. All emitted
+  * statistics are exact integer micro-units (the repo's rational-score
+  * contract) — nothing for a hash to wobble on.
   */
 object Multimodal {
 
-  /** Decoded-media feature row produced by the per-partition decode pass. */
-  case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
-                           height: Int, mean_byte: Double, feature_crc: Long)
-
-  /** STUB decoder — deterministic fake in place of a real codec.
-    * A production build swaps `decode` for the real library call; the
-    * signature (bytes in, fixed-shape features out) is the real contract.
+  /** 24-bit BMP encoder/decoder (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * uncompressed, bottom-up rows padded to 4 bytes). `pixel(i)` is the
+    * raster-order byte stream (3 bytes per pixel); decode reconstructs
+    * it, so the pair round-trips bit-for-bit.
     */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Double, Long) = {
-      // fake "image dims" derived from leading bytes; deterministic
-      val w = 16 + (if (payload.length > 0) (payload(0) & 0x7f) % 48 else 0)
-      val h = 16 + (if (payload.length > 1) (payload(1) & 0x7f) % 48 else 0)
-      var sum = 0L
-      var crc = 1469598103934665603L // FNV-1a 64 offset basis
+  object BmpCodec {
+    private val HeaderBytes = 54
+
+    private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte
+      b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte
+      b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+
+    private def getIntLE(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+    private def getShortLE(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+    def rowStride(width: Int): Int = ((width * 3) + 3) / 4 * 4
+
+    def encode(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+      val stride = rowStride(width)
+      val out = new Array[Byte](HeaderBytes + stride * height)
+      out(0) = 'B'; out(1) = 'M'
+      putIntLE(out, 2, out.length)
+      putIntLE(out, 10, HeaderBytes)
+      putIntLE(out, 14, 40)             // BITMAPINFOHEADER size
+      putIntLE(out, 18, width)
+      putIntLE(out, 22, height)         // positive height = bottom-up
+      out(26) = 1                       // planes
+      out(28) = 24                      // bpp
+      putIntLE(out, 34, stride * height)
+      var y = 0
+      while (y < height) {
+        // file row r holds image row height-1-r (bottom-up)
+        val fileRowOff = HeaderBytes + (height - 1 - y) * stride
+        var x = 0
+        while (x < width * 3) {
+          out(fileRowOff + x) = (pixel(y * width * 3 + x) & 0xFF).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Parse the headers and un-pad the bottom-up rows back into
+      * raster-order bytes. Returns null on anything that is not an
+      * uncompressed bottom-up 24-bit BMP (decode stays total — one
+      * malformed blob in 100 TB must not kill the job).
+      */
+    def decode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+      if (b == null || b.length < HeaderBytes || b(0) != 'B' || b(1) != 'M')
+        return null
+      val dataOffset = getIntLE(b, 10)
+      val width = getIntLE(b, 18)
+      val height = getIntLE(b, 22)
+      val bpp = getShortLE(b, 28)
+      val compression = getIntLE(b, 30)
+      if (bpp != 24 || compression != 0 || width <= 0 || height <= 0)
+        return null
+      val stride = rowStride(width)
+      if (dataOffset.toLong + stride.toLong * height > b.length) return null
+      val raster = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(b, dataOffset + (height - 1 - y) * stride,
+          raster, y * width * 3, width * 3)
+        y += 1
+      }
+      (width, height, raster)
+    }
+  }
+
+  /** Binary PPM (P6) encoder/decoder. Frames concatenate into one "video"
+    * payload; decode walks the buffer parsing each ASCII header
+    * ("P6\n<w> <h>\n255\n") and slicing its pixel block.
+    */
+  object PpmCodec {
+    def encode(width: Int, height: Int, pixel: Int => Int): Array[Byte] = {
+      val header = s"P6\n$width $height\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + width * height * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
       var i = 0
-      while (i < payload.length) {
-        sum += payload(i) & 0xff
-        crc = (crc ^ (payload(i) & 0xff)) * 1099511628211L
+      while (i < width * height * 3) {
+        out(header.length + i) = (pixel(i) & 0xFF).toByte
         i += 1
       }
-      val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
-      (w, h, mean, crc)
+      out
     }
-  }
 
-  /** STUB resize — the Spark-side contract of an image resize stage:
-    * fixed target dims in the schema, per-partition execution, output
-    * byte length proportional to target area. A real build swaps the body
-    * for the codec call; everything around it stays.
-    */
-  def resizeStub(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
-    val out = new Array[Byte](math.max(1, targetW * targetH / 64))
-    var i = 0
-    while (i < out.length) {
-      out(i) = if (payload.isEmpty) 0 else payload(i % payload.length)
-      i += 1
-    }
-    out
-  }
-
-  /** STUB frame sampling — treat the payload as a "video" of fixed-size
-    * chunks and keep every `stride`-th chunk; real decoders replace the
-    * chunking with container parsing. Output shape (array of frames per
-    * row) is the real contract a frame-level feature extractor needs.
-    */
-  def sampleFramesStub(payload: Array[Byte], frameBytes: Int,
-                       stride: Int): Seq[Array[Byte]] =
-    payload.grouped(frameBytes).zipWithIndex
-      .collect { case (chunk, i) if i % stride == 0 => chunk }
-      .toSeq
-
-  /** Decoded frame-sample row: doc_id, frame index, frame bytes, mean. */
-  case class FrameRow(doc_id: Long, frame_idx: Int, frame_len: Int,
-                      mean_byte: Double)
-
-  /** Partition-parallel resize + frame-sample over the binary column —
-    * same mapPartitions batch shape as [[decodeFeatures]].
-    */
-  def frameFeatures(spark: SparkSession, docs: DataFrame,
-                    frameBytes: Int = 16, stride: Int = 2,
-                    partitions: Int = 32): DataFrame = {
-    // defaults matter: the 64×64 resize emits a 64-byte buffer, so
-    // frameBytes=16 yields 4 chunks and stride 2 keeps frames 0 and 2 —
-    // frameBytes=64 would collapse to one frame and make stride dead
-    // code in the harness query
-    import spark.implicits._
-    withBinaryPayload(docs)
-      .select(col("doc_id"), col("payload"))
-      .repartition(partitions, col("doc_id"))
-      .as[(Long, Array[Byte])]
-      .flatMap { case (id, payload) =>
-        sampleFramesStub(resizeStub(payload, 64, 64), frameBytes, stride)
-          .zipWithIndex.map { case (f, i) =>
-            val mean = if (f.isEmpty) 0.0
-                       else f.map(b => (b & 0xff).toDouble).sum / f.length
-            FrameRow(id, i, f.length, mean)
-          }
+    /** Parse every concatenated P6 frame: (width, height, pixels) per
+      * frame in order. Returns frames parsed so far when the buffer ends
+      * mid-frame (total on truncated input).
+      */
+    def decodeAll(b: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Byte])]
+      var i = 0
+      def skipWs(): Unit = {
+        while (i < b.length && (b(i) == ' ' || b(i) == '\n' ||
+          b(i) == '\r' || b(i) == '\t')) i += 1
       }
-      .toDF()
+      def parseInt(): Int = {
+        var v = -1
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = (if (v < 0) 0 else v) * 10 + (b(i) - '0')
+          i += 1
+        }
+        v
+      }
+      while (i + 2 <= b.length && b(i) == 'P' && b(i + 1) == '6') {
+        i += 2
+        skipWs(); val w = parseInt()
+        skipWs(); val h = parseInt()
+        skipWs(); val maxVal = parseInt()
+        if (w <= 0 || h <= 0 || maxVal != 255 || i >= b.length) return frames.toSeq
+        i += 1 // the single whitespace after maxval
+        if (i + w * h * 3 > b.length) return frames.toSeq
+        frames += ((w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3)))
+        i += w * h * 3
+      }
+      frames.toSeq
+    }
   }
+
+  // ---------------------------------------------------------------------
+  // Deterministic media fixture: the corpus ships no binary media, so the
+  // payloads are synthesized from doc_id by closed-form pixel functions —
+  // which is exactly what lets DuckDB predict the DECODED statistics
+  // without parsing binary: any codec bug surfaces as a hash mismatch.
+  // ---------------------------------------------------------------------
+
+  def imageDims(docId: Long): (Int, Int) =
+    ((8 + docId % 24).toInt, (8 + (3 * docId) % 24).toInt)
+
+  def imagePixel(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * 7) % 256).toInt
+
+  def frameCount(docId: Long): Int = (1 + docId % 4).toInt
+
+  def frameDims(docId: Long, f: Int): (Int, Int) =
+    ((4 + (docId + f) % 5).toInt, (3 + (2 * docId + f) % 4).toInt)
+
+  def framePixel(docId: Long, f: Int, i: Int): Int =
+    ((docId + 13L * f + 7L * i) % 256).toInt
+
+  /** Synthesize the BMP image payload column (with real media this is the
+    * parquet binary column as-read; the metadata struct mirrors
+    * [[withBinaryPayload]]'s pruning-friendly shape).
+    */
+  def withImagePayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = imageDims(id)
+          (id, BmpCodec.encode(w, h, imagePixel(id, _)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Synthesize the concatenated-PPM "video" payload column. */
+  def withVideoPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val parts = (0 until frameCount(id)).map { f =>
+            val (w, h) = frameDims(id, f)
+            PpmCodec.encode(w, h, framePixel(id, f, _))
+          }
+          val out = new Array[Byte](parts.map(_.length).sum)
+          var off = 0
+          parts.foreach { p =>
+            System.arraycopy(p, 0, out, off, p.length); off += p.length
+          }
+          (id, out)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decoded-image feature row. All statistics are exact integers:
+    * micro-unit means (floor), the raster top-left byte (catches
+    * orientation bugs — bottom-up storage must un-flip), and the
+    * nearest-neighbor 8×8 resize mean (the real resize stage).
+    */
+  case class MediaFeatures(doc_id: Long, width: Long, height: Long,
+                           channels: Long, n_px: Long, mean_px_micro: Long,
+                           top_left: Long, resized_mean_micro: Long)
+
+  /** Decoded frame-sample row (every `stride`-th frame of the video). */
+  case class FrameFeatures(doc_id: Long, frame_idx: Long, width: Long,
+                           height: Long, mean_px_micro: Long)
 
   /** Attach an opaque binary payload + typed metadata to each document.
-    * (The corpus has no real media; utf-8 bytes of the text stand in. With
-    * real data this is the parquet binary column as-read.)
+    * (Utf-8 bytes of the text stand in; with real data this is the
+    * parquet binary column as-read.) Kept for the metadata-only query:
+    * scans that need byte_len/sha never touch pixel bytes.
     */
   def withBinaryPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -108,24 +237,71 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("byte_len"),
         sha2(encode(col("text"), "UTF-8"), 256).as("sha")).as("meta"))
 
-  /** Partition-parallel decode: repartition by id (spreads decode cost
-    * evenly regardless of upstream layout — media rows are often clustered
-    * by source), then mapPartitions so a real decoder would be constructed
-    * once per partition, not per row.
+  /** Partition-parallel BMP decode + resize: repartition by id (spreads
+    * decode cost evenly regardless of upstream layout — media rows are
+    * often clustered by source), then mapPartitions so a real codec
+    * binding would be constructed once per partition, not per row.
     */
   def decodeFeatures(spark: SparkSession, docs: DataFrame,
                      partitions: Int = 32): DataFrame = {
     import spark.implicits._
-    withBinaryPayload(docs)
-      .select(col("doc_id"), col("payload"))
+    withImagePayload(spark, docs)
       .repartition(partitions, col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // real codec init would happen here, once per partition
-        rows.map { case (id, payload) =>
-          val (w, h, mean, crc) = FakeDecoder.decode(payload)
-          MediaFeatures(id, payload.length.toLong, w, h, mean, crc)
+        rows.flatMap { case (id, payload) =>
+          Option(BmpCodec.decode(payload)).map { case (w, h, raster) =>
+            var sum = 0L
+            var i = 0
+            while (i < raster.length) { sum += raster(i) & 0xFF; i += 1 }
+            // nearest-neighbor 8×8 downsample over the decoded raster
+            var rsum = 0L
+            var ry = 0
+            while (ry < 8) {
+              val sy = ry * h / 8
+              var rx = 0
+              while (rx < 8) {
+                val sx = rx * w / 8
+                var c = 0
+                while (c < 3) {
+                  rsum += raster((sy * w + sx) * 3 + c) & 0xFF
+                  c += 1
+                }
+                rx += 1
+              }
+              ry += 1
+            }
+            MediaFeatures(id, w, h, 3L, w.toLong * h,
+              1000000L * sum / (w.toLong * h * 3),
+              raster(0) & 0xFF,
+              1000000L * rsum / 192L)
+          }
         }
+      }
+      .toDF()
+  }
+
+  /** Partition-parallel PPM frame sampling: parse every frame header,
+    * keep every `stride`-th frame, emit its decoded statistics — the
+    * frame-level feature-extract stage of a video pipeline, same
+    * mapPartitions batch shape as [[decodeFeatures]].
+    */
+  def frameFeatures(spark: SparkSession, docs: DataFrame,
+                    stride: Int = 2, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    withVideoPayload(spark, docs)
+      .repartition(partitions, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        PpmCodec.decodeAll(payload).zipWithIndex
+          .collect { case ((w, h, px), f) if f % stride == 0 =>
+            var sum = 0L
+            var i = 0
+            while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
+            FrameFeatures(id, f.toLong, w.toLong, h.toLong,
+              1000000L * sum / (w.toLong * h * 3))
+          }
       }
       .toDF()
   }
