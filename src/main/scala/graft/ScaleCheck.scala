@@ -176,6 +176,84 @@ object ScaleCheck {
         s"$cBad cells off")
     }
 
+    // --- round-5 wave-3/4 operators ----------------------------------
+    // The SHARED-vocab corpus (replicas keep the same tokens, only
+    // doc_ids shift) makes corpus-frequency statistics scale trivially:
+    // every token/bigram count multiplies by R while all the ratios —
+    // rank order, PMI, Zipf log-log geometry — stay put.
+    val sharedDir = s"$out/shared"
+
+    timed("heavy_hitters (sf1-shared + compare)") {
+      val hhSrc = llm.CorpusQueries.heavyHitters(spark, src).collect()
+        .map(r => (r.getString(0), r.getLong(1) * replicas)).toSeq
+      val hhBig = llm.CorpusQueries.heavyHitters(spark, sharedDir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      check(s"heavy-hitter top-20 is exactly ${replicas}x, same order")(
+        hhSrc == hhBig, s"src×R $hhSrc\nbig $hhBig")
+    }
+
+    timed("zipf_slope (sf1-shared + compare)") {
+      val zs = llm.CorpusQueries.zipfSlope(spark, src).head()
+      val zb = llm.CorpusQueries.zipfSlope(spark, sharedDir).head()
+      // every head frequency multiplies by R → ln f shifts uniformly by
+      // ln R, ranks unchanged → covar/var (and the slope) are invariant
+      check("zipf slope is invariant under shared-vocab growth")(
+        zs.getLong(0) == zb.getLong(0) &&
+          math.abs(zs.getDouble(1) - zb.getDouble(1)) <= 2e-6,
+        s"src (${zs.getLong(0)}, ${zs.getDouble(1)}) vs " +
+          s"big (${zb.getLong(0)}, ${zb.getDouble(1)})")
+    }
+
+    timed("collocations (sf1-shared + compare)") {
+      // with minCount scaled by R the surviving bigram set is identical
+      // (bc' = R·bc ≥ R·20 ⟺ bc ≥ 20) and every PMI is exactly preserved:
+      // ln((R·bc/R·btot) / ((R·c1/R·utot)·(R·c2/R·utot))) = pmi
+      val cs = llm.CorpusQueries
+        .collocationsWithMin(spark, src, llm.CorpusQueries.collocMinCount)
+        .collect()
+      val cb = llm.CorpusQueries.collocationsWithMin(spark, sharedDir,
+          llm.CorpusQueries.collocMinCount.toLong * replicas)
+        .collect()
+      val ok = cs.length == cb.length && cs.zip(cb).forall { case (a, b) =>
+        a.getString(0) == b.getString(0) &&
+          a.getLong(1) * replicas == b.getLong(1) &&
+          math.abs(a.getDouble(2) - b.getDouble(2)) <= 2e-6
+      }
+      check(s"PMI top-10 invariant at min-count ${replicas}·20")(ok,
+        s"src ${cs.map(_.toSeq).toSeq}\nbig ${cb.map(_.toSeq).toSeq}")
+    }
+
+    // char entropy is per-row: replica-0 docs of the suffixed corpus are
+    // byte-identical to the source docs, so the slice must match exactly
+    timed("char_entropy (sf1 + compare)") {
+      val ceSrc = llm.CorpusQueries.charEntropy(spark, src)
+      val ceBig = llm.CorpusQueries.charEntropy(spark, out)
+        .filter(col("doc_id") < Stride)
+      val ceBad = ceBig.unionByName(ceSrc)
+        .groupBy("doc_id", "n_chars_split", "entropy").count()
+        .filter(col("count") =!= 2).count()
+      check("replica-0 char entropy == sf0.1 bit-for-bit")(ceBad == 0,
+        s"$ceBad odd rows")
+    }
+
+    // PageRank: event replicas preserve each user's sequence under
+    // shifted ids, so transition COUNTS are exactly R× and the transition
+    // PROBABILITIES — hence the stationary ranks — are identical; the
+    // dangling fix keeps Σrank = 1 at any scale
+    timed("pagerank (sf1 + compare)") {
+      val prSrc = ops.EventQueries.transitionPageRank(spark, src).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val prBig = ops.EventQueries.transitionPageRank(spark, out).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val sumBig = prBig.values.sum
+      val prOk = prSrc.keySet == prBig.keySet &&
+        prSrc.forall { case (n, r) => math.abs(prBig(n) - r) <= 2e-6 }
+      check("pagerank invariant under event replication")(prOk,
+        s"src $prSrc\nbig $prBig")
+      check("pagerank mass sums to 1 at sf1")(
+        math.abs(sumBig - 1.0) <= 1e-5, s"sum $sumBig")
+    }
+
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)
@@ -202,6 +280,7 @@ object ScaleCheck {
     if (current != wanted) {
       new java.io.File(s"$out/documents.parquet").delete()
       new java.io.File(s"$out/events.parquet").delete()
+      new java.io.File(s"$out/shared/documents.parquet").delete()
       marker.delete()
     }
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
@@ -214,6 +293,17 @@ object ScaleCheck {
             regexp_replace(col("text"), lit(" "), lit(s"_r$i ")), lit(s"_r$i")))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }.reduce(_ unionByName _), out, "documents")
+    }
+    if (!new java.io.File(s"$out/shared/documents.parquet").exists()) {
+      // SHARED-vocab replicas (doc_id shift only, text untouched): the
+      // corpus-frequency family's invariants need counts to scale ×R with
+      // the vocabulary held fixed — the complement of the suffixed corpus,
+      // whose disjoint vocabularies pin the near-dup/LM family instead
+      new java.io.File(s"$out/shared").mkdirs()
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      writeSingleFile((0 until replicas).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i * Stride))
+      }.reduce(_ unionByName _), s"$out/shared", "documents")
     }
     if (!new java.io.File(s"$out/events.parquet").exists()) {
       // keep ts (so windows line up as exact multiples); shift ids so

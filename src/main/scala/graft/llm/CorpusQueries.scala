@@ -312,7 +312,18 @@ object CorpusQueries {
     * vocab² and must never be single-partition sorted (see
     * heavyHitters).
     */
-  def collocations(spark: SparkSession, dir: String): DataFrame = {
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    collocationsWithMin(spark, dir, collocMinCount)
+
+  /** Bigram support threshold for [[collocations]]. Interpolated into the
+    * oracle SQL, and parameterized for ScaleCheck: at R× shared-vocab
+    * growth every count scales by R, so running with minCount = R·20
+    * must reproduce the source top-10 with identical PMIs.
+    */
+  val collocMinCount = 20
+
+  def collocationsWithMin(spark: SparkSession, dir: String,
+                          minCount: Long): DataFrame = {
     val docs = table(spark, dir, "documents")
     val tok = docs
       .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
@@ -326,7 +337,7 @@ object CorpusQueries {
       .select(explode_outer(col("__bg")).as("g"))
       .filter(col("g").isNotNull)
     val big = bg.groupBy("g").agg(count(lit(1)).as("bc"))
-      .filter(col("bc") >= 20L)
+      .filter(col("bc") >= minCount)
     val bigTot = bg.agg(count(lit(1)).as("btot"))
     // the unigram-count side is token-keyed — vocabulary-sized, Heaps-law
     // unbounded at 100 TB — so no broadcast hint: AQE picks the build side
@@ -499,7 +510,7 @@ object CorpusQueries {
         |ORDER BY c.doc_id""".stripMargin,
 
     "q_collocations" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |uni AS (SELECT token, count(*) AS uc FROM tok GROUP BY token),
         |ut AS (SELECT sum(uc) AS utot FROM uni),
@@ -509,7 +520,8 @@ object CorpusQueries {
         |         string_split(text, ' ')[i+1])) AS g
         |  FROM documents),
         |big AS (
-        |  SELECT g, count(*) AS bc FROM bg GROUP BY g HAVING count(*) >= 20),
+        |  SELECT g, count(*) AS bc FROM bg GROUP BY g
+        |  HAVING count(*) >= $collocMinCount),
         |bt AS (SELECT count(*) AS btot FROM bg),
         |s AS (
         |  SELECT big.g, big.bc,
