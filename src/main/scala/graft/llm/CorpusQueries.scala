@@ -406,6 +406,36 @@ object CorpusQueries {
           .otherwise(col("cv") / col("vr")), 6).as("slope"))
   }
 
+  /** Per-source token-distribution drift: KL(p_source ‖ p_corpus) =
+    * Σ_t p_s(t)·ln(p_s(t)/p(t)) — the mixture-drift diagnostic behind
+    * "did source X's language shift vs the corpus" dashboards (and the
+    * quantitative form of the source-mix accounting). Every stage is
+    * keyed by (source, token) or token: the token-keyed marginal join is
+    * deliberately un-hinted (Heaps-law unbounded — the unigramLogprob
+    * contract), the per-source totals are source-cardinality-sized and
+    * AQE broadcasts them. p(t) > 0 wherever p_s(t) > 0 by construction
+    * (the marginal sums the per-source counts), so the log is total.
+    * Round-6: transcendental, can't tie at .5e-6.
+    */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val st = table(spark, dir, "documents")
+      .select(col("source"), TextStats.tokens(col("text")).as("__toks"))
+      // explode_outer + null filter: see heavyHitters
+      .select(col("source"), explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
+    val n = st.agg(sum(col("c_st")).as("n"))
+    val ps = col("c_st").cast("double") / col("n_s")
+    val p = col("c_t").cast("double") / col("n")
+    st.join(ct, Seq("token")).join(ns, Seq("source")).crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        round(sum(ps * log(ps / p)), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** Sketch-based cardinality next to ground truth: per source, the
     * HLL++ estimate (`approx_count_distinct`, the mergeable sketch that
     * replaces exact distinct at 100 TB) beside the exact distinct token
@@ -492,7 +522,8 @@ object CorpusQueries {
     "q_pii_redact" -> (piiRedact _),
     "q_hash_sample" -> (hashSample _),
     "q_bigram_logprob" -> (bigramLogprob _),
-    "q_source_vocab" -> (sourceVocab _)
+    "q_source_vocab" -> (sourceVocab _),
+    "q_source_kl" -> (sourceKl _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -725,6 +756,23 @@ object CorpusQueries {
         |  agg.avg_logprob
         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY token),
+        |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY source),
+        |n AS (SELECT sum(c_st) AS n FROM st)
+        |SELECT st.source, CAST(max(ns.n_s) AS BIGINT) AS n_tokens,
+        |  round(sum((CAST(c_st AS DOUBLE) / n_s) *
+        |    ln((CAST(c_st AS DOUBLE) / n_s) / (CAST(c_t AS DOUBLE) / n))), 6)
+        |    AS kl
+        |FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN n
+        |GROUP BY st.source
+        |ORDER BY st.source""".stripMargin,
 
     "q_source_vocab" ->
       """WITH tok AS (

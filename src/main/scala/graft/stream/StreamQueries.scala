@@ -154,6 +154,46 @@ object StreamQueries {
     spark.table(name).orderBy("event_type")
   }
 
+  /** Stream-STREAM interval join, EXECUTED: clicks and purchases arrive
+    * as two file streams (same parquet, filtered per side), joined on
+    * user within a 6-hour event-time window — the attribution-join shape
+    * (purchase credited to any click ≤ 6 h before it). Both sides carry
+    * watermarks, so at 100 TB the join state holds one window of history
+    * per side instead of the whole stream; the bounded AvailableNow run
+    * arrives in one micro-batch (single file), so no row can be
+    * watermark-dropped and DuckDB replicates the join as a batch
+    * self-join — the executed stream-stream join is hash-checked. The
+    * raw pairs land in the sink (append mode — the only mode a
+    * stream-stream inner join can emit in) and the bounded sink table is
+    * aggregated per user batch-side.
+    */
+  def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def side(tpe: String, u: String, t: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", graft.Tables.eventTsFromNanos)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(u), col("ts").as(t))
+    val clicks = side("click", "cu", "cts").withWatermark("cts", "1 hour")
+    val purchases = side("purchase", "pu", "pts").withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 6 HOURS"))
+    val name = "graft_stream_interval"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** Batch sessionization (gap rule 6 h) — the window-function form of
     * [[Sessionize.sessionize]]; the streaming form is covered by the
     * flatMapGroupsWithState spec.
@@ -172,6 +212,7 @@ object StreamQueries {
     "q_stream_windowed" -> (streamWindowedCounts _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_enrich" -> (streamEnrich _),
+    "q_stream_interval_join" -> (streamIntervalJoin _),
     "q_session_window" -> (sessionWindows _),
     "q_sessions" -> (sessions _)
   )
@@ -232,6 +273,17 @@ object StreamQueries {
         |FROM g
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+        |GROUP BY c.user_id
+        |ORDER BY c.user_id""".stripMargin,
 
     "q_stream_roundtrip" ->
       """SELECT CAST(event_id // 100 AS BIGINT) AS batch_id,

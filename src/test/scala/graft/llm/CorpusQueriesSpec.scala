@@ -383,6 +383,44 @@ class CorpusQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("source KL: non-negative, zero for an on-distribution source") {
+    val out = CorpusQueries.sourceKl(spark, sf).collect()
+    assert(out.nonEmpty)
+    // Gibbs' inequality: KL(p_s ‖ p) ≥ 0, equality iff p_s == p
+    out.foreach { r =>
+      assert(r.getAs[Double]("kl") >= 0.0,
+        s"${r.getString(0)}: kl=${r.getAs[Double]("kl")}")
+    }
+    // the real corpus's sources are distinct by construction — drift must
+    // register somewhere
+    assert(out.exists(_.getAs[Double]("kl") > 0.0), "all sources scored 0")
+    // hand fixture: when EVERY source has the same token distribution the
+    // corpus marginal equals each of them → KL exactly 0 (ln 1 = 0, no
+    // rounding involved)
+    val docs = Seq(
+      ("a", "x x y"), ("a", "x y y"),
+      ("b", "x x y"), ("b", "x y y")).toDF("source", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kl")
+    try {
+      docs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/__t/documents.parquet")
+      // single-file layout like the testdata dirs
+      val part = new java.io.File(s"$tmp/__t/documents.parquet").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+      val kl = CorpusQueries.sourceKl(spark, tmp.toString).collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("kl")).toMap
+      assert(kl == Map("a" -> 0.0, "b" -> 0.0), s"uniform sources: $kl")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("char entropy decode stays aligned on invalid UTF-8") {
     import org.apache.spark.unsafe.types.UTF8String
     // a stray continuation byte (0x80) in lead position must count as ONE

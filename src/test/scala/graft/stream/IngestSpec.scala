@@ -214,4 +214,24 @@ class IngestSpec extends AnyFunSuite {
         Seq(("2024-01-01 00:00:00", 2L), ("2024-01-01 00:05:00", 1L)))
     } finally q.stop()
   }
+
+  test("executed stream-stream interval join equals the batch self-join") {
+    val sf = GraftTestSpark.sfDir
+    val streamed = StreamQueries.streamIntervalJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.Tables.table(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = clicks.join(purchases,
+        col("cu") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 6 HOURS"))
+      .groupBy(col("cu")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    // single-file AvailableNow run = one micro-batch, so the watermark
+    // can drop nothing and the stateful join must equal the batch answer
+    assert(streamed == batch)
+  }
 }
