@@ -418,15 +418,23 @@ object CorpusQueries {
     * Round-6: transcendental, can't tie at .5e-6.
     */
   def sourceKl(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint the (source, token) aggregate: THREE consumers read
+    // it (marginal, per-source totals, the join probe), and column
+    // pruning makes their subtrees differ — so exchange reuse can't dedup
+    // them and the un-checkpointed plan re-tokenizes the corpus once per
+    // consumer (4 full scans). Materializing one vocab×sources frame
+    // trades bounded executor storage for three corpus passes — the same
+    // call Graph.pageRank/Dedup.connectedComponents make.
     val st = table(spark, dir, "documents")
       .select(col("source"), TextStats.tokens(col("text")).as("__toks"))
       // explode_outer + null filter: see heavyHitters
       .select(col("source"), explode_outer(col("__toks")).as("token"))
       .filter(col("token").isNotNull)
       .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
     val ct = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
     val ns = st.groupBy("source").agg(sum(col("c_st")).as("n_s"))
-    val n = st.agg(sum(col("c_st")).as("n"))
+    val n = ns.agg(sum(col("n_s")).as("n"))
     val ps = col("c_st").cast("double") / col("n_s")
     val p = col("c_t").cast("double") / col("n")
     st.join(ct, Seq("token")).join(ns, Seq("source")).crossJoin(broadcast(n))
