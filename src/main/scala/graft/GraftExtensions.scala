@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SimHash64, SortedIntersectCount}
+import graft.functions.{CharEntropy, DotProduct, RepetitionMicro, SimHash64,
+  SortedIntersectCount}
 
 /** SparkSessionExtensions module: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
@@ -38,17 +39,25 @@ object GraftExtensions {
   val sortedIntersectBuilder: Seq[Expression] => Expression =
     binary("graft_sorted_intersect_count", SortedIntersectCount.apply)
 
-  val simhashBuilder: Seq[Expression] => Expression = { children =>
-    require(children.length == 1, "graft_simhash64 takes exactly 1 argument")
-    SimHash64(children.head)
+  private def unary(name: String, f: Expression => Expression)
+      : Seq[Expression] => Expression = { children =>
+    require(children.length == 1, s"$name takes exactly 1 argument")
+    f(children.head)
   }
+
+  val simhashBuilder: Seq[Expression] => Expression =
+    unary("graft_simhash64", SimHash64.apply)
 
   /** Every custom expression exposed to SQL: (name, class, builder). */
   val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_dot", classOf[DotProduct], dotBuilder),
     ("graft_sorted_intersect_count", classOf[SortedIntersectCount],
       sortedIntersectBuilder),
-    ("graft_simhash64", classOf[SimHash64], simhashBuilder))
+    ("graft_simhash64", classOf[SimHash64], simhashBuilder),
+    ("graft_char_entropy", classOf[CharEntropy],
+      unary("graft_char_entropy", CharEntropy.apply)),
+    ("graft_repetition_micro", classOf[RepetitionMicro],
+      unary("graft_repetition_micro", RepetitionMicro.apply)))
 
   /** Register on an already-built session (extensions only apply at
     * builder time; this is the runtime-attach form, e.g. for tests and

@@ -105,6 +105,20 @@ class FingerprintMultimodalSpec extends AnyFunSuite {
       .head().getDouble(0) == 11.0)
   }
 
+  test("graft_char_entropy / graft_repetition_micro SQL functions evaluate") {
+    graft.GraftExtensions.register(spark)
+    Seq(("abcd", Seq("a", "b", "a", "b", "a"))).toDF("t", "toks")
+      .createOrReplaceTempView("graft_fn_v")
+    val r = spark.sql(
+      "SELECT round(graft_char_entropy(t), 6), graft_repetition_micro(toks) " +
+        "FROM graft_fn_v").head()
+    val ln4 = BigDecimal(math.log(4.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(0) == ln4)
+    // trigrams of (a b a b a): aba, bab, aba → 1 of 3 repeats → 333333
+    assert(r.getLong(1) == 333333L)
+  }
+
   test("intArrayFeature parses CIFAR-shaped int-array payloads (S5)") {
     val line = """{"0": {"matrix": "[1,2,3]", "label": "7"}}"""
     val parsed = graft.stream.Ingest.parsePayload(Seq(line).toDF("value"))
