@@ -223,6 +223,21 @@ object ScaleCheck {
         s"src ${cs.map(_.toSeq).toSeq}\nbig ${cb.map(_.toSeq).toSeq}")
     }
 
+    timed("source_kl (sf1-shared + compare)") {
+      // all counts scale ×R, so every ratio in KL(p_s ‖ p) — and hence
+      // the divergence itself — is exactly preserved
+      val kSrc = llm.CorpusQueries.sourceKl(spark, src).collect()
+        .map(r => r.getString(0) -> (r.getLong(1) * replicas, r.getDouble(2)))
+        .toMap
+      val kBig = llm.CorpusQueries.sourceKl(spark, sharedDir).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val kOk = kSrc.keySet == kBig.keySet && kSrc.forall { case (s, (n, kl)) =>
+        kBig(s)._1 == n && math.abs(kBig(s)._2 - kl) <= 1e-6
+      }
+      check("source KL invariant under shared-vocab growth")(kOk,
+        s"src×R $kSrc\nbig $kBig")
+    }
+
     // char entropy is per-row: replica-0 docs of the suffixed corpus are
     // byte-identical to the source docs, so the slice must match exactly
     timed("char_entropy (sf1 + compare)") {
