@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.table
 
@@ -172,6 +172,43 @@ object LlmQueries {
     val emb = table(spark, dir, "embeddings")
     Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
       .orderBy("query_id", "rk")
+  }
+
+  /** Per-vector int8 (asymmetric min/max) quantization of the embedding
+    * column — the storage form a 100 TB embedding table actually ships
+    * (4× smaller than float32, 8× than float64; PQ compresses further but
+    * drops exactness). Codes are floor((x−mn)/scale) clamped to [0,255]
+    * — floor, not round: a .5 rounding tie would be engine-dependent,
+    * floor is exact in both. Emitted per vector: the (mn, mx) dequant
+    * params (raw input values — no arithmetic, hash-safe), the code sum
+    * (an order-independent integer checksum of all 64 codes) and the max
+    * reconstruction error in micro-units, which the spec bounds by one
+    * quantization step. Pure per-row column math: zero shuffle at any
+    * corpus size.
+    */
+  def embeddingInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("__v")
+    val mn = col("mn"); val mx = col("mx"); val sc = col("__sc")
+    def code(x: Column): Column =
+      least(floor((x - mn) / sc), lit(255L))
+    def err(x: Column): Column =
+      abs(x - (mn + code(x) * sc))
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v"))
+      .select(col("vec_id"), v,
+        array_min(v).as("mn"), array_max(v).as("mx"))
+      .withColumn("__sc", (mx - mn) / 255.0)
+      .select(col("vec_id"), mn, mx,
+        when(sc === 0.0, lit(0L))
+          .otherwise(aggregate(transform(v, x => code(x)), lit(0L),
+            (a, b) => a + b))
+          .as("code_sum"),
+        when(sc === 0.0, lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            array_max(transform(v, x => err(x)))))
+          .as("max_err_micro"))
+      .orderBy("vec_id")
   }
 
   /** Per-vector L2 norms (exact fold, rounded). */
@@ -348,6 +385,7 @@ object LlmQueries {
     "q_pq_topk" -> (pqTopK _),
     "q_embedding_dedup" -> (embeddingDedup _),
     "q_embedding_norms" -> (embeddingNorms _),
+    "q_embedding_int8" -> (embeddingInt8 _),
     "q_label_centroids" -> (labelCentroids _),
     "q_near_deduped_docs" -> (nearDedupedDocs _),
     "q_dup_clusters" -> (dupClusters _),
@@ -479,6 +517,27 @@ object LlmQueries {
         |FROM embeddings CROSS JOIN range(0, 64) r(i)
         |GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+
+    "q_embedding_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx,
+        |    (list_max(v) - list_min(v)) / 255.0 AS sc
+        |  FROM e)
+        |SELECT vec_id, mn, mx,
+        |  CAST(CASE WHEN sc = 0 THEN 0 ELSE list_sum(list_transform(v,
+        |    x -> least(CAST(floor((x - mn) / sc) AS BIGINT), 255)))
+        |  END AS BIGINT) AS code_sum,
+        |  CAST(CASE WHEN sc = 0 THEN 0 ELSE CAST(floor(1000000 *
+        |    list_max(list_transform(v, x -> abs(x - (mn +
+        |      least(CAST(floor((x - mn) / sc) AS BIGINT), 255) * sc)))))
+        |    AS BIGINT)
+        |  END AS BIGINT) AS max_err_micro
+        |FROM s
+        |ORDER BY vec_id""".stripMargin,
 
     "q_embedding_norms" ->
       """SELECT vec_id,

@@ -77,6 +77,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: reconstruction error bounded by one step") {
+    val out = LlmQueries.embeddingInt8(spark, graft.GraftTestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mn, mx) = (r.getAs[Double]("mn"), r.getAs[Double]("mx"))
+      val step = (mx - mn) / 255.0
+      // codes clamp to [0,255] over 64 dims → checksum bounded
+      val cs = r.getAs[Long]("code_sum")
+      assert(cs >= 0L && cs <= 255L * 64, s"code_sum $cs")
+      // dequant error can never exceed one quantization step (floor code)
+      assert(r.getAs[Long]("max_err_micro") <= math.floor(1e6 * step) + 1,
+        s"err ${r.getAs[Long]("max_err_micro")} vs step $step")
+    }
+  }
+
   test("PqEncode expression is bit-identical to the interpreted HOF reference") {
     val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
     // deterministic toy codebooks exercising ties and sign structure
