@@ -53,18 +53,61 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, minJaccard: Double,
                           textCol: String = "text", idCol: String = "doc_id",
                           numHashes: Int = 24, bands: Int = 3): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // token SET as sorted int64 hashes: one xxhash64 per token per DOC, so
-    // the per-PAIR verify below is a primitive merge (SortedIntersectCount)
-    // instead of a string hash set per candidate — jaccard is unchanged
-    // (distinct tokens → distinct hashes, collisions ~ |set|²/2⁶⁴).
-    // TokenHashSet/MinHashSignature are the codegen'd forms of the
-    // array_sort∘array_distinct∘transform / 24× array_min∘transform HOF
-    // stacks (bit-identical; HOFs run interpreted as CodegenFallback).
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = tokenHashSets(docs, textCol, idCol)
+    val buckets = minhashBandBuckets(toks, numHashes, bands)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    verifyJaccard(cand, toks, minJaccard)
+  }
+
+  /** Incremental ingest near-dedup: pairs (existing, incoming) where an
+    * INCOMING document near-duplicates an EXISTING one — the continuous-
+    * ingest form of [[minhashNearDupPairs]]. Both sides are signed with
+    * the same seeded minhash, so the candidate join is a bipartite
+    * band-bucket equi-join: the per-batch cost is sign + join the NEW
+    * batch only (at 100 TB the existing side's buckets are a precomputed
+    * index table, and this is the query that runs on every ingest).
+    * Callers pass disjoint id sets; output ids are (id_a = existing,
+    * id_b = incoming). Pair-for-pair identical to the batch form
+    * restricted to cross-split pairs (asserted in DedupSpec): same
+    * signatures, same bands, same exact verify.
+    */
+  def incrementalNearDupPairs(existing: DataFrame, incoming: DataFrame,
+                              minJaccard: Double, textCol: String = "text",
+                              idCol: String = "doc_id", numHashes: Int = 24,
+                              bands: Int = 3): DataFrame = {
+    val te = tokenHashSets(existing, textCol, idCol)
+    val ti = tokenHashSets(incoming, textCol, idCol)
+    val cand = minhashBandBuckets(te, numHashes, bands).as("x")
+      .join(minhashBandBuckets(ti, numHashes, bands).as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    verifyJaccard(cand, te.unionByName(ti), minJaccard)
+  }
+
+  /** Token SET as sorted int64 hashes: one xxhash64 per token per DOC, so
+    * the per-PAIR verify is a primitive merge (SortedIntersectCount)
+    * instead of a string hash set per candidate — jaccard is unchanged
+    * (distinct tokens → distinct hashes, collisions ~ |set|²/2⁶⁴).
+    * TokenHashSet/MinHashSignature are the codegen'd forms of the
+    * array_sort∘array_distinct∘transform / 24× array_min∘transform HOF
+    * stacks (bit-identical; HOFs run interpreted as CodegenFallback).
+    */
+  private def tokenHashSets(docs: DataFrame, textCol: String,
+                            idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
       graft.functions.HashFamily.tokenHashSet(
         TextStats.tokens(col(textCol))).as("hset"))
+
+  /** (id, band_idx, band_key) LSH buckets from the minhash signature. */
+  private def minhashBandBuckets(toks: DataFrame, numHashes: Int,
+                                 bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
     val sigs = toks.select(col("id"),
       graft.functions.HashFamily.minhashSignature(col("hset"), numHashes)
         .as("sig"))
@@ -77,19 +120,20 @@ object Dedup {
       when(slice.map(_.isNull).reduce(_ || _), lit(null).cast("long"))
         .otherwise(xxhash64((lit(b) +: slice): _*)).as(s"band$b")
     }
-    val buckets = sigs.select(col("id"), posexplode(array(bandCols: _*)))
+    sigs.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band_idx", "band_key")
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+  }
+
+  /** Exact jaccard verify of a candidate pair list against the hash sets.
+    * A pair matching k bands is verified k times and deduplicated AFTER
+    * the jaccard filter: the merge-verify is so cheap that re-checking
+    * duplicates costs less than a distinct() shuffle of the (much larger)
+    * raw candidate set — the surviving near-dup set is the small side.
+    */
+  private def verifyJaccard(cand: DataFrame, toks: DataFrame,
+                            minJaccard: Double): DataFrame = {
     val ta = toks.select(col("id").as("id_a"), col("hset").as("hset_a"))
     val tb = toks.select(col("id").as("id_b"), col("hset").as("hset_b"))
-    // a pair matching k bands is verified k times and deduplicated AFTER
-    // the jaccard filter: the merge-verify is so cheap that re-checking
-    // duplicates costs less than a distinct() shuffle of the (much larger)
-    // raw candidate set — the surviving near-dup set is the small side
     cand.join(ta, "id_a").join(tb, "id_b")
       .withColumn("inter",
         graft.functions.SetMath.sortedIntersectCount(col("hset_a"), col("hset_b")))

@@ -164,6 +164,38 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental ingest dedup, oracle form: incoming docs (200 ≤ id <
+    * 400) retained after dropping near-duplicates of the EXISTING block
+    * (id < 200) — exact word-set Jaccard as the bipartite pair source
+    * (cross-split pairs of the bounded exact join), so the keep/drop
+    * semantics of continuous-ingest dedup get a hash-level proof. The
+    * scale path is [[incrementalMinhashPairs]].
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val drops = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+        maxId = 400L)
+      .filter(col("id_a") < 200L && col("id_b") >= 200L)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.filter(col("doc_id") >= 200L && col("doc_id") < 400L)
+      .join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental near-dup pairs through the MinHash scale path (rows-only;
+    * pair-for-pair equality with the batch form's cross-split slice is
+    * asserted in DedupSpec).
+    */
+  def incrementalMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") < 250L),
+        docs.filter(col("doc_id") >= 250L),
+        minJaccard = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
   /** PQ (product-quantization) approximate top-10 for query vectors
     * vec_id < 5 (rows-only: KMeans codebooks aren't SQL-reproducible;
     * recall vs brute force is gated in SimilaritySpec).
@@ -377,6 +409,8 @@ object LlmQueries {
     "q_simhash_pairs" -> (simhashPairs _),
     "q_simhash_banded" -> (simhashBanded _),
     "q_near_dedup_exact" -> (nearDedupExact _),
+    "q_incremental_dedup" -> (incrementalDedup _),
+    "q_incremental_minhash" -> (incrementalMinhashPairs _),
     "q_winnow_pairs" -> (winnowPairs _),
     "q_knn_cosine" -> (knnCosine _),
     "q_cosine_pairs" -> (cosinePairs _),
@@ -435,6 +469,21 @@ object LlmQueries {
         |SELECT doc_id, lang, source
         |FROM documents
         |WHERE doc_id < 200 AND doc_id NOT IN (SELECT drop_id FROM p)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 400),
+        |p AS (
+        |  SELECT b.id AS drop_id
+        |  FROM sh a JOIN sh b ON a.id < 200 AND b.id >= 200
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9)
+        |SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE doc_id >= 200 AND doc_id < 400
+        |  AND doc_id NOT IN (SELECT drop_id FROM p)
         |ORDER BY doc_id""".stripMargin,
 
     "q_dup_clusters" ->

@@ -129,4 +129,32 @@ class PropertiesSpec extends AnyFunSuite {
         assert(ra == a && rb == b, s"a=$a b=$b key=$key")
     }
   }
+
+  test("BMP codec round-trips any (w, h, pixel ramp) exactly") {
+    forSamples(Gen.zip(Gen.choose(1, 40), Gen.choose(1, 40),
+        Gen.choose(0, 255)), n = 20) { case (w, h, seed) =>
+      val px = Array.tabulate(w * h * 3)(i => (seed + i * 13) % 256)
+      val dec = graft.llm.Multimodal.BmpCodec.decode(
+        graft.llm.Multimodal.BmpCodec.encode(w, h, px(_)))
+      assert(dec != null, s"w=$w h=$h")
+      assert((dec._1, dec._2) == (w, h))
+      assert(dec._3.map(_ & 0xFF).toSeq == px.toSeq, s"w=$w h=$h seed=$seed")
+    }
+  }
+
+  test("PPM codec round-trips any frame sequence exactly") {
+    val frameGen = Gen.zip(Gen.choose(1, 30), Gen.choose(1, 20),
+      Gen.choose(0, 255))
+    forSamples(Gen.nonEmptyListOf(frameGen).map(_.take(5)), n = 20) { frames =>
+      val payload = frames.flatMap { case (w, h, s) =>
+        graft.llm.Multimodal.PpmCodec.encode(w, h, i => (s + i * 7) % 256)
+      }.toArray
+      val dec = graft.llm.Multimodal.PpmCodec.decodeAll(payload)
+      assert(dec.map(d => (d._1, d._2)) == frames.map(f => (f._1, f._2)))
+      dec.zip(frames).foreach { case ((w, h, px), (_, _, s)) =>
+        assert(px.map(_ & 0xFF).toSeq ==
+          (0 until w * h * 3).map(i => (s + i * 7) % 256))
+      }
+    }
+  }
 }

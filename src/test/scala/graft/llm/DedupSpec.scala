@@ -58,6 +58,24 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall over ${exact.size} true pairs")
   }
 
+  test("incremental minhash pairs equal the batch form's cross-split slice") {
+    // same signatures + same bands + same verify on both paths, so the
+    // bipartite incremental join must reproduce EXACTLY the batch pairs
+    // that straddle the split — the property that makes per-batch ingest
+    // dedup equivalent to re-running the full corpus job
+    val docs = graft.Tables.table(spark, GraftTestSpark.sfDir, "documents")
+    val split = 25L
+    val inc = Dedup.incrementalNearDupPairs(
+        docs.filter($"doc_id" < split), docs.filter($"doc_id" >= split),
+        minJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchSlice = Dedup.minhashNearDupPairs(docs, minJaccard = 0.9)
+      .filter($"id_a" < split && $"id_b" >= split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inc == batchSlice, s"inc ${inc.size} vs slice ${batchSlice.size}")
+    assert(inc.nonEmpty) // fixture corpus has cross-split near-dups
+  }
+
   test("nearDedupKeepFirst: no detected pair survives whole") {
     val corpus = graft.Tables.table(spark, GraftTestSpark.sfDir, "documents")
       .filter($"doc_id" < 200)
