@@ -12,12 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ graft.ops.StatsQueries.all ++ LlmQueries.all ++
-      graft.llm.CorpusQueries.all ++ graft.ops.EventQueries.all ++
-      MlQueries.all ++ StreamQueries.all
+      graft.llm.CorpusQueries.all ++ graft.llm.Curation.all ++
+      graft.ops.EventQueries.all ++ MlQueries.all ++ StreamQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ graft.ops.StatsQueries.oracle ++
       LlmQueries.oracle ++ graft.llm.CorpusQueries.oracle ++
-      graft.ops.EventQueries.oracle ++ MlQueries.oracle ++ StreamQueries.oracle
+      graft.llm.Curation.oracle ++ graft.ops.EventQueries.oracle ++
+      MlQueries.oracle ++ StreamQueries.oracle
 }
