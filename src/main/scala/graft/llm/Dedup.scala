@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (SURVEY.md §7.2.5): exact, MinHash+LSH near-dup,
@@ -87,6 +88,51 @@ object Dedup {
           col("x.band_key") === col("y.band_key"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
     verifyJaccard(cand, te.unionByName(ti), minJaccard)
+  }
+
+  /** Prefix-filtered EXACT Jaccard self-join — the AllPairs/PPJoin prefix
+    * principle (Bayardo et al. WWW'07; Xiao et al. WWW'08, both public):
+    * order every document's distinct-token set by one global total order
+    * (document frequency ascending — rarest first — then hash), and index
+    * only each document's first `n - ceil(t*n) + 1` tokens. Any pair with
+    * Jaccard >= t must (a) satisfy the length filter `|b| >= t*|a|` and
+    * (b) share at least one PREFIX token under the shared order — so the
+    * inverted-index join over prefixes alone finds every qualifying pair,
+    * and the exact verify keeps output identical to the full
+    * inverted-index form ([[ngramJaccardPairs]]; set-equality asserted in
+    * DedupSpec, same DuckDB oracle).
+    *
+    * Scale: where the full form explodes EVERY token into the index, this
+    * explodes ~(1-t) of them (t=0.9 → 10%), and the candidate join meets
+    * only on rare tokens — the standard exact-similarity-join plan at
+    * corpus scale. The df rank window is per-document (bounded state);
+    * the df aggregate + join back shuffle on the token hash, un-hinted.
+    *
+    * The `- 1e-9` nudge under both ceils: `t*n` in binary floats can land
+    * one ulp ABOVE an exact integer product (0.9*60 = 54.0000…13), and an
+    * overshot ceil SHORTENS the prefix — the unsafe direction (false
+    * negatives). Nudging down absorbs the ulp; undershoot merely lengthens
+    * the prefix (slower, never wrong).
+    */
+  def prefixJaccardPairs(docs: DataFrame, minJaccard: Double, maxId: Long,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val toks = tokenHashSets(docs.filter(col(idCol) < maxId), textCol, idCol)
+    val ex = toks.select(col("id"), size(col("hset")).as("n"),
+      explode(col("hset")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df").asc, col("h").asc)
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1)
+      .select("id", "h", "n")
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
+          col("y.n") >= lit(minJaccard) * col("x.n") - lit(1e-9) &&
+          col("x.n") >= lit(minJaccard) * col("y.n") - lit(1e-9))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    verifyJaccard(cand, toks, minJaccard)
   }
 
   /** Token SET as sorted int64 hashes: one xxhash64 per token per DOC, so

@@ -31,6 +31,17 @@ object LlmQueries {
         n = 1, minJaccard = 0.9, maxId = 200L)
       .orderBy("id_a", "id_b")
 
+  /** Prefix-filtered exact Jaccard pairs: the SAME result set as
+    * [[jaccardPairs]] through the AllPairs/PPJoin candidate plan — the
+    * inverted index holds only each document's rarest-token prefix, not
+    * every token (see [[Dedup.prefixJaccardPairs]]). One query, two
+    * plans, one oracle: both hash against the identical DuckDB SQL.
+    */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(table(spark, dir, "documents"),
+        minJaccard = 0.9, maxId = 200L)
+      .orderBy("id_a", "id_b")
+
   /** MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures aren't
     * SQL-reproducible in DuckDB; the exact-verify stage is covered by the
     * oracle-checked q_jaccard_pairs instead).
@@ -405,6 +416,7 @@ object LlmQueries {
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_jaccard_pairs" -> (jaccardPairs _),
+    "q_prefix_jaccard" -> (prefixJaccard _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_pairs" -> (simhashPairs _),
     "q_simhash_banded" -> (simhashBanded _),
@@ -446,6 +458,20 @@ object LlmQueries {
         |ORDER BY keep_id""".stripMargin,
 
     "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // deliberately the SAME SQL as q_jaccard_pairs: the prefix-filtered
+    // plan must reproduce the exact result set, not an approximation
+    "q_prefix_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
         |  FROM documents WHERE doc_id < 200)

@@ -241,7 +241,8 @@ class PlanSpec extends AnyFunSuite {
     for ((name, df) <- Seq(
         "unigram_logprob" -> llm.CorpusQueries.unigramLogprob(spark, sf),
         "collocations" -> llm.CorpusQueries.collocations(spark, sf),
-        "bigram_logprob" -> llm.CorpusQueries.bigramLogprob(spark, sf))) {
+        "bigram_logprob" -> llm.CorpusQueries.bigramLogprob(spark, sf),
+        "importance_weights" -> llm.Curation.importanceWeights(spark, sf))) {
       df.queryExecution.analyzed.foreach {
         case h: ResolvedHint if h.hints.strategy.isDefined =>
           // the TOPMOST aggregate under the hint is the frame broadcast;
@@ -254,6 +255,21 @@ class PlanSpec extends AnyFunSuite {
         case _ => ()
       }
     }
+  }
+
+  test("source cap pushes a Partial WindowGroupLimit below the exchange") {
+    // the domain-cap window is the one 100 TB-safe window shape ONLY
+    // because the rank<=k filter becomes a per-input-partition top-k heap
+    // BEFORE the shuffle — the exchange then carries at most k rows per
+    // source per partition. If the Partial mode disappears, the full
+    // corpus crosses the wire.
+    val p = plan(graft.llm.Curation.sourceCap(spark, sf))
+    val partialBelowExchange =
+      "(?s)Exchange hashpartitioning\\(source.*WindowGroupLimit.*Partial".r
+    assert(partialBelowExchange.findFirstIn(p).isDefined,
+      s"no partial WindowGroupLimit under the source exchange:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"scan not pruned to the 3 needed columns:\n$p")
   }
 
   test("zipf head rank self-join broadcasts the k-row peer side") {

@@ -44,6 +44,31 @@ class DedupSpec extends AnyFunSuite {
     assert(bi == 0)  // no shared bigram
   }
 
+  test("prefix-filtered jaccard equals the full inverted-index form") {
+    // real corpus slice: the prefix candidate plan must reproduce the
+    // exact result SET (the prefix principle is lossless), not a sample
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val full = Dedup.ngramJaccardPairs(corpus, n = 1, minJaccard = 0.9,
+        maxId = 200L).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val pref = Dedup.prefixJaccardPairs(corpus, minJaccard = 0.9,
+        maxId = 200L).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty && pref == full,
+      s"missing=${(full -- pref).take(5)} extra=${(pref -- full).take(5)}")
+
+    // and the point of the algorithm: the indexed prefix is a small
+    // fraction of the full token explode (t=0.9 → ~10% + 1 token/doc)
+    val sets = corpus.filter(col("doc_id") < 200L)
+      .select(array_distinct(split(col("text"), " ")))
+      .as[Seq[String]].collect()
+    val fullIndex = sets.map(_.size).sum
+    val prefIndex = sets.map(s =>
+      s.size - math.ceil(0.9 * s.size - 1e-9).toInt + 1).sum
+    assert(prefIndex * 4 < fullIndex,
+      s"prefix index $prefIndex not <25% of full $fullIndex")
+  }
+
   test("minhash LSH: no false positives, high recall vs exact pairs") {
     val corpus = graft.Tables.table(spark, GraftTestSpark.sfDir, "documents")
     val exact = Dedup.ngramJaccardPairs(corpus, 1, 0.9, 200)
