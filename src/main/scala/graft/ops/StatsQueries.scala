@@ -64,6 +64,20 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
+  /** Finite-window EWMA of each user's event values in time order
+    * (α=0.5 over the last 8 events) — the exponential-smoothing signal
+    * monitoring pipelines keep per entity. Both engines fold the same
+    * ≤8-element frame left-to-right, so the sums are bit-identical
+    * before the round.
+    */
+  def ewmaValues(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.ewma(
+        table(spark, dir, "events").filter(col("value").isNotNull),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valCol = "value", alpha = 0.5, span = 8)
+      .select("event_id", "ewma")
+      .orderBy("event_id")
+
   /** ANALYZE-style column profile of the orders table (long form). */
   def tableProfile(spark: SparkSession, dir: String): DataFrame =
     Profile.tableProfile(table(spark, dir, "orders"),
@@ -84,6 +98,7 @@ object StatsQueries {
     "q_percentiles" -> (percentiles _),
     "q_resample_hourly" -> (resampleHourly _),
     "q_asof_clicks" -> (asofClicks _),
+    "q_ewma_values" -> (ewmaValues _),
     "q_table_profile" -> (tableProfile _),
     "q_value_histogram" -> (valueHistogram _)
   )
@@ -152,6 +167,24 @@ object StatsQueries {
         |SELECT s.k AS k, s.bucket AS bucket, COALESCE(a.n, 0) AS n
         |FROM spine s LEFT JOIN agg a USING (k, bucket)
         |ORDER BY k, bucket""".stripMargin,
+
+    "q_ewma_values" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, value
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+        |  FROM ev)
+        |SELECT event_id,
+        |  round(
+        |    list_sum(list_transform(range(len(win)),
+        |      i -> win[i+1] * pow(0.5, len(win)-1-i))) /
+        |    list_sum(list_transform(range(len(win)),
+        |      i -> pow(0.5, len(win)-1-i))), 6) AS ewma
+        |FROM w
+        |ORDER BY event_id""".stripMargin,
 
     "q_asof_clicks" ->
       """SELECT e.event_id AS event_id, c.value AS click_value

@@ -80,4 +80,36 @@ object TimeSeries {
     }
     out.drop("__ts", "__side", "__tie", "__r")
   }
+
+  /** Finite-window normalized EWMA (exponential smoothing): over each
+    * key's last `span` rows in time order,
+    * `y = Σ (1-α)^i x_{t-i} / Σ (1-α)^i` (i = 0 at the current row) —
+    * the bounded-memory form monitoring pipelines use (the infinite
+    * recursive form is order-unbounded state and, worse, float-divergent
+    * across engines; the truncated window is deterministic).
+    *
+    * Shape: `collect_list` over a bounded row frame (frame order IS time
+    * order) + one arithmetic HOF pass per row. The window partitions by
+    * key with a `span`-row frame — per-key state is bounded by `span`, so
+    * the operator holds at any key cardinality. The weight HOFs are
+    * CodegenFallback, but touch ≤ `span` elements per row — measured
+    * noise-level beside the window sort itself.
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valCol: String, alpha: Double, span: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    val win = collect_list(col(valCol)).over(w)
+    val decay = lit(1.0 - alpha)
+    // weight for element i (0-based, oldest first) in a frame of n: (1-α)^(n-1-i)
+    val weighted = transform(col("__win"),
+      (x, i) => x * pow(decay, size(col("__win")) - 1 - i))
+    val wsum = transform(col("__win"),
+      (_, i) => pow(decay, size(col("__win")) - 1 - i))
+    events.withColumn("__win", win)
+      .withColumn("ewma", round(
+        aggregate(weighted, lit(0.0), (a, x) => a + x) /
+          aggregate(wsum, lit(0.0), (a, x) => a + x), 6))
+      .drop("__win")
+  }
 }
