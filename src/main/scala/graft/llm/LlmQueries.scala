@@ -361,6 +361,20 @@ object LlmQueries {
         budget = 800L)
       .orderBy("doc_id")
 
+  /** Water-filling token budget across sources at half the corpus total:
+    * the level T with Σ min(c_s, T) = B — small sources keep everything,
+    * big ones are capped at the water line (see
+    * [[graft.ops.Sampling.waterfillAlloc]] for why the engine bisects
+    * scalar aggregates instead of sorting a global window).
+    */
+  def budgetWaterfill(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.waterfillAlloc(
+        table(spark, dir, "documents")
+          .groupBy("source")
+          .agg(sum(size(TextStats.tokens(col("text")))).cast("long").as("c")),
+        groupCol = "source", cCol = "c", budgetFrac = 0.5)
+      .orderBy("source")
+
   /** Corpus mixture accounting: docs, token totals and exact parts-per-
     * million share per source — the bookkeeping op behind "sample source X
     * to N tokens" mixture schedules. Shares are integer floor-divisions
@@ -445,6 +459,7 @@ object LlmQueries {
     "q_repetition_score" -> (repetitionScore _),
     "q_contamination" -> (contamination _),
     "q_token_budget_sample" -> (tokenBudgetSample _),
+    "q_budget_waterfill" -> (budgetWaterfill _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _)
@@ -737,6 +752,35 @@ object LlmQueries {
         |SELECT doc_id, source, n_tokens, cum_weight
         |FROM s WHERE cum_weight <= 800
         |ORDER BY doc_id""".stripMargin,
+
+    // the oracle uses the textbook sorted-prefix scan; the engine bisects
+    // scalar aggregates — same unique water level, and the level's final
+    // division uses the same integer operands in both (bit-identical)
+    "q_budget_waterfill" ->
+      """WITH counts AS (
+        |  SELECT source AS g,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS c
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total, count(*) AS n
+        |        FROM counts),
+        |b AS (SELECT CAST(floor(total * 0.5) AS BIGINT) AS budget, n
+        |      FROM tot),
+        |ranked AS (
+        |  SELECT g, c,
+        |    row_number() OVER (ORDER BY c, g) AS rk,
+        |    COALESCE(sum(c) OVER (ORDER BY c, g
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+        |  FROM counts),
+        |lvl AS (
+        |  SELECT CAST(budget - cumprev AS DOUBLE) / (n - rk + 1) AS t
+        |  FROM ranked CROSS JOIN b
+        |  WHERE cumprev + (n - rk + 1) * c >= budget
+        |  ORDER BY rk LIMIT 1)
+        |SELECT counts.g AS source, c,
+        |  round(least(CAST(c AS DOUBLE), t), 6) AS alloc,
+        |  CAST(CAST(c AS DOUBLE) > t AS BIGINT) AS capped
+        |FROM counts CROSS JOIN lvl
+        |ORDER BY source""".stripMargin,
 
     "q_source_mix" ->
       """WITH per AS (

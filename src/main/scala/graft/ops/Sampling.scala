@@ -71,6 +71,63 @@ object Sampling {
     * Spark plans it as WindowGroupLimit, so only k rows per group survive
     * the shuffle. md5 (not xxhash64) keeps it DuckDB-replayable.
     */
+  /** Water-filling budget allocation: given per-group totals `c_g` and a
+    * budget B = `budgetFrac` × Σc, the unique level T with
+    * Σ min(c_g, T) = B; each group gets `min(c_g, T)` — small groups keep
+    * everything, the cap on large groups redistributes their excess until
+    * the budget is exactly met. The mixture-design primitive behind
+    * "cap every domain at its fair share" corpus budgets.
+    *
+    * The textbook solution sorts groups and scans the prefix — a GLOBAL
+    * window over the per-group frame, exactly the shape this engine
+    * rewrote away for unbounded keys. Instead T is found by integer
+    * BISECTION on the monotone f(t) = Σ min(c_g, t): ~log2(max c) scalar
+    * aggregates over the cached per-group frame, never a global sort, so
+    * the operator holds at any group cardinality (domains, not a fixed
+    * taxonomy). The final level uses the same integer operands
+    * `(B - Σ_{c<T} c) / #{c ≥ T}` as the oracle's sorted-scan form, so
+    * the two engines' doubles are bit-identical, not just close.
+    *
+    * Returns (group, c, alloc round-6, capped). Requires B < Σc (a
+    * budgetFrac < 1); callers wanting the degenerate uncapped case can
+    * skip the operator.
+    */
+  def waterfillAlloc(perGroup: DataFrame, groupCol: String, cCol: String,
+                     budgetFrac: Double): DataFrame = {
+    val counts = perGroup.select(col(groupCol).as("g"),
+      col(cCol).cast("long").as("c")).cache()
+    val head = counts.agg(sum(col("c")), max(col("c"))).head()
+    val (total, maxC) = (head.getLong(0), head.getLong(1))
+    val budget = math.floor(total * budgetFrac).toLong
+    require(budget < total, s"budget $budget must be < total $total")
+    def f(t: Long): Long =
+      counts.agg(sum(least(col("c"), lit(t)))).head().getLong(0)
+    // max integer t with f(t) <= budget; invariant f(lo) <= B < f(hi)
+    var lo = 0L
+    var hi = maxC
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (f(mid) <= budget) lo = mid else hi = mid
+    }
+    val exactHit = f(lo) == budget
+    // integer operands of the level, matching the oracle's sorted scan:
+    // below-water mass and at-or-above-water group count
+    val r =
+      if (exactHit)
+        counts.agg(
+          coalesce(sum(when(col("c") < lo, col("c"))), lit(0L)),
+          count(when(col("c") >= lo, lit(1)))).head()
+      else
+        counts.agg(
+          coalesce(sum(when(col("c") <= lo, col("c"))), lit(0L)),
+          count(when(col("c") > lo, lit(1)))).head()
+    val (below, nAbove) = (r.getLong(0), r.getLong(1))
+    val level = (budget - below).toDouble / nAbove
+    counts.select(col("g").as(groupCol), col("c"),
+      round(least(col("c").cast("double"), lit(level)), 6).as("alloc"),
+      (col("c").cast("double") > lit(level)).cast("bigint").as("capped"))
+  }
+
   def md5RankSample(df: DataFrame, groupCol: String, idCol: String,
                     k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -63,4 +63,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(train2.select("event_id").collect().map(_.getLong(0)).toSet ==
       train.select("event_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("waterfillAlloc: allocations sum to the budget, caps only the big") {
+    import spark.implicits._
+    val groups = Seq(("a", 10L), ("b", 20L), ("c", 100L), ("d", 400L))
+      .toDF("g", "c")
+    // total 530, budget 265: a,b keep all; level T solves 30+2T=265 →
+    // T=117.5 → c capped? c=100 < 117.5 stays whole → recheck: only d
+    // capped: 130 + T = 265 → T = 135. f(135)=10+20+100+135=265. ✓
+    val out = Sampling.waterfillAlloc(groups, "g", "c", budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("alloc"), r.getAs[Long]("capped"))).toMap
+    assert(out("a") == (10.0, 0L))
+    assert(out("b") == (20.0, 0L))
+    assert(out("c") == (100.0, 0L))
+    assert(out("d") == (135.0, 1L))
+  }
+
+  test("waterfillAlloc: allocation mass equals the budget on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("c"))
+    val total = counts.agg(sum("c")).head().getLong(0)
+    val budget = math.floor(total * 0.5).toLong
+    val rows = Sampling.waterfillAlloc(counts, "source", "c", 0.5).collect()
+    val allocSum = rows.map(_.getAs[Double]("alloc")).sum
+    // round-6 per-row truncation bounds the drift at 5e-7 per group
+    assert(math.abs(allocSum - budget) <= 5e-7 * rows.length,
+      s"alloc mass $allocSum vs budget $budget")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("alloc") <= r.getAs[Long]("c").toDouble + 1e-9)
+    }
+  }
 }
