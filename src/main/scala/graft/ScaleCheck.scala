@@ -269,6 +269,78 @@ object ScaleCheck {
         math.abs(sumBig - 1.0) <= 1e-5, s"sum $sumBig")
     }
 
+    // --- wave-5 family -------------------------------------------------
+    // EWMA is per-user with a bounded frame; event replicas shift user_id,
+    // so replica-0 rows must be bit-identical to the sf0.1 run
+    timed("ewma (sf1 + compare)") {
+      val src0 = ops.StatsQueries.ewmaValues(spark, src)
+      val big0 = ops.StatsQueries.ewmaValues(spark, out)
+        .filter(col("event_id") < Stride)
+      val bad = big0.unionByName(src0).groupBy("event_id", "ewma").count()
+        .filter(col("count") =!= 2).count()
+      check("replica-0 ewma == sf0.1 bit-for-bit")(bad == 0, s"$bad odd rows")
+    }
+
+    // water-filling on the SHARED-vocab corpus: every per-source count is
+    // exactly ×R, so the level and every allocation scale ×R up to the
+    // floor() on the budget (≤ R/2 absolute) spread across capped groups
+    timed("waterfill (sf1 shared + compare)") {
+      def counts(dir: String) = Tables.table(spark, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("c"))
+      val a1 = ops.Sampling.waterfillAlloc(counts(src), "source", "c", 0.5)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("alloc")).toMap
+      val aR = ops.Sampling.waterfillAlloc(
+          counts(s"$out/shared"), "source", "c", 0.5)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("alloc")).toMap
+      val wfOk = a1.keySet == aR.keySet && a1.forall { case (s, a) =>
+        math.abs(aR(s) / replicas - a) <= 1.0
+      }
+      check("waterfill allocations scale xR on the shared corpus")(wfOk,
+        s"sf0.1 $a1\nsf1/R ${aR.view.mapValues(_ / replicas).toMap}")
+    }
+
+    // source cap on the shared corpus: cap still met, and every kept doc
+    // maps (mod Stride) to a doc kept at sf0.1 — a kept copy outranks
+    // 10R-10 others, so its original outranks all but <10 originals
+    timed("source_cap (sf1 shared + compare)") {
+      val kept1 = llm.Curation.sourceCap(spark, src).collect()
+        .map(r => (r.getString(1), r.getLong(0))).toSet
+      val keptR = llm.Curation.sourceCap(spark, s"$out/shared").collect()
+        .map(r => (r.getString(1), r.getLong(0)))
+      val perSrc = keptR.groupBy(_._1).values.map(_.length)
+      val mapped = keptR.map { case (s, id) => (s, id % Stride) }.toSet
+      check("sf1 source cap: k per source, originals all kept at sf0.1")(
+        perSrc.forall(_ == llm.Curation.capPerSource) &&
+          mapped.subsetOf(kept1),
+        s"sizes ${perSrc.toSeq.sorted} stray ${(mapped -- kept1).take(5)}")
+    }
+
+    // prefix jaccard on the SUFFIXED corpus: replica vocabularies are
+    // disjoint, so pairs never cross replicas and the replica-0 slice is
+    // bit-identical; volume scales exactly xR (per-replica 200-doc window)
+    timed("prefix_jaccard (sf1 + compare)") {
+      val srcP = llm.Dedup.prefixJaccardPairs(
+        Tables.table(spark, src, "documents"), 0.9, maxId = 200L)
+        .localCheckpoint()
+      val bigP = llm.Dedup.prefixJaccardPairs(
+        Tables.table(spark, out, "documents")
+          .filter(col("doc_id") % Stride < 200L), 0.9, maxId = Long.MaxValue)
+        .localCheckpoint()
+      val cross = bigP.filter(col("id_a").divide(Stride).cast("long")
+        =!= col("id_b").divide(Stride).cast("long")).count()
+      val r0 = bigP.filter(col("id_a") < Stride)
+      val odd = r0.unionByName(srcP).groupBy("id_a", "id_b", "jaccard")
+        .count().filter(col("count") =!= 2).count()
+      val volume = bigP.count()
+      val srcVolume = srcP.count()
+      check("prefix jaccard: no cross-replica pairs, replica-0 exact, xR")(
+        cross == 0 && odd == 0 && volume == srcVolume * replicas,
+        s"cross $cross odd $odd vol $volume vs ${srcVolume * replicas}")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcP)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigP)
+    }
+
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)

@@ -100,16 +100,29 @@ object Sampling {
     val (total, maxC) = (head.getLong(0), head.getLong(1))
     val budget = math.floor(total * budgetFrac).toLong
     require(budget < total, s"budget $budget must be < total $total")
-    def f(t: Long): Long =
-      counts.agg(sum(least(col("c"), lit(t)))).head().getLong(0)
+    // evaluate f(t) = Σ min(c, t) at MANY levels in one aggregate pass —
+    // the search is then log_64 instead of log_2 (4 passes for c up to
+    // 16M, not 24), and each pass is one job over the cached frame
+    def fMany(ts: Seq[Long]): Seq[Long] = {
+      val row = counts.agg(
+        sum(least(col("c"), lit(ts.head))),
+        ts.tail.map(t => sum(least(col("c"), lit(t)))): _*).head()
+      ts.indices.map(row.getLong)
+    }
     // max integer t with f(t) <= budget; invariant f(lo) <= B < f(hi)
     var lo = 0L
     var hi = maxC
+    var fLo = 0L
     while (hi - lo > 1) {
-      val mid = lo + (hi - lo) / 2
-      if (f(mid) <= budget) lo = mid else hi = mid
+      val step = math.max(1L, (hi - lo) / 64)
+      val grid = (lo + step until hi by step).distinct
+      val vals = fMany(grid)
+      val zipped = grid.zip(vals)
+      val below = zipped.filter(_._2 <= budget)
+      if (below.nonEmpty) { lo = below.last._1; fLo = below.last._2 }
+      hi = zipped.collectFirst { case (t, v) if v > budget => t }.getOrElse(hi)
     }
-    val exactHit = f(lo) == budget
+    val exactHit = fLo == budget
     // integer operands of the level, matching the oracle's sorted scan:
     // below-water mass and at-or-above-water group count
     val r =
