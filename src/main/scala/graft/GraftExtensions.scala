@@ -57,7 +57,21 @@ object GraftExtensions {
     ("graft_char_entropy", classOf[CharEntropy],
       unary("graft_char_entropy", CharEntropy.apply)),
     ("graft_repetition_micro", classOf[RepetitionMicro],
-      unary("graft_repetition_micro", RepetitionMicro.apply)))
+      unary("graft_repetition_micro", RepetitionMicro.apply)),
+    ("graft_token_hash_set", classOf[graft.functions.TokenHashSet],
+      unary("graft_token_hash_set", graft.functions.TokenHashSet.apply)),
+    ("graft_minhash_signature", classOf[graft.functions.MinHashSignature],
+      { children =>
+        require(children.length == 2,
+          "graft_minhash_signature takes (hash_set, num_hashes)")
+        val k = children(1) match {
+          case lit if lit.foldable =>
+            lit.eval(null).asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"num_hashes must be a literal, got $other")
+        }
+        graft.functions.MinHashSignature(children.head, k)
+      }: Seq[Expression] => Expression))
 
   /** Register on an already-built session (extensions only apply at
     * builder time; this is the runtime-attach form, e.g. for tests and

@@ -119,6 +119,24 @@ class FingerprintMultimodalSpec extends AnyFunSuite {
     assert(r.getLong(1) == 333333L)
   }
 
+  test("graft_token_hash_set / graft_minhash_signature SQL functions evaluate") {
+    graft.GraftExtensions.register(spark)
+    Seq(Seq("b", "a", "b")).toDF("toks")
+      .createOrReplaceTempView("graft_mh_v")
+    val r = spark.sql(
+      "SELECT graft_token_hash_set(toks) AS hs, " +
+        "graft_minhash_signature(graft_token_hash_set(toks), 4) AS sig " +
+        "FROM graft_mh_v").head()
+    val hs = r.getSeq[Long](0)
+    assert(hs.length == 2 && hs == hs.sorted, s"hash set $hs")
+    assert(r.getSeq[Long](1).length == 4)
+    // num_hashes must be literal
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash_signature(graft_token_hash_set(toks), " +
+        "size(toks)) FROM graft_mh_v").head()
+    }
+  }
+
   test("intArrayFeature parses CIFAR-shaped int-array payloads (S5)") {
     val line = """{"0": {"matrix": "[1,2,3]", "label": "7"}}"""
     val parsed = graft.stream.Ingest.parsePayload(Seq(line).toDF("value"))
