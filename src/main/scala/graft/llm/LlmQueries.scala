@@ -107,6 +107,15 @@ object LlmQueries {
         bucketLength = 1.0)
       .orderBy("id_a", "id_b")
 
+  /** SemDeDup-style cluster-scoped near-dup pairs (rows-only scale path;
+    * within-KMeans-cell search only — candidates ~N²/nlist; every pair
+    * exact-verified, recall vs the exact join gated in SimilaritySpec).
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupPairs(table(spark, dir, "embeddings"),
+        minCosine = 0.3, maxId = 1000L)
+      .orderBy("id_a", "id_b")
+
   /** Embedding-cosine near-dedup on the bounded block: vectors surviving
     * after dropping the higher id of every exact cosine pair ≥ 0.3
     * (oracle-checked; the corpus-scale variant feeds lshCosinePairs in).
@@ -441,6 +450,7 @@ object LlmQueries {
     "q_knn_cosine" -> (knnCosine _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
+    "q_semantic_dedup" -> (semanticDedup _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_pq_topk" -> (pqTopK _),
     "q_embedding_dedup" -> (embeddingDedup _),

@@ -106,6 +106,63 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.
+    * 2023, public arXiv 2303.09540): partition the embedding space with
+    * KMeans, then search for cosine >= `minCosine` pairs only WITHIN each
+    * cell — the candidate volume drops from N² to Σ|cell|² ≈ N²/nlist,
+    * and every emitted pair carries its exact cosine (precision 1.0 by
+    * construction; recall is the clustering tradeoff, gated in
+    * SimilaritySpec against [[cosinePairsExact]]).
+    *
+    * Scale: the within-cell join is a plain equi-join on cell id — at
+    * 100 TB, nlist grows with the corpus so cells stay bounded (the
+    * SemDeDup paper runs ~100k clusters for web scale), and the cell
+    * assignment is a partitioned table, exactly the IVF index shape. The
+    * centroid fit reuses the IVF economics: a bounded sample, few
+    * iterations, seeded.
+    */
+  def semanticDedupPairs(corpus: DataFrame, minCosine: Double, maxId: Long,
+                         nlist: Int = 8, nassign: Int = 2,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusU = corpus.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"), unitNormalize(col(vecCol)).as("u"))
+      .withColumn("uv", array_to_vector(col("u")))
+    val fitParts = math.min(corpusU.rdd.getNumPartitions, 8)
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setInitMode("random").setMaxIter(10)
+      .setFeaturesCol("uv").setPredictionCol("cell")
+      .fit(corpusU.coalesce(fitParts))
+    // multi-probe membership: each vector joins its `nassign` nearest
+    // cells — pairs straddling one boundary still meet in the other's
+    // cell. Candidates grow ~nassign²/nlist of N²; recall is what the
+    // overlap buys (the per-id rank window is nlist-bounded, per-key)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+    val assigned = corpusU.select(col("id"), col("u"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", dotProduct(col("u"), col("centroid")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("id").orderBy(desc("csim"), asc("cell"))))
+      .filter(col("crk") <= nassign)
+      .select("id", "u", "cell")
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.u").as("ua"), col("y.u").as("ub"))
+      // a pair sharing both probed cells arrives twice: dedupe BEFORE the
+      // per-pair dot product so the verify runs once per candidate
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(dotProduct(col("ua"), col("ub")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** IVF (inverted-file) approximate top-k: the other standard ANN scale
     * path. Build: KMeans centroids over the corpus (unit vectors), each
     * vector assigned to its nearest cell. Search: a query probes only its

@@ -29,6 +29,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup pairs: precision 1.0 vs exact, cluster-bounded recall") {
+    val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
+    val exact = Similarity.cosinePairsExact(emb, minCosine = 0.3, maxId = 500L)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val sem = Similarity.semanticDedupPairs(emb, minCosine = 0.3, maxId = 500L)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // every emitted pair carries its exact cosine → a subset of the
+    // exact join (precision 1.0); recall is what clustering buys
+    assert(sem.subsetOf(exact), s"false positives: ${(sem -- exact).take(3)}")
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall (${sem.size}/${exact.size})")
+  }
+
   test("IVF top-k recalls a solid fraction of brute-force neighbors") {
     val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
