@@ -41,7 +41,24 @@ class SimilaritySpec extends AnyFunSuite {
     // exact join (precision 1.0); recall is what clustering buys
     assert(sem.subsetOf(exact), s"false positives: ${(sem -- exact).take(3)}")
     val recall = sem.size.toDouble / exact.size
+    info(f"semantic-dedup recall $recall%.3f (${sem.size}/${exact.size})")
     assert(recall >= 0.5, s"recall $recall (${sem.size}/${exact.size})")
+  }
+
+  test("semantic dedup is stable across fresh sessions (rows-only contract)") {
+    // seeded KMeans + deterministic file layout: the driver's rows-only
+    // hash must not drift between sessions (same contract as the pinned
+    // ML outputs)
+    val sfDir = GraftTestSpark.sfDir
+    def run() = {
+      val s = spark.newSession()
+      Similarity.semanticDedupPairs(
+          graft.Tables.table(s, sfDir, "embeddings"),
+          minCosine = 0.3, maxId = 500L)
+        .orderBy("id_a", "id_b")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(run() == run())
   }
 
   test("IVF top-k recalls a solid fraction of brute-force neighbors") {
