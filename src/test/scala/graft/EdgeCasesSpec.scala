@@ -187,4 +187,57 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(z.forall(_.isNaN))
   }
+
+  test("waterfill: single group gets exactly the budget; equal groups split it") {
+    import graft.ops.Sampling
+    val one = Seq(("only", 100L)).toDF("g", "c")
+    val r1 = Sampling.waterfillAlloc(one, "g", "c", 0.5).collect().head
+    assert(r1.getAs[Double]("alloc") == 50.0 && r1.getAs[Long]("capped") == 1L)
+    // four equal groups: level = budget/4, every group capped identically
+    val eq = Seq(("a", 100L), ("b", 100L), ("c", 100L), ("d", 100L))
+      .toDF("g", "c")
+    val rs = Sampling.waterfillAlloc(eq, "g", "c", 0.5).collect()
+    assert(rs.forall(_.getAs[Double]("alloc") == 50.0))
+    assert(rs.forall(_.getAs[Long]("capped") == 1L))
+  }
+
+  test("source cap keeps everything when a source is under the cap") {
+    val docs = Seq((0L, "tiny", 5L), (1L, "tiny", 9L))
+      .toDF("doc_id", "source", "n_chars")
+    docs.createOrReplaceTempView("cap_probe")
+    // drive through the same window shape the operator uses
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val kept = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= graft.llm.Curation.capPerSource)
+    assert(kept.count() == 2)
+  }
+
+  test("ewma of a single row is the row's value; empty frame stays empty") {
+    import graft.ops.TimeSeries
+    val one = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      42.5)).toDF("id", "k", "t", "v")
+    assert(TimeSeries.ewma(one, "k", "t", "id", "v", 0.5, 8)
+      .select("ewma").head().getDouble(0) == 42.5)
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp, Double)]
+      .toDF("id", "k", "t", "v")
+    assert(TimeSeries.ewma(empty, "k", "t", "id", "v", 0.5, 8).count() == 0)
+  }
+
+  test("importance weights survive an absent target slice (uniform target LM)") {
+    // no doc matches the target source: t_tot = 0, add-1 smoothing keeps
+    // every target logprob at ln(1/(0+V)) — finite, no crash, and the
+    // highest weight goes to the doc with rarest corpus tokens
+    val docs = Seq((0L, "othersrc", "common common common"),
+        (1L, "othersrc", "rare"), (2L, "othersrc", "common rare"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_iw").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.Curation.importanceWeights(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("llr")).toMap
+    assert(out.size == 3 && out.values.forall(v => !v.isNaN && !v.isInfinite))
+    // target LM is uniform, so the LLR ranks docs by corpus-token rarity
+    assert(out(1L) > out(2L) && out(2L) > out(0L))
+  }
 }
