@@ -436,6 +436,15 @@ object LlmQueries {
     Multimodal.frameFeatures(spark, table(spark, dir, "documents"))
       .orderBy("doc_id", "frame_idx")
 
+  /** WAV audio decode stage (header fields + exact signal statistics),
+    * oracle-checked like the image decode: the DuckDB oracle recomputes
+    * the deterministic sample formula, so a header-offset or endianness
+    * bug in the codec breaks the hash.
+    */
+  def multimodalAudio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(spark, table(spark, dir, "documents"))
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> (dedupExact _),
     "q_jaccard_pairs" -> (jaccardPairs _),
@@ -472,6 +481,7 @@ object LlmQueries {
     "q_budget_waterfill" -> (budgetWaterfill _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
+    "q_multimodal_audio" -> (multimodalAudio _),
     "q_multimodal_frames" -> (multimodalFrames _)
   )
 
@@ -859,6 +869,30 @@ object LlmQueries {
         |  CAST((doc_id * 31) % 256 AS BIGINT) AS top_left,
         |  CAST((1000000 * rs) // 192 AS BIGINT) AS resized_mean_micro
         |FROM px
+        |ORDER BY doc_id""".stripMargin,
+
+    // rate = 8000 + (id%3)*4000, ch = 1 + id%2, frames = 64 + id%128,
+    // sample(j) = ((id*17 + j*11) % 4096) - 2048 — the oracle recomputes
+    // the generator; Spark decodes the actual RIFF/PCM bytes
+    "q_multimodal_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    8000 + (doc_id % 3) * 4000 AS rate,
+        |    1 + doc_id % 2 AS ch,
+        |    64 + doc_id % 128 AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, rate, ch, nf,
+        |    list_sum(list_transform(range(0, nf * ch),
+        |      j -> abs((doc_id * 17 + j * 11) % 4096 - 2048))) AS sabs
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((1000000 * nf) // rate AS BIGINT) AS duration_micro,
+        |  CAST((1000000 * sabs) // (nf * ch) AS BIGINT) AS mean_abs_micro
+        |FROM s
         |ORDER BY doc_id""".stripMargin,
 
     // every 2nd frame of F = 1 + id%4 frames; per frame f:

@@ -175,6 +175,85 @@ object Multimodal {
   def framePixel(docId: Long, f: Int, i: Int): Int =
     ((docId + 13L * f + 7L * i) % 256).toInt
 
+  /** Canonical 44-byte PCM WAV encoder/decoder (RIFF → fmt(16, PCM) →
+    * data; little-endian int16 samples, interleaved by channel). The
+    * decoder validates every tag and reads the field bytes, so a
+    * header-offset or endianness bug breaks the oracle hash exactly like
+    * the BMP codec's.
+    */
+  object WavCodec {
+    private val HeaderBytes = 44
+
+    private def putIntLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte
+      b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte
+      b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    private def putShortLE(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte
+      b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    private def getIntLE(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def getShortLE(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+    private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+    def encode(sampleRate: Int, channels: Int,
+               samples: Array[Short]): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val out = new Array[Byte](HeaderBytes + dataBytes)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      putIntLE(out, 4, 36 + dataBytes)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      putIntLE(out, 16, 16)                       // fmt chunk size
+      putShortLE(out, 20, 1)                      // PCM
+      putShortLE(out, 22, channels)
+      putIntLE(out, 24, sampleRate)
+      putIntLE(out, 28, sampleRate * channels * 2) // byte rate
+      putShortLE(out, 32, channels * 2)            // block align
+      putShortLE(out, 34, 16)                      // bits per sample
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      putIntLE(out, 40, dataBytes)
+      var j = 0
+      while (j < samples.length) {
+        putShortLE(out, HeaderBytes + 2 * j, samples(j) & 0xFFFF)
+        j += 1
+      }
+      out
+    }
+
+    /** (sampleRate, channels, samples) or null on a malformed payload. */
+    def decode(b: Array[Byte]): (Int, Int, Array[Short]) = {
+      if (b.length < HeaderBytes || !tag(b, 0, "RIFF") ||
+          !tag(b, 8, "WAVE") || !tag(b, 12, "fmt ") ||
+          getIntLE(b, 16) != 16 || getShortLE(b, 20) != 1 ||
+          getShortLE(b, 34) != 16 || !tag(b, 36, "data")) return null
+      val channels = getShortLE(b, 22)
+      val sampleRate = getIntLE(b, 24)
+      val dataBytes = getIntLE(b, 40)
+      if (channels < 1 || sampleRate <= 0 || dataBytes < 0 ||
+          HeaderBytes + dataBytes > b.length) return null
+      val samples = new Array[Short](dataBytes / 2)
+      var j = 0
+      while (j < samples.length) {
+        samples(j) = getShortLE(b, HeaderBytes + 2 * j).toShort
+        j += 1
+      }
+      (sampleRate, channels, samples)
+    }
+  }
+
+  def audioRate(docId: Long): Int = 8000 + (docId % 3).toInt * 4000
+  def audioChannels(docId: Long): Int = 1 + (docId % 2).toInt
+  def audioFrames(docId: Long): Int = (64 + docId % 128).toInt
+  def audioSample(docId: Long, j: Int): Short =
+    (((docId * 17 + j.toLong * 11) % 4096) - 2048).toShort
+
   /** Synthesize the BMP image payload column (with real media this is the
     * parquet binary column as-read; the metadata struct mirrors
     * [[withBinaryPayload]]'s pruning-friendly shape).
@@ -210,6 +289,56 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "payload")
+  }
+
+  /** Synthesize the PCM WAV audio payload column. */
+  def withAudioPayload(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = audioFrames(id) * audioChannels(id)
+          val samples = Array.tabulate(n)(j => audioSample(id, j))
+          (id, WavCodec.encode(audioRate(id), audioChannels(id), samples))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decoded-audio feature row: header fields plus exact integer
+    * micro-unit signal statistics (floor divisions — nothing for a hash
+    * to wobble on).
+    */
+  case class AudioFeatures(doc_id: Long, sample_rate: Long, channels: Long,
+                           n_frames: Long, duration_micro: Long,
+                           mean_abs_micro: Long)
+
+  /** Partition-parallel WAV decode: header fields (sample rate, channels,
+    * frame count), duration, and mean absolute amplitude — the
+    * feature-extract stage of an audio pipeline, same repartition +
+    * mapPartitions batch shape as [[decodeFeatures]].
+    */
+  def audioFeatures(spark: SparkSession, docs: DataFrame,
+                    partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    withAudioPayload(spark, docs)
+      .repartition(partitions, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec init would happen here, once per partition
+        rows.flatMap { case (id, payload) =>
+          Option(WavCodec.decode(payload)).map { case (rate, ch, samples) =>
+            var sabs = 0L
+            var j = 0
+            while (j < samples.length) { sabs += math.abs(samples(j).toLong); j += 1 }
+            val nFrames = samples.length / ch
+            AudioFeatures(id, rate.toLong, ch.toLong, nFrames.toLong,
+              1000000L * nFrames / rate,
+              if (samples.length == 0) 0L else 1000000L * sabs / samples.length)
+          }
+        }
+      }
+      .toDF()
   }
 
   /** Decoded-image feature row. All statistics are exact integers:

@@ -157,4 +157,33 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("WAV codec round-trips any (rate, channels, samples) exactly") {
+    forSamples(Gen.zip(Gen.choose(8000, 48000), Gen.choose(1, 2),
+        Gen.listOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+          .map(_.take(200))), n = 20) { case (rate, ch, raw) =>
+      // frames must divide evenly by channels for a well-formed payload
+      val samples = raw.take(raw.length / ch * ch).map(_.toShort).toArray
+      val dec = graft.llm.Multimodal.WavCodec.decode(
+        graft.llm.Multimodal.WavCodec.encode(rate, ch, samples))
+      assert(dec != null)
+      assert((dec._1, dec._2) == (rate, ch))
+      assert(dec._3.toSeq == samples.toSeq)
+    }
+  }
+
+  test("WAV decode rejects malformed payloads instead of mis-parsing") {
+    val good = graft.llm.Multimodal.WavCodec.encode(8000, 1,
+      Array[Short](1, -2, 3))
+    assert(graft.llm.Multimodal.WavCodec.decode(good) != null)
+    // flip each header tag region and the declared format in turn
+    for (off <- Seq(0, 8, 12, 36)) {
+      val bad = good.clone(); bad(off) = 'X'.toByte
+      assert(graft.llm.Multimodal.WavCodec.decode(bad) == null, s"off=$off")
+    }
+    val nonPcm = good.clone(); nonPcm(20) = 2
+    assert(graft.llm.Multimodal.WavCodec.decode(nonPcm) == null)
+    val truncated = good.take(40)
+    assert(graft.llm.Multimodal.WavCodec.decode(truncated) == null)
+  }
 }
