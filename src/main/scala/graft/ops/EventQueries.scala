@@ -131,7 +131,36 @@ object EventQueries {
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
 
+  /** Exponentially-decayed event counts — the trending/monitoring metric:
+    * each event contributes exp(−λ·Δt) of a count at the corpus horizon
+    * (Δt back from max ts, λ = ln2/3600 → 1-hour half-life), so recent
+    * activity dominates and stale mass fades smoothly. The decayed form
+    * of A1's value_counts (crime.py:33).
+    *
+    * Scale: per-row arithmetic + one group aggregate — no window, no
+    * self-join; the 1-row horizon frame is broadcast. In a streaming
+    * deployment the same quantity folds incrementally (decayed counters
+    * are mergeable: scale both sides to a shared horizon and add), which
+    * is why this is THE standard trending metric at scale. Exponent
+    * inputs are exact integer second differences, so both engines
+    * evaluate exp() on identical doubles; the sum's merge-order noise
+    * (~1e-12 relative) is absorbed by round-6 — same contract as the LM
+    * family.
+    */
+  def decayedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), unix_timestamp(col("ts")).as("sec"))
+    val horizon = ev.agg(max(col("sec")).as("h"))
+    ev.crossJoin(broadcast(horizon))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum(exp((col("sec") - col("h")).cast("double") *
+          (math.log(2.0) / 3600.0))), 6).as("decayed"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_decayed_counts" -> (decayedCounts _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_equidepth_hist" -> (equidepthHistogram _),
     "q_anomaly_days" -> (anomalyDays _),
@@ -194,6 +223,19 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+
+    "q_decayed_counts" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec
+        |  FROM events),
+        |h AS (SELECT max(sec) AS h FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(exp(CAST(sec - h.h AS DOUBLE) * (ln(2) / 3600))), 6)
+        |    AS decayed
+        |FROM ev CROSS JOIN h
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH d AS (

@@ -10,6 +10,26 @@ class EventQueriesSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("decayed counts: bounded by n, hand-checked half-life arithmetic") {
+    val rows = EventQueries.decayedCounts(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d) = (r.getAs[Long]("n"), r.getAs[Double]("decayed"))
+      assert(d > 0.0 && d <= n.toDouble + 1e-9, s"decayed $d vs n $n")
+    }
+    // hand fixture: events 0h/1h/2h before the horizon → 0.25 + 0.5 + 1
+    val dir = java.nio.file.Files.createTempDirectory("graft_decay").toString
+    // Tables.table expects the driver layout: ts as LONG nanoseconds
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    Seq((1L, 10L, "a", base * 1000000L, 1.0),
+        (2L, 10L, "a", (base + 3600L * 1000) * 1000000L, 1.0),
+        (3L, 10L, "a", (base + 7200L * 1000) * 1000000L, 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val d = EventQueries.decayedCounts(spark, dir).collect().head
+    assert(math.abs(d.getAs[Double]("decayed") - 1.75) <= 1e-6)
+  }
+
   test("cohort retention: offset 0 exists for every cohort and users never " +
       "exceed the cohort's day-0 population") {
     val rows = EventQueries.cohortRetention(spark, sf).collect()
