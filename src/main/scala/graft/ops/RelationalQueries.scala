@@ -491,6 +491,28 @@ object RelationalQueries {
       .limit(50)
   }
 
+  /** Set operations (INTERSECT / EXCEPT) over customer key sets: nations
+    * appearing among BOTH urgent-order and F-status-order customers, and
+    * those appearing ONLY among urgent-order customers — tagged and
+    * unioned into one frame. INTERSECT/EXCEPT plan as left-semi/left-anti
+    * joins over distinct aggregates: shuffle on the compared columns,
+    * nothing corpus-quadratic.
+    */
+  def intersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val cust = table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    def nations(pred: org.apache.spark.sql.Column) =
+      orders.filter(pred).select(col("o_custkey").as("c_custkey"))
+        .join(cust, Seq("c_custkey"))
+        .select(col("c_nationkey")).distinct()
+    val urgent = nations(col("o_orderpriority") === "1-URGENT")
+    val fStatus = nations(col("o_orderstatus") === "F")
+    urgent.intersect(fStatus).withColumn("tag", lit("both"))
+      .unionByName(urgent.except(fStatus).withColumn("tag", lit("urgent_only")))
+      .orderBy("tag", "c_nationkey")
+  }
+
   /** Semi-structured: JSON property extraction from the events props blob. */
   def propsJson(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
@@ -540,6 +562,7 @@ object RelationalQueries {
     "q_corr_stats" -> (corrStats _),
     "q_distinct_users" -> (distinctUsers _),
     "q_union_top_accounts" -> (unionTopAccounts _),
+    "q_intersect_except" -> (intersectExcept _),
     "q_props_json" -> (propsJson _),
     "q_head_limit" -> (headLimit _)
   )
@@ -837,6 +860,25 @@ object RelationalQueries {
         |  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
         |ORDER BY acctbal DESC, name ASC
         |LIMIT 50""".stripMargin,
+
+    "q_intersect_except" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT c.c_nationkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderpriority = '1-URGENT'),
+        |fstatus AS (
+        |  SELECT DISTINCT c.c_nationkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderstatus = 'F')
+        |SELECT c_nationkey, tag FROM (
+        |  SELECT c_nationkey, 'both' AS tag
+        |  FROM (SELECT c_nationkey FROM urgent
+        |        INTERSECT SELECT c_nationkey FROM fstatus)
+        |  UNION ALL
+        |  SELECT c_nationkey, 'urgent_only' AS tag
+        |  FROM (SELECT c_nationkey FROM urgent
+        |        EXCEPT SELECT c_nationkey FROM fstatus))
+        |ORDER BY tag, c_nationkey""".stripMargin,
 
     "q_props_json" ->
       """SELECT event_type,
