@@ -281,6 +281,21 @@ object ScaleCheck {
       check("replica-0 ewma == sf0.1 bit-for-bit")(bad == 0, s"$bad odd rows")
     }
 
+    // decayed counts: event replicas shift ids but keep timestamps, so
+    // the horizon is unchanged and every per-type decayed mass is exactly
+    // ×R (same exp() terms summed R times; round-6 absorbs order noise)
+    timed("decayed_counts (sf1 + compare)") {
+      val d1 = ops.EventQueries.decayedCounts(spark, src).collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("decayed")).toMap
+      val dR = ops.EventQueries.decayedCounts(spark, out).collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("decayed")).toMap
+      val dOk = d1.keySet == dR.keySet && d1.forall { case (t, v) =>
+        math.abs(dR(t) / replicas - v) <= 1e-5
+      }
+      check("decayed counts scale xR under event replication")(dOk,
+        s"sf0.1 $d1\nsf1/R ${dR.view.mapValues(_ / replicas).toMap}")
+    }
+
     // water-filling on the SHARED-vocab corpus: every per-source count is
     // exactly ×R, so the level and every allocation scale ×R up to the
     // floor() on the budget (≤ R/2 absolute) spread across capped groups
