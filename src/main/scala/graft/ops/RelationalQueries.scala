@@ -491,6 +491,23 @@ object RelationalQueries {
       .limit(50)
   }
 
+  /** String aggregation (LISTAGG/string_agg): per region, the
+    * alphabetically-joined nation roster and its size. collect_list is
+    * merge-order-nondeterministic, so the list is sort_array'd BEFORE the
+    * join — the only deterministic form of string aggregation (and the
+    * reason LISTAGG without WITHIN GROUP ORDER is a lint error in
+    * production SQL).
+    */
+  def regionNationRoster(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "region")
+      .join(table(spark, dir, "nation"),
+        col("r_regionkey") === col("n_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).cast("bigint").as("n_nations"),
+        array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("roster"))
+      .orderBy("r_name")
+
   /** Set operations (INTERSECT / EXCEPT) over customer key sets: nations
     * appearing among BOTH urgent-order and F-status-order customers, and
     * those appearing ONLY among urgent-order customers — tagged and
@@ -563,6 +580,7 @@ object RelationalQueries {
     "q_distinct_users" -> (distinctUsers _),
     "q_union_top_accounts" -> (unionTopAccounts _),
     "q_intersect_except" -> (intersectExcept _),
+    "q_region_roster" -> (regionNationRoster _),
     "q_props_json" -> (propsJson _),
     "q_head_limit" -> (headLimit _)
   )
@@ -879,6 +897,14 @@ object RelationalQueries {
         |  FROM (SELECT c_nationkey FROM urgent
         |        EXCEPT SELECT c_nationkey FROM fstatus))
         |ORDER BY tag, c_nationkey""".stripMargin,
+
+    "q_region_roster" ->
+      """SELECT r.r_name,
+        |  CAST(count(*) AS BIGINT) AS n_nations,
+        |  string_agg(n.n_name, ',' ORDER BY n.n_name) AS roster
+        |FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r.r_name""".stripMargin,
 
     "q_props_json" ->
       """SELECT event_type,
