@@ -107,6 +107,16 @@ object LlmQueries {
         bucketLength = 1.0)
       .orderBy("id_a", "id_b")
 
+  /** Top-k search over int8-quantized vectors (oracle-checked: every
+    * float op is op-order-shared with the SQL, so the deterministic
+    * approximation hashes exactly; agreement with float knn spec-gated).
+    */
+  def int8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.int8TopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** SemDeDup-style cluster-scoped near-dup pairs (rows-only scale path;
     * within-KMeans-cell search only — candidates ~N²/nlist; every pair
     * exact-verified, recall vs the exact join gated in SimilaritySpec).
@@ -460,6 +470,7 @@ object LlmQueries {
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_semantic_dedup" -> (semanticDedup _),
+    "q_int8_topk" -> (int8TopK _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_pq_topk" -> (pqTopK _),
     "q_embedding_dedup" -> (embeddingDedup _),
@@ -580,6 +591,42 @@ object LlmQueries {
         |     sqrt(list_sum(list_transform(range(1, len(qv) + 1),
         |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6) AS score
         |  FROM c, q WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id ASC) AS rk
+        |  FROM scored)
+        |SELECT query_id, rk, neighbor_id, score
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+
+    // op-order-shared with Similarity.int8TopK: normalize → per-vector
+    // (min, scale) → least(floor(...), 255) codes → dequant mn + c*sc →
+    // sequential-fold dot — identical doubles, so the deterministic
+    // approximation hashes exactly
+    "q_int8_topk" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+        |  FROM embeddings),
+        |qy AS (SELECT vec_id AS query_id, uv AS qu FROM u WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, uv,
+        |    list_min(uv) AS mn,
+        |    (list_max(uv) - list_min(uv)) / 255.0 AS sc
+        |  FROM u),
+        |dq AS (
+        |  SELECT neighbor_id,
+        |    list_transform(uv, x -> CASE WHEN sc = 0 THEN mn
+        |      ELSE mn + least(floor((x - mn) / sc), 255.0) * sc END) AS d
+        |  FROM c),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, round(
+        |    list_sum(list_transform(range(1, len(d) + 1),
+        |      i -> qu[i] * d[i])), 6) AS score
+        |  FROM dq, qy WHERE query_id <> neighbor_id),
         |ranked AS (
         |  SELECT query_id, neighbor_id, score,
         |    row_number() OVER (PARTITION BY query_id

@@ -106,6 +106,46 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Brute-force top-k over INT8-QUANTIZED corpus vectors — the search
+    * half of the asymmetric-quantization memory cut (the build half is
+    * the oracle-checked q_embedding_int8): each unit vector stores
+    * (min, scale, 256-level codes) — 4× smaller than float32 at 100 TB —
+    * and queries score against the DEQUANTIZED values
+    * `mn + code*sc` (asymmetric: the query stays full precision, the
+    * standard SDC-vs-ADC tradeoff). Every float op (normalize, quantize,
+    * dequantize, sequential-fold dot) is op-order-shared with the DuckDB
+    * oracle, so the result hashes exactly despite being "approximate"
+    * relative to the float search — the approximation is deterministic.
+    * Same broadcast-queries / corpus-never-shuffled plan as
+    * [[knnBruteForce]]; agreement with the float top-k is spec-gated.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      unitNormalize(col(vecCol)).as("qu")))
+    val quant = corpus
+      .select(col(idCol).as("neighbor_id"),
+        unitNormalize(col(vecCol)).as("u"))
+      .withColumn("mn", array_min(col("u")))
+      .withColumn("sc", (array_max(col("u")) - col("mn")) / 255.0)
+      // dequantized value per element; constant vectors (sc = 0) dequant
+      // to mn exactly instead of tripping 0/0
+      .withColumn("dq", transform(col("u"), x =>
+        when(col("sc") === 0.0, col("mn"))
+          .otherwise(col("mn") +
+            least(floor((x - col("mn")) / col("sc")), lit(255.0)) *
+              col("sc"))))
+      .select("neighbor_id", "dq")
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    quant.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dotProduct(col("qu"), col("dq")), 6).as("score"))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "score")
+  }
+
   /** SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.
     * 2023, public arXiv 2303.09540): partition the embedding space with
     * KMeans, then search for cosine >= `minCosine` pairs only WITHIN each

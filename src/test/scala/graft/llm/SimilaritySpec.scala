@@ -29,6 +29,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 top-k agrees with the float top-k (256-level quantization)") {
+    val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
+    val qs = emb.filter($"vec_id" < 5)
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fl = tops(Similarity.knnBruteForce(emb, qs, k = 10))
+    val i8 = tops(Similarity.int8TopK(emb, qs, k = 10))
+    val overlaps = fl.map { case (q, nbrs) =>
+      i8(q).intersect(nbrs).size.toDouble / nbrs.size
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"int8 top-10 overlap $mean%.3f")
+    // 256 levels per vector range loses very little: near-total agreement
+    assert(mean >= 0.8, s"overlap $mean")
+  }
+
   test("semantic dedup pairs: precision 1.0 vs exact, cluster-bounded recall") {
     val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
     val exact = Similarity.cosinePairsExact(emb, minCosine = 0.3, maxId = 500L)
