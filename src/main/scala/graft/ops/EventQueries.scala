@@ -89,6 +89,47 @@ object EventQueries {
       .orderBy("event_type", "day")
   }
 
+  /** One-sided CUSUM change-point detection over the daily volume of
+    * each event type — the standard sequential drift detector (Page
+    * 1954): S_t = max(0, S_{t-1} + (x_t − μ − slack)), alarm when S_t
+    * crosses h. The recursion is NOT window-expressible directly, but
+    * has the classic closed form S_t = C_t − min(0, min_{k≤t} C_k)
+    * over the cumulative sum C of deviations — two window functions
+    * (running sum + running min), both per-type over the POST-AGGREGATION
+    * daily frame (|days| rows per type, bounded), never the raw events.
+    *
+    * All arithmetic is integer micro-units (μ floored to micro) — no
+    * float enters the pipeline, so the statistic is engine-exact with no
+    * rounding contract needed.
+    */
+  def cusumAlarms(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val slackMicro = 2000000L // slack of 2 events/day
+    val hMicro = 10000000L    // alarm threshold: 10 cumulative excess events
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val mu = daily.groupBy("event_type")
+      .agg(sum(col("n")).as("sn"), count(lit(1)).as("cn"))
+      // integer `div`, not `/`+floor: the double quotient can round up
+      // across an integer boundary before the floor
+      .select(col("event_type"),
+        expr("1000000L * sn div cn").as("mu_micro"))
+    daily.join(broadcast(mu), Seq("event_type"))
+      .withColumn("d", col("n") * 1000000L - col("mu_micro") - slackMicro)
+      .withColumn("cum", sum(col("d")).over(w))
+      .withColumn("s",
+        col("cum") - least(min(col("cum")).over(w), lit(0L)))
+      .groupBy("event_type")
+      .agg(max(col("s")).as("max_s_micro"),
+        sum((col("s") > hMicro).cast("bigint")).as("n_alarm_days"),
+        min(when(col("s") > hMicro, col("day"))).as("first_alarm_day"))
+      .orderBy("event_type")
+  }
+
   /** First-order Markov transitions over each user's event sequence:
     * counts and exact micro-unit conditional probabilities
     * p(next | prev) — the event-stream analog of the corpus bigram LM
@@ -160,6 +201,7 @@ object EventQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "q_cusum_alarms" -> (cusumAlarms _),
     "q_decayed_counts" -> (decayedCounts _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_equidepth_hist" -> (equidepthHistogram _),
@@ -223,6 +265,38 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+
+    "q_cusum_alarms" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, day),
+        |mu AS (
+        |  SELECT event_type,
+        |    CAST((1000000 * sum(n)) // count(*) AS BIGINT) AS mu_micro
+        |  FROM daily GROUP BY event_type),
+        |dev AS (
+        |  SELECT d.event_type, d.day,
+        |    d.n * 1000000 - m.mu_micro - 2000000 AS dd
+        |  FROM daily d JOIN mu m USING (event_type)),
+        |cum AS (
+        |  SELECT event_type, day,
+        |    sum(dd) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM dev),
+        |s AS (
+        |  SELECT event_type, day,
+        |    c - least(min(c) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+        |  FROM cum)
+        |SELECT event_type,
+        |  CAST(max(s) AS BIGINT) AS max_s_micro,
+        |  CAST(count(*) FILTER (WHERE s > 10000000) AS BIGINT)
+        |    AS n_alarm_days,
+        |  min(CASE WHEN s > 10000000 THEN day END) AS first_alarm_day
+        |FROM s
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_decayed_counts" ->
       """WITH ev AS (

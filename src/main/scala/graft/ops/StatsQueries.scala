@@ -64,6 +64,28 @@ object StatsQueries {
       .orderBy("event_id")
   }
 
+  /** Benford first-digit profile of order totals — the data-quality
+    * screen for fabricated or truncated numeric columns: observed count
+    * and exact ppm share per leading digit, next to the Benford
+    * expectation log10(1+1/d) in micro-units. All integer arithmetic
+    * except the expectation constants (pure literals, identical in both
+    * engines).
+    */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val tot = table(spark, dir, "orders")
+      .filter(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("bigint").as("digit"))
+    val n = tot.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val grand = n.agg(sum(col("cnt")).as("tot"))
+    n.crossJoin(broadcast(grand))
+      .select(col("digit"), col("cnt").cast("bigint").as("cnt"),
+        expr("1000000L * cnt div tot").as("share_micro"),
+        floor(lit(1000000.0) * log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+          .cast("bigint").as("benford_micro"))
+      .orderBy("digit")
+  }
+
   /** Finite-window EWMA of each user's event values in time order
     * (α=0.5 over the last 8 events) — the exponential-smoothing signal
     * monitoring pipelines keep per entity. Both engines fold the same
@@ -99,6 +121,7 @@ object StatsQueries {
     "q_resample_hourly" -> (resampleHourly _),
     "q_asof_clicks" -> (asofClicks _),
     "q_ewma_values" -> (ewmaValues _),
+    "q_benford_digits" -> (benfordDigits _),
     "q_table_profile" -> (tableProfile _),
     "q_value_histogram" -> (valueHistogram _)
   )
@@ -167,6 +190,21 @@ object StatsQueries {
         |SELECT s.k AS k, s.bucket AS bucket, COALESCE(a.n, 0) AS n
         |FROM spine s LEFT JOIN agg a USING (k, bucket)
         |ORDER BY k, bucket""".stripMargin,
+
+    "q_benford_digits" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |n AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM d GROUP BY digit),
+        |g AS (SELECT sum(cnt) AS tot FROM n)
+        |SELECT digit, cnt,
+        |  CAST((1000000 * cnt) // tot AS BIGINT) AS share_micro,
+        |  CAST(floor(1000000.0 * log10(1.0 + 1.0 / digit)) AS BIGINT)
+        |    AS benford_micro
+        |FROM n CROSS JOIN g
+        |ORDER BY digit""".stripMargin,
 
     "q_ewma_values" ->
       """WITH ev AS (

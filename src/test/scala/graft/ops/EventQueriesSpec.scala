@@ -10,6 +10,33 @@ class EventQueriesSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
+  test("cusum: a step change alarms, a flat series never does") {
+    // flat type: 10 events/day for 20 days → d = -slack every day → S=0.
+    // step type: 10/day for 10 days then 30/day — S grows ~(30-20-2)=8
+    // micro-million/day after the step, crossing h=10 on day 2 of the step
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def day(i: Int): Long = base + i.toLong * 86400_000L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long, Double)]()
+    var id = 0L
+    for (i <- 0 until 20; _ <- 0 until 10) {
+      rows += ((id, 1L, "flat", day(i) * 1000000L, 1.0)); id += 1
+    }
+    for (i <- 0 until 20; _ <- 0 until (if (i < 10) 10 else 30)) {
+      rows += ((id, 1L, "step", day(i) * 1000000L, 1.0)); id += 1
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    rows.toSeq.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.cusumAlarms(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getAs[Long]("max_s_micro") == 0L)
+    assert(out("flat").getAs[Long]("n_alarm_days") == 0L)
+    // step type: mean = (10*10+30*10)/20 = 20 → post-step d = 8e6/day
+    assert(out("step").getAs[Long]("n_alarm_days") > 0L)
+    assert(out("step").getAs[java.sql.Date]("first_alarm_day").toString
+      == "2024-01-12") // S = 8, 16 → crosses 10 on the step's 2nd day
+  }
+
   test("decayed counts: bounded by n, hand-checked half-life arithmetic") {
     val rows = EventQueries.decayedCounts(spark, sf).collect()
     assert(rows.nonEmpty)

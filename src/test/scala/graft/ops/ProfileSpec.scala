@@ -28,4 +28,19 @@ class ProfileSpec extends AnyFunSuite {
     // opens bucket 1; the null contributes nowhere
     assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 2L))
   }
+
+  test("benford digits: 1-9 coverage, shares sum to ~1e6, expectation pinned") {
+    val rows = StatsQueries.benfordDigits(spark, "/root/testdata/sf0.001")
+      .collect()
+    val digits = rows.map(_.getAs[Long]("digit"))
+    assert(digits.toSet.subsetOf((1L to 9L).toSet) && digits.nonEmpty)
+    val shares = rows.map(_.getAs[Long]("share_micro")).sum
+    // integer floor division loses < 1 micro per digit
+    assert(shares > 1000000L - 9 && shares <= 1000000L)
+    // the Benford expectation column is the known constant table
+    val ben = rows.map(r =>
+      r.getAs[Long]("digit") -> r.getAs[Long]("benford_micro")).toMap
+    assert(ben.get(1L).forall(_ == 301029L))
+    assert(ben.get(9L).forall(_ == 45757L))
+  }
 }
