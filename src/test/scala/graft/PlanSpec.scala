@@ -272,6 +272,25 @@ class PlanSpec extends AnyFunSuite {
       s"scan not pruned to the 3 needed columns:\n$p")
   }
 
+  test("cusum/ewma windows always carry a partition spec (never global)") {
+    // the r3/r4 purge rule: no Window over an unpartitioned (single
+    // partition) frame. CUSUM's two windows partition by event_type over
+    // the post-aggregation daily frame; EWMA's by the entity key.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((name, df) <- Seq(
+        "cusum" -> graft.ops.EventQueries.cusumAlarms(spark, sf),
+        "ewma" -> graft.ops.StatsQueries.ewmaValues(spark, sf))) {
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      assert(windows.nonEmpty, s"$name: expected Window operators")
+      windows.foreach { w =>
+        assert(w.partitionSpec.nonEmpty,
+          s"$name: unpartitioned window:\n$w")
+      }
+    }
+  }
+
   test("zipf head rank self-join broadcasts the k-row peer side") {
     val p = plan(graft.llm.CorpusQueries.zipfSlope(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"),
