@@ -66,7 +66,13 @@ object GraftExtensions {
           "graft_minhash_signature takes (hash_set, num_hashes)")
         val k = children(1) match {
           case lit if lit.foldable =>
-            lit.eval(null).asInstanceOf[Number].intValue()
+            lit.eval(null) match {
+              case n: Number => n.intValue()
+              // NULL or a non-numeric foldable must fail with the same
+              // intentional error as a non-literal, not a raw NPE/CCE
+              case other => throw new IllegalArgumentException(
+                s"num_hashes must be a non-null integer literal, got $other")
+            }
           case other => throw new IllegalArgumentException(
             s"num_hashes must be a literal, got $other")
         }

@@ -251,16 +251,14 @@ object LlmQueries {
   def embeddingInt8(spark: SparkSession, dir: String): DataFrame = {
     val v = col("__v")
     val mn = col("mn"); val mx = col("mx"); val sc = col("__sc")
-    def code(x: Column): Column =
-      least(floor((x - mn) / sc), lit(255L))
-    def err(x: Column): Column =
-      abs(x - (mn + code(x) * sc))
+    def code(x: Column): Column = Int8Quant.code(x, mn, sc)
+    def err(x: Column): Column = abs(x - (mn + code(x) * sc))
     table(spark, dir, "embeddings")
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("__v"))
       .select(col("vec_id"), v,
         array_min(v).as("mn"), array_max(v).as("mx"))
-      .withColumn("__sc", (mx - mn) / 255.0)
+      .withColumn("__sc", Int8Quant.scale(mn, mx))
       .select(col("vec_id"), mn, mx,
         when(sc === 0.0, lit(0L))
           .otherwise(aggregate(transform(v, x => code(x)), lit(0L),

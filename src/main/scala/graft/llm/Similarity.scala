@@ -45,6 +45,20 @@ object Similarity {
     zip_with(a, array_repeat(safe, size(a)), (x, nn) => x.cast("double") / nn)
   }
 
+  /** Layout-independent input for a seeded centroid fit: hash-repartition
+    * on the id column and sort within partitions, so random-init KMeans
+    * samples the IDENTICAL layout no matter how the source files were
+    * split or how many cores read them. Without this, the rows-only
+    * hashes downstream of a centroid fit (semantic dedup, IVF) are stable
+    * only for one file layout — they would drift across clusters even
+    * with a fixed seed. 8 partitions also bounds the iterative fit's
+    * per-pass scheduling (the fit re-walks its input ~20×; at 100 TB it
+    * runs offline on an ~nlist·10³-point sample with the same keyed
+    * layout).
+    */
+  private def fitLayout(df: DataFrame, parts: Int = 8): DataFrame =
+    df.repartition(parts, col("id")).sortWithinPartitions("id")
+
   /** Cosine similarity; zero-norm inputs yield NaN (IEEE 0/0 semantics,
     * matching what DuckDB's double division produces) rather than an
     * ANSI runtime error.
@@ -128,14 +142,9 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"),
         unitNormalize(col(vecCol)).as("u"))
       .withColumn("mn", array_min(col("u")))
-      .withColumn("sc", (array_max(col("u")) - col("mn")) / 255.0)
-      // dequantized value per element; constant vectors (sc = 0) dequant
-      // to mn exactly instead of tripping 0/0
+      .withColumn("sc", Int8Quant.scale(col("mn"), array_max(col("u"))))
       .withColumn("dq", transform(col("u"), x =>
-        when(col("sc") === 0.0, col("mn"))
-          .otherwise(col("mn") +
-            least(floor((x - col("mn")) / col("sc")), lit(255.0)) *
-              col("sc"))))
+        Int8Quant.dequant(x, col("mn"), col("sc"))))
       .select("neighbor_id", "dq")
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
     quant.join(q, col("query_id") =!= col("neighbor_id"))
@@ -172,14 +181,13 @@ object Similarity {
     val corpusU = corpus.filter(col(idCol) < maxId)
       .select(col(idCol).as("id"), unitNormalize(col(vecCol)).as("u"))
       .withColumn("uv", array_to_vector(col("u")))
-    val fitParts = math.min(corpusU.rdd.getNumPartitions, 8)
     // 5 iterations, not convergence: cells only need to be a balanced
     // space partition (the IVF index-build economics) — recall is what's
-    // gated, and it holds with margin (0.77 measured vs the 0.5 gate)
+    // gated, and it holds with margin vs the 0.5 gate
     val model = new KMeans().setK(nlist).setSeed(42L)
       .setInitMode("random").setMaxIter(5)
       .setFeaturesCol("uv").setPredictionCol("cell")
-      .fit(corpusU.coalesce(fitParts))
+      .fit(fitLayout(corpusU))
     // multi-probe membership: each vector joins its `nassign` nearest
     // cells — pairs straddling one boundary still meet in the other's
     // cell. Candidates grow ~nassign²/nlist of N²; recall is what the
@@ -225,13 +233,6 @@ object Similarity {
       unitNormalize(col(vecCol)).as("u"))
 
     val corpusU = unit(corpus).withColumn("uv", array_to_vector(col("u")))
-    // bound the iterative fit's partitioning: centroid training re-walks
-    // its input ~20×, and scattering a small corpus over every core (or at
-    // cluster scale, every executor) pays more per-iteration scheduling
-    // than compute. At 100 TB the index build would run on a sampled
-    // subset the same way — nlist centroids need ~nlist·10³ points, not
-    // the full corpus.
-    val fitParts = math.min(corpusU.rdd.getNumPartitions, 8)
     // index-build economics (what faiss does for IVF training): centroids
     // don't need a converged clustering, only a balanced space partition —
     // random init + few iterations replaces k-means||'s multiple full
@@ -241,7 +242,7 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(42L)
       .setInitMode("random").setMaxIter(10)
       .setFeaturesCol("uv").setPredictionCol("cell")
-      .fit(corpusU.coalesce(fitParts))
+      .fit(fitLayout(corpusU))
     val assigned = model.transform(corpusU)
       .select(col("id").as("neighbor_id"), col("u").as("cu"), col("cell"))
     val centroids = model.clusterCenters.zipWithIndex

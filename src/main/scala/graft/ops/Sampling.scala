@@ -136,9 +136,15 @@ object Sampling {
           count(when(col("c") > lo, lit(1)))).head()
     val (below, nAbove) = (r.getLong(0), r.getLong(1))
     val level = (budget - below).toDouble / nAbove
-    counts.select(col("g").as(groupCol), col("c"),
-      round(least(col("c").cast("double"), lit(level)), 6).as("alloc"),
-      (col("c").cast("double") > lit(level)).cast("bigint").as("capped"))
+    // the returned frame depends only on the scalar `level`, so build it
+    // from the UNCACHED input and release the bisection's cache now —
+    // otherwise every invocation (bench reruns, ScaleCheck) leaks one
+    // cached frame into executor storage for the session lifetime
+    counts.unpersist()
+    perGroup.select(col(groupCol).as("g"), col(cCol).cast("long").as("c"))
+      .select(col("g").as(groupCol), col("c"),
+        round(least(col("c").cast("double"), lit(level)), 6).as("alloc"),
+        (col("c").cast("double") > lit(level)).cast("bigint").as("capped"))
   }
 
   def md5RankSample(df: DataFrame, groupCol: String, idCol: String,

@@ -94,6 +94,13 @@ object TimeSeries {
     * the operator holds at any key cardinality. The weight HOFs are
     * CodegenFallback, but touch ≤ `span` elements per row — measured
     * noise-level beside the window sort itself.
+    *
+    * Null values: rows with a NULL `valCol` are dropped up front.
+    * `collect_list` silently skips NULLs, so without the filter a null
+    * row would SHRINK its neighbors' windows (and diverge from engines
+    * whose list aggregate keeps NULLs) instead of doing anything
+    * defensible; excluding the row from the series entirely is the one
+    * semantics both engines can agree on.
     */
   def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
            valCol: String, alpha: Double, span: Int): DataFrame = {
@@ -106,7 +113,8 @@ object TimeSeries {
       (x, i) => x * pow(decay, size(col("__win")) - 1 - i))
     val wsum = transform(col("__win"),
       (_, i) => pow(decay, size(col("__win")) - 1 - i))
-    events.withColumn("__win", win)
+    events.filter(col(valCol).isNotNull)
+      .withColumn("__win", win)
       .withColumn("ewma", round(
         aggregate(weighted, lit(0.0), (a, x) => a + x) /
           aggregate(wsum, lit(0.0), (a, x) => a + x), 6))
