@@ -281,6 +281,138 @@ object CorpusQueries {
       .limit(10)
   }
 
+  /** Number of merge rounds [[bpeLearn]] runs — interpolated into BOTH
+    * the Spark loop and the DuckDB unrolled oracle, so the two can't
+    * drift (the zipfHeadK lesson).
+    */
+  val bpeMerges = 8
+
+  /** Sentinel wrappers for [[bpeLearn]]'s segmentation encoding: symbol
+    * "ab" is stored as `<U+0001>ab<U+0002>`, so a merge is one plain
+    * left-to-right non-overlapping `replace` — which is EXACTLY greedy
+    * BPE merge order, because adjacent matches never share characters
+    * (the naive space-separated encoding shares the boundary space and
+    * under-merges runs like `a a a a`). Both engines' `replace` have the
+    * same LTR non-overlapping contract, which is what makes the k-round
+    * loop oracle-checkable without lookaround regexes (DuckDB's RE2 has
+    * none). Assumes the sentinels don't appear in corpus tokens.
+    */
+  private val segS = "\u0001"
+  private val segE = "\u0002"
+
+  /** Iterative BPE VOCABULARY LEARNING — the real tokenizer-build loop,
+    * not just one step ([[bpePairs]]): k rounds of count-pairs →
+    * pick-argmax → merge-everywhere, emitting the first k merges
+    * (rank, left, right, count at merge time) as a deterministic table.
+    *
+    * Scale: the loop runs entirely on the DISTINCT-token × corpus-weight
+    * frame (vocabulary-sized — the corpus text is scanned exactly once,
+    * the Sennrich learn_bpe economics), so each round is one
+    * vocabulary-keyed aggregate plus a 1-row argmax collect; lineage is
+    * cut per round with localCheckpoint and the previous round's blocks
+    * are released eagerly, the [[graft.ops.Graph.pageRank]] discipline.
+    * Ties break (count desc, left asc, right asc) — deterministic on
+    * both engines. Tokens shorter than 2 chars never produce a pair and
+    * never merge, so they are dropped up front on both sides.
+    */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    bpeLearnFromDocs(table(spark, dir, "documents"), bpeMerges)
+
+  /** [[bpeLearn]] over an arbitrary documents frame (spec entry point). */
+  def bpeLearnFromDocs(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val vocab = docs
+      .select(TextStats.tokens(col("text")).as("__toks"))
+      .select(explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull && length(col("token")) >= 2)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    // seg_0: every code point wrapped <U+0001>·<U+0002> (regex, not split —
+    // Spark's split(tok, '') keeps a trailing '' under its limit=-1
+    // semantics, which would fabricate an empty symbol)
+    var seg = vocab.select(col("c"),
+        regexp_replace(col("token"), "(?s)(.)", segS + "$1" + segE).as("seg"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = seg
+        .select(col("c"), split(
+          col("seg").substr(lit(2), length(col("seg")) - 2), segE + segS).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("l"),
+                      element_at(col("sy"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rr, cnt))
+        val next = seg.withColumn("seg", replace(col("seg"),
+            lit(segS + l + segE + segS + rr + segE),
+            lit(segS + l + rr + segE)))
+          .localCheckpoint()
+        bridge.releaseLocalCheckpoint(seg)
+        seg = next
+        r += 1
+      }
+    }
+    bridge.releaseLocalCheckpoint(seg)
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** DuckDB unroll of [[bpeLearn]]'s k merge rounds, the
+    * [[graft.ops.EventQueries]] PageRank-oracle pattern: one
+    * (pair-counts, argmax, merged-segmentation) CTE block per round, all
+    * MATERIALIZED (each s{i} is referenced twice — pair counting and the
+    * next merge — and DuckDB inlines plain CTEs). String ops mirror the
+    * Spark side op-for-op: same sentinels, same LTR `replace`, same
+    * (count desc, left, right) tie-break.
+    */
+  private def bpeLearnOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(sy)),
+         |        j -> struct_pack(l := sy[j], r := sy[j+1]))) AS p
+         |    FROM (SELECT c, string_split(substr(seg, 2, len(seg) - 2),
+         |            chr(2) || chr(1)) AS sy FROM s${i - 1})
+         |    WHERE len(sy) >= 2)
+         |  GROUP BY p.l, p.r),
+         |m$i AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT c, replace(seg,
+         |    chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+         |    chr(1) || m.l || m.r || chr(2)) AS seg
+         |  FROM s${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+       |  WHERE len(token) >= 2 GROUP BY token),
+       |s0 AS MATERIALIZED (
+       |  SELECT c, list_aggregate(list_transform(string_split(token, ''),
+       |    ch -> chr(1) || ch || chr(2)), 'string_agg', '') AS seg
+       |  FROM f),
+       |$rounds
+       |SELECT * FROM (
+       |$unions)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** Mixture accounting by quality band: documents bucketed by their
     * quality score (micro-units, 250k-wide bands) with doc and token
     * mass per band — the "how much high-quality data do we have"
@@ -520,6 +652,7 @@ object CorpusQueries {
     "q_collocations" -> (collocations _),
     "q_zipf_slope" -> (zipfSlope _),
     "q_bpe_pairs" -> (bpePairs _),
+    "q_bpe_learn" -> (bpeLearn _),
     "q_quality_mix" -> (qualityMix _),
     "q_gopher_rules" -> (gopherRules _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -610,6 +743,8 @@ object CorpusQueries {
         |SELECT pair, cnt FROM g
         |ORDER BY cnt DESC, pair
         |LIMIT 10""".stripMargin,
+
+    "q_bpe_learn" -> bpeLearnOracleSql(bpeMerges),
 
     "q_quality_mix" ->
       """WITH c AS (

@@ -505,4 +505,69 @@ class CorpusQueriesSpec extends AnyFunSuite {
     // before-totals: 0, 1500, 2500, 2600 → bins 0, 0, 1, 1
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
   }
+
+  /** Independent driver-side BPE trainer: list-of-symbols segmentations,
+    * greedy left-to-right non-overlapping merges — shares NO code (and no
+    * sentinel-string encoding) with [[CorpusQueries.bpeLearnFromDocs]].
+    */
+  def refBpe(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Map[List[String], Long] = texts
+      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).map { case (t, g) =>
+        t.map(_.toString).toList -> g.size.toLong }
+    def mergeOne(seg: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < seg.length) {
+        if (i + 1 < seg.length && seg(i) == l && seg(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += seg(i); i += 1 }
+      }
+      out.toList
+    }
+    (1 to k).flatMap { rank =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (seg, c) =>
+        seg.sliding(2).foreach {
+          case List(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _          => ()
+        }
+      }
+      if (pairs.isEmpty) None
+      else {
+        val ((l, r), cnt) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.groupBy { case (seg, _) => mergeOne(seg, l, r) }
+          .map { case (seg, m) => seg -> m.values.sum }
+        Some((rank.toLong, l, r, cnt))
+      }
+    }
+  }
+
+  test("bpe learn matches an independent driver-side trainer, with runs") {
+    // 'aaaa' runs pin the greedy non-overlap contract: round 1 merges
+    // (a,a) with count 3 per 'aaaa' token; the merged form is [aa][aa],
+    // NOT [aa][a][a] (boundary-consuming under-merge) or [a][aa][a]
+    val texts = Seq(
+      "low low low lower lower lowest",
+      "aaaa aaaa baab",
+      "new newer newest low lower",
+      "ab ab ab cd cd a b")
+    val got = CorpusQueries
+      .bpeLearnFromDocs(texts.toDF("text"), 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == refBpe(texts, 6), s"got $got\nref ${refBpe(texts, 6)}")
+  }
+
+  test("bpe learn is partition-layout independent") {
+    val texts = Seq("merge merge merged merges", "split splits splitter",
+      "aaa aa aaaa", "token tokens tokenize tokenizer")
+    val base = texts.toDF("text")
+    val a = CorpusQueries.bpeLearnFromDocs(base.coalesce(1), 5).collect().toSeq
+    val b = CorpusQueries.bpeLearnFromDocs(base.repartition(7), 5).collect().toSeq
+    assert(a == b)
+    assert(a == refBpe(texts, 5).map(t => org.apache.spark.sql.Row(
+      t._1, t._2, t._3, t._4)))
+  }
 }
