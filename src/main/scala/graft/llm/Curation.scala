@@ -56,8 +56,9 @@ object Curation {
     * Scale: percentile_disc is an exact sort-based aggregate — fine here
     * because it is grouped by event_type, whose cardinality is bounded
     * by the event taxonomy (a schema property, not a data property; at
-    * 100 TB swap in approx_percentile, the same contract q_sketch_counts
-    * documents for counts). The 5-row bounds frame joins back broadcast.
+    * 100 TB swap in the sketch path, [[winsorizedStatsApprox]] below —
+    * the same exact-vs-estimate contract q_sketch_counts documents for
+    * counts). The 5-row bounds frame joins back broadcast.
     */
   def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
@@ -66,6 +67,42 @@ object Curation {
     val bounds = ev.groupBy("event_type")
       .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
         expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(first(col("lo")), 6).as("lo"),
+        round(first(col("hi")), 6).as("hi"),
+        round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 6)
+          .as("wmean"))
+      .orderBy("event_type")
+  }
+
+  /** Sketch accuracy for [[winsorizedStatsApprox]]: bounds land within
+    * 1/accuracy of the true rank. */
+  val winsorAccuracy = 10000
+
+  /** The SKETCH path of [[winsorizedStats]] — the variant a 100 TB run
+    * actually deploys when the group key is NOT schema-bounded (per-domain
+    * winsorization over millions of domains): `approx_percentile`
+    * (Greenwald-Khanna) replaces the exact sort-based percentile, so the
+    * bounds aggregate is one mergeable-sketch pass with bounded memory
+    * per group instead of a per-group sort. Same downstream clamp + mean.
+    *
+    * Estimate-vs-exact is the q_sketch_counts contract: rows-only for the
+    * driver (sketch merge order isn't an oracle-reproducible quantity);
+    * CurationSpec gates the divergence against [[winsorizedStats]] — at
+    * accuracy [[winsorAccuracy]] the rank error is ≤ n/accuracy, which at
+    * the test SFs means the bounds are raw column elements at most a few
+    * ranks from the exact ones.
+    */
+  def winsorizedStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.05), lit(winsorAccuracy)).as("lo"),
+        percentile_approx(col("value"), lit(0.95), lit(winsorAccuracy)).as("hi"))
     ev.join(broadcast(bounds), Seq("event_type"))
       .groupBy("event_type")
       .agg(count(lit(1)).cast("bigint").as("n"),
@@ -134,6 +171,7 @@ object Curation {
   val all: Map[String, Q] = Map(
     "q_source_cap" -> (sourceCap _),
     "q_winsorized_stats" -> (winsorizedStats _),
+    "q_winsorized_approx" -> (winsorizedStatsApprox _),
     "q_importance_weights" -> (importanceWeights _)
   )
 

@@ -54,6 +54,44 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("winsorized approx: sketch bounds track exact, wmean divergence gated") {
+    val exact = Curation.winsorizedStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Curation.winsorizedStatsApprox(spark, sf).collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    val values = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull)
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val e = exact(et)
+      assert(r.getAs[Long]("n") == e.getAs[Long]("n"))
+      val vs = values(et)
+      // GK guarantee: estimated percentile within n/accuracy RANKS of the
+      // true one — translate rank tolerance into a value window
+      val rankTol = math.max(1, vs.length / Curation.winsorAccuracy + 1)
+      def rankWindow(q: Double): (Double, Double) = {
+        val r0 = math.ceil(q * vs.length).toInt - 1
+        (vs(math.max(0, r0 - rankTol)), vs(math.min(vs.length - 1, r0 + rankTol)))
+      }
+      val (lo5, hi5) = rankWindow(0.05)
+      val (lo95, hi95) = rankWindow(0.95)
+      assert(r.getAs[Double]("lo") >= lo5 - 5e-7 &&
+        r.getAs[Double]("lo") <= hi5 + 5e-7,
+        s"$et lo ${r.getAs[Double]("lo")} outside [$lo5, $hi5]")
+      assert(r.getAs[Double]("hi") >= lo95 - 5e-7 &&
+        r.getAs[Double]("hi") <= hi95 + 5e-7,
+        s"$et hi ${r.getAs[Double]("hi")} outside [$lo95, $hi95]")
+      // clamping to near-identical bounds moves the mean by at most the
+      // bound shift's mass fraction — gate generously at 0.5% relative
+      val ew = e.getAs[Double]("wmean")
+      assert(math.abs(r.getAs[Double]("wmean") - ew) <=
+        math.max(5e-3 * math.abs(ew), 1e-4),
+        s"$et wmean ${r.getAs[Double]("wmean")} vs exact $ew")
+    }
+  }
+
   test("importance weights: target slice excluded, reference math matches") {
     val out = Curation.importanceWeights(spark, sf)
       .as[(Long, Long, Double)].collect()
