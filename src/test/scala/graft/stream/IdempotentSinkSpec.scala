@@ -1,0 +1,67 @@
+package graft.stream
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.GraftTestSpark
+
+/** Executed proof of the foreachBatch exactly-once pattern: the
+  * batch-id-keyed dynamic-partition overwrite absorbs every replay shape
+  * a real deployment hits — same-checkpoint restart (no uncommitted
+  * batches → no new writes), lost-checkpoint restart (full replay → same
+  * partitions rewritten, no duplicates), and raw double-delivery of one
+  * batch (crash between sink write and checkpoint commit).
+  */
+class IdempotentSinkSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def snapshot(target: String): (Long, Long, Seq[Long]) = {
+    val df = spark.read.parquet(target)
+    val ids = df.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    (df.count(), df.select("event_id").distinct().count(), ids)
+  }
+
+  test("foreachBatch idempotent sink: restarts and replays never duplicate") {
+    val target = tmp("graft_idem_target")
+    val ckpt = tmp("graft_idem_ckpt")
+    // events.parquet carries a nanosecond timestamp — load via Tables
+    val srcRows = graft.Tables.table(spark, sf, "events").count()
+
+    // first run: everything lands, one partition per streaming batch
+    val batches1 = IdempotentSink.run(spark, sf, target, ckpt)
+    assert(batches1 >= 1)
+    val (n1, d1, ids1) = snapshot(target)
+    assert(n1 == srcRows && d1 == srcRows)
+
+    // restart with the SAME checkpoint and no new input: AvailableNow
+    // finds nothing uncommitted, the target is untouched
+    IdempotentSink.run(spark, sf, target, ckpt)
+    assert(snapshot(target) == ((n1, d1, ids1)))
+
+    // restart that LOST its checkpoint: the full input replays as the
+    // same batch ids from zero — the keyed overwrite rewrites the same
+    // partitions instead of appending beside them
+    IdempotentSink.run(spark, sf, target, tmp("graft_idem_ckpt2"))
+    assert(snapshot(target) == ((n1, d1, ids1)))
+
+    // raw at-least-once double-delivery of one batch (crash after the
+    // sink write, before the checkpoint commit): second apply of the
+    // same (data, batchId) is a no-op on contents. Materialize the
+    // batch FIRST — the redelivered frame must not lazily read the very
+    // files the overwrite replaces
+    val b0 = spark.read.parquet(target).filter(col("batch_id") === 0L)
+      .select("event_id", "event_type", "user_id").collect().toSeq
+    assert(b0.nonEmpty)
+    val schema = spark.read.parquet(target)
+      .select("event_id", "event_type", "user_id").schema
+    val batch0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(b0, 2), schema)
+    IdempotentSink.writeBatch(batch0, 0L, target)
+    assert(snapshot(target) == ((n1, d1, ids1)))
+  }
+}
