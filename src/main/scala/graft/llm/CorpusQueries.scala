@@ -323,6 +323,18 @@ object CorpusQueries {
     val spark = docs.sparkSession
     import spark.implicits._
     val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val (merges, seg) = bpeTrain(docs, k)
+    bridge.releaseLocalCheckpoint(seg)
+    merges.toDF("merge_rank", "left_sym", "right_sym", "cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** The k-round training loop, returning (merge table, FINAL
+    * checkpointed segmentation frame). Callers own releasing the frame.
+    */
+  private def bpeTrain(docs: DataFrame, k: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     val vocab = docs
       .select(TextStats.tokens(col("text")).as("__toks"))
       .select(explode_outer(col("__toks")).as("token"))
@@ -364,9 +376,39 @@ object CorpusQueries {
         r += 1
       }
     }
+    (merges.toSeq, seg)
+  }
+
+  /** Result size of [[bpeVocab]]. */
+  val bpeVocabTopK = 20
+
+  /** The learned vocabulary APPLIED: after [[bpeMerges]] training rounds,
+    * the corpus's token mass re-counted under the merged symbol alphabet
+    * — top-[[bpeVocabTopK]] symbols by weighted occurrence. This is what
+    * a tokenizer build actually ships (the vocab table); scale shape is
+    * one more vocabulary-sized aggregate over the final segmentation
+    * frame. Covers multi-char tokens (1-char tokens are trivially their
+    * own symbol and are excluded from training on both engines).
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabFromDocs(table(spark, dir, "documents"), bpeMerges, bpeVocabTopK)
+
+  def bpeVocabFromDocs(docs: DataFrame, k: Int, topK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val (_, seg) = bpeTrain(docs, k)
+    // bounded collect (topK rows) so the checkpointed training state can
+    // be released eagerly instead of leaking until frame GC
+    val top = seg
+      .select(col("c"), split(
+        col("seg").substr(lit(2), length(col("seg")) - 2), segE + segS).as("sy"))
+      .select(col("c"), explode(col("sy")).as("sym"))
+      .groupBy("sym").agg(sum(col("c")).as("cnt"))
+      .orderBy(desc("cnt"), asc("sym"))
+      .limit(topK).collect()
     bridge.releaseLocalCheckpoint(seg)
-    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "cnt")
-      .orderBy("merge_rank")
+    top.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("sym", "cnt")
   }
 
   /** DuckDB unroll of [[bpeLearn]]'s k merge rounds, the
@@ -377,7 +419,7 @@ object CorpusQueries {
     * Spark side op-for-op: same sentinels, same LTR `replace`, same
     * (count desc, left, right) tie-break.
     */
-  private def bpeLearnOracleSql(k: Int): String = {
+  private def bpeOracleCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT p.l AS l, p.r AS r, CAST(sum(c) AS BIGINT) AS cnt FROM (
@@ -395,9 +437,6 @@ object CorpusQueries {
          |    chr(1) || m.l || m.r || chr(2)) AS seg
          |  FROM s${i - 1} CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to k).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, cnt FROM m$i"
-    }.mkString("\nUNION ALL ")
     s"""WITH tok AS (
        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
        |f AS MATERIALIZED (
@@ -407,11 +446,29 @@ object CorpusQueries {
        |  SELECT c, list_aggregate(list_transform(string_split(token, ''),
        |    ch -> chr(1) || ch || chr(2)), 'string_agg', '') AS seg
        |  FROM f),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeLearnOracleSql(k: Int): String = {
+    val unions = (1 to k).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS left_sym, r AS right_sym, cnt FROM m$i"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeOracleCtes(k)}
        |SELECT * FROM (
        |$unions)
        |ORDER BY merge_rank""".stripMargin
   }
+
+  /** Final-segmentation symbol counts from the same unrolled CTE chain. */
+  private def bpeVocabOracleSql(k: Int, topK: Int): String =
+    s"""${bpeOracleCtes(k)}
+       |SELECT sym, CAST(sum(c) AS BIGINT) AS cnt FROM (
+       |  SELECT c, unnest(string_split(substr(seg, 2, len(seg) - 2),
+       |           chr(2) || chr(1))) AS sym
+       |  FROM s$k)
+       |GROUP BY sym
+       |ORDER BY cnt DESC, sym
+       |LIMIT $topK""".stripMargin
 
   /** Mixture accounting by quality band: documents bucketed by their
     * quality score (micro-units, 250k-wide bands) with doc and token
@@ -653,6 +710,7 @@ object CorpusQueries {
     "q_zipf_slope" -> (zipfSlope _),
     "q_bpe_pairs" -> (bpePairs _),
     "q_bpe_learn" -> (bpeLearn _),
+    "q_bpe_vocab" -> (bpeVocab _),
     "q_quality_mix" -> (qualityMix _),
     "q_gopher_rules" -> (gopherRules _),
     "q_heavy_hitters" -> (heavyHitters _),
@@ -745,6 +803,7 @@ object CorpusQueries {
         |LIMIT 10""".stripMargin,
 
     "q_bpe_learn" -> bpeLearnOracleSql(bpeMerges),
+    "q_bpe_vocab" -> bpeVocabOracleSql(bpeMerges, bpeVocabTopK),
 
     "q_quality_mix" ->
       """WITH c AS (

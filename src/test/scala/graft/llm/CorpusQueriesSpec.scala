@@ -510,7 +510,8 @@ class CorpusQueriesSpec extends AnyFunSuite {
     * greedy left-to-right non-overlapping merges — shares NO code (and no
     * sentinel-string encoding) with [[CorpusQueries.bpeLearnFromDocs]].
     */
-  def refBpe(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+  def refBpeTrain(texts: Seq[String], k: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, Long]) = {
     var vocab: Map[List[String], Long] = texts
       .flatMap(_.split(" ", -1)).filter(_.length >= 2)
       .groupBy(identity).map { case (t, g) =>
@@ -525,7 +526,7 @@ class CorpusQueriesSpec extends AnyFunSuite {
       }
       out.toList
     }
-    (1 to k).flatMap { rank =>
+    val merges = (1 to k).flatMap { rank =>
       val pairs = scala.collection.mutable.Map[(String, String), Long]()
       vocab.foreach { case (seg, c) =>
         seg.sliding(2).foreach {
@@ -541,7 +542,14 @@ class CorpusQueriesSpec extends AnyFunSuite {
         Some((rank.toLong, l, r, cnt))
       }
     }
+    val symCounts = vocab.toSeq
+      .flatMap { case (seg, c) => seg.map(_ -> c) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    (merges, symCounts)
   }
+
+  def refBpe(texts: Seq[String], k: Int): Seq[(Long, String, String, Long)] =
+    refBpeTrain(texts, k)._1
 
   test("bpe learn matches an independent driver-side trainer, with runs") {
     // 'aaaa' runs pin the greedy non-overlap contract: round 1 merges
@@ -558,6 +566,18 @@ class CorpusQueriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
     assert(got == refBpe(texts, 6), s"got $got\nref ${refBpe(texts, 6)}")
+  }
+
+  test("bpe vocab: applied-merge symbol counts match the reference trainer") {
+    val texts = Seq(
+      "low low low lower lower lowest",
+      "aaaa aaaa baab",
+      "new newer newest low lower")
+    val got = CorpusQueries.bpeVocabFromDocs(texts.toDF("text"), 5, 50)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val ref = refBpeTrain(texts, 5)._2.toSeq
+      .sortBy { case (s, c) => (-c, s) }.take(50)
+    assert(got == ref, s"got $got\nref $ref")
   }
 
   test("bpe learn is partition-layout independent") {
