@@ -137,6 +137,59 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-SPAN detection (the positional refinement of
+    * [[interDocDupFraction]], after Lee et al. 2107.06499's substring
+    * dedup): which token POSITIONS of each document sit inside a
+    * 3-token shingle that also appears in another document, grouped
+    * into maximal contiguous runs. Whole-doc dedup misses the boilerplate
+    * case — a unique page wrapping a duplicated header/footer — and this
+    * is the operator that finds the spans a trimming pass would cut.
+    * Shape at scale: positional shingle explode → cross-doc
+    * document-frequency on the DISTINCT (doc, shingle) pairs → covered
+    * positions via a 3-element sequence explode → gaps-and-islands
+    * (position minus per-doc row_number) → per-doc run stats. Every
+    * stage shuffles on its own key (shingle, then doc_id); the only
+    * window is per-doc over covered positions, bounded by document
+    * length — nothing is corpus-quadratic and no global sort exists.
+    * Output per doc: token count, duplicated-token count, run count,
+    * longest run, and the duplicated fraction in exact micro-units.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      TextStats.shingles(TextStats.tokens(col("text")), 3).as("__sh"))
+    // 1-based start positions to match the oracle's range(1, len-1)
+    val pos = sh.select(col("doc_id"), posexplode_outer(col("__sh")))
+      .filter(col("col").isNotNull)
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("sp"),
+        col("col").as("g"))
+    val dupg = pos.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1L).select("g")
+    val cov = pos.join(dupg, Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("sp"), col("sp") + lit(2L))).as("p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val runs = cov
+      .withColumn("isl", col("p") - row_number().over(w))
+      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run_len"))
+    val agg = runs.groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_runs"),
+        sum(col("run_len")).cast("bigint").as("dup_tokens"),
+        max(col("run_len")).cast("bigint").as("max_run"))
+    docs.select(col("doc_id"), TextStats.tokenCount(col("text")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        TextStats.microRatio(coalesce(col("dup_tokens"), lit(0L)),
+          col("n_tokens")).as("dupspan_micro"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing: documents stream into ~2048-token bins per
     * source ([[graft.ops.Sampling.packBins]]); output is the per-bin
     * manifest (doc count + token total). Parallel across sources; no
@@ -195,6 +248,26 @@ object CorpusQueries {
         table(spark, dir, "documents").select(col("doc_id"), col("source")),
         groupCol = "source", idCol = "doc_id", k = 10)
       .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+
+  /** Length-weighted sample without replacement: 10 docs per source,
+    * weight = n_chars ([[graft.ops.Sampling.weightedSample]], the
+    * Efraimidis–Spirakis exponential-keys construction) — the curation
+    * sampler that favors substantial documents without excluding short
+    * ones, reproducible across engines because the per-row uniform is
+    * md5-derived rather than rand(seed). Same WindowGroupLimit shape as
+    * [[hashSample]]; n_chars > 0 guard because zero weight is undefined
+    * under E-S. es_key rounded for the output hash only — the RANKING
+    * uses the unrounded doubles, identical on both engines.
+    */
+  def weightedSampleDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+        table(spark, dir, "documents")
+          .filter(col("n_chars") > 0L)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        groupCol = "source", idCol = "doc_id", weightCol = "n_chars", k = 10)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+        round(col("es_key"), 9).as("es_key"))
       .orderBy("source", "rk")
 
   /** Bigram language-model score per document: average ln p(w_i | w_{i-1})
@@ -717,6 +790,8 @@ object CorpusQueries {
     "q_approx_heavy_hitters" -> (approxHeavyHitters _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_interdoc_dup" -> (interDocDupFraction _),
+    "q_dup_spans" -> (dupSpans _),
+    "q_weighted_sample" -> (weightedSampleDocs _),
     "q_seq_pack" -> (seqPack _),
     "q_pii_redact" -> (piiRedact _),
     "q_hash_sample" -> (hashSample _),
@@ -934,6 +1009,63 @@ object CorpusQueries {
         |  FROM documents)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    -ln((CAST(concat('0x',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        + 1) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY es_key, doc_id) AS rk
+        |  FROM d)
+        |SELECT source, rk, doc_id, n_chars, round(es_key, 9) AS es_key
+        |FROM r WHERE rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
+    "q_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+        |      ELSE CAST([] AS BIGINT[]) END AS sps,
+        |    CASE WHEN len(t) >= 3
+        |      THEN list_transform(range(1, len(t) - 1),
+        |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END AS gs
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(sps) AS sp, unnest(gs) AS g FROM sh),
+        |dupg AS (
+        |  SELECT g FROM (SELECT DISTINCT doc_id, g FROM ex)
+        |  GROUP BY g HAVING count(*) > 1),
+        |cov0 AS (
+        |  SELECT doc_id, unnest(range(sp, sp + 3)) AS p
+        |  FROM ex JOIN dupg USING (g)),
+        |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g0
+        |  FROM cov),
+        |runs AS (SELECT doc_id, g0, count(*) AS run_len
+        |         FROM isl GROUP BY doc_id, g0),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+        |    CAST(sum(run_len) AS BIGINT) AS dup_tokens,
+        |    CAST(max(run_len) AS BIGINT) AS max_run
+        |  FROM runs GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  COALESCE(agg.dup_tokens, 0) AS dup_tokens,
+        |  COALESCE(agg.n_runs, 0) AS n_runs,
+        |  COALESCE(agg.max_run, 0) AS max_run,
+        |  CAST((1000000 * COALESCE(agg.dup_tokens, 0)) // CAST(len(t.t) AS BIGINT)
+        |    AS BIGINT) AS dupspan_micro
+        |FROM toks t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_bigram_logprob" ->
       """WITH bg AS (

@@ -156,6 +156,36 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Weighted sampling WITHOUT replacement, k per group (Efraimidis &
+    * Spirakis 2006, the exponential-keys formulation): each row draws a
+    * deterministic uniform u ∈ (0,1] and competes on the exponential key
+    * -ln(u)/w — the k smallest keys per group are exactly a weighted
+    * sample without replacement. The uniform comes from the first 8 hex
+    * digits of md5(id) (not rand(seed), whose stream is partition-layout
+    * dependent — the [[stratified]] lesson), so the sample is
+    * reproducible across engines, runs, and repartitions: v ∈ [0,2^32)
+    * is exact in a double, u = (v+1)/2^32 never hits 0, and both engines
+    * evaluate the same IEEE ln/divide on identical operands. One window
+    * pass per group, planned as WindowGroupLimit — only k rows per group
+    * survive each input partition before the shuffle, so the operator
+    * holds at any group size (the per-domain sampling primitive of a
+    * mixture-weighted corpus build). Requires weight > 0 (caller
+    * filters); weight 0 would divide to +Inf and sort last anyway, but
+    * the E-S estimator is undefined there.
+    */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    val u = (v + lit(1L)).cast("double") / lit(4294967296.0)
+    val key = -log(u) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("es_key"), col(idCol))
+    df.withColumn("es_key", key)
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+  }
+
   /** Sequence packing: assign each row to a fixed-budget bin by the
     * running `weightCol` total BEFORE it (ordered by `orderCol` within
     * `groupCol`) — the greedy streaming packer that turns a document

@@ -100,6 +100,42 @@ object StatsQueries {
       .select("event_id", "ewma")
       .orderBy("event_id")
 
+  /** Robust outlier screen per event type: median / MAD instead of
+    * mean / stddev — the z-score family member that a single corrupted
+    * value cannot drag (mean and stddev both have breakdown point 0; the
+    * median pair survives 50% contamination). Outlier rule is the
+    * standard modified z-score |x - med| > 3.5 · 1.4826 · MAD (1.4826
+    * scales MAD to σ under normality). Percentiles are the exact
+    * DISCRETE ones ([[percentiles]]' parity contract — selected values
+    * are raw column elements, no interpolation arithmetic), and the
+    * threshold multiply is ordered (3.5 · 1.4826) · MAD in both engines
+    * so the boundary comparison sees bit-identical doubles. Shape at
+    * scale: two grouped exact percentiles + one counting pass, all
+    * shuffling on the schema-bounded event_type key; the per-group
+    * medians frame is tiny, so joining it back is a broadcast.
+    */
+  def robustZscore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+        .as("med"))
+    val withMed = ev.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(value - med))")
+        .as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(abs(col("value") - col("med")) >
+          (lit(3.5) * lit(1.4826)) * col("mad"), 1L).otherwise(0L))
+          .cast("bigint").as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** ANALYZE-style column profile of the orders table (long form). */
   def tableProfile(spark: SparkSession, dir: String): DataFrame =
     Profile.tableProfile(table(spark, dir, "orders"),
@@ -122,6 +158,7 @@ object StatsQueries {
     "q_asof_clicks" -> (asofClicks _),
     "q_ewma_values" -> (ewmaValues _),
     "q_benford_digits" -> (benfordDigits _),
+    "q_robust_zscore" -> (robustZscore _),
     "q_table_profile" -> (tableProfile _),
     "q_value_histogram" -> (valueHistogram _)
   )
@@ -223,6 +260,27 @@ object StatsQueries {
         |      i -> pow(0.5, len(win)-1-i))), 6) AS ewma
         |FROM w
         |ORDER BY event_id""".stripMargin,
+
+    "q_robust_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS med
+        |  FROM ev GROUP BY event_type),
+        |mad AS (
+        |  SELECT ev.event_type, quantile_disc(abs(value - med), 0.5) AS mad
+        |  FROM ev JOIN med USING (event_type)
+        |  GROUP BY ev.event_type),
+        |j AS (
+        |  SELECT ev.event_type, value, med.med, mad.mad
+        |  FROM ev JOIN med USING (event_type) JOIN mad USING (event_type))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(med), 6) AS med, round(max(mad), 6) AS mad,
+        |  CAST(count(*) FILTER (WHERE abs(value - med) >
+        |    (3.5 * 1.4826) * mad) AS BIGINT) AS n_outliers
+        |FROM j
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_asof_clicks" ->
       """SELECT e.event_id AS event_id, c.value AS click_value

@@ -119,6 +119,41 @@ class CorpusQueriesSpec extends AnyFunSuite {
     perDoc.foreach(r => assert(r.getAs[Double]("avg_logprob") == expect))
   }
 
+  test("dup spans: adjacent shared shingles merge into one run, " +
+      "separated ones stay two, unique docs score zero") {
+    // A and B and D share "a b c"; B and D share "x y z". In B the two
+    // shared shingles are ADJACENT (positions 1-3 and 4-6 merge into one
+    // 6-token run); in D they are separated by unique tokens (two runs
+    // of 3). C shares nothing.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z a b c q r s"),
+      (3L, "u v w m n o"),
+      (4L, "p p x y z p p p a b c")).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spans")
+    try {
+      docs.coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/__t/documents.parquet")
+      val part = new java.io.File(s"$tmp/__t/documents.parquet").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+      val out = CorpusQueries.dupSpans(spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("max_run"), r.getAs[Long]("dupspan_micro"))).toMap
+      assert(out(1L) == ((6L, 3L, 1L, 3L, 500000L)), s"A: ${out(1L)}")
+      assert(out(2L) == ((9L, 6L, 1L, 6L, 666666L)), s"B: ${out(2L)}")
+      assert(out(3L) == ((6L, 0L, 0L, 0L, 0L)), s"C: ${out(3L)}")
+      assert(out(4L) == ((11L, 6L, 2L, 3L, 545454L)), s"D: ${out(4L)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("interdoc dup: shared trigrams count, unique docs score zero") {
     import org.apache.spark.sql.DataFrame
     def run(docs: DataFrame): Map[Long, (Long, Long)] = {

@@ -64,6 +64,30 @@ class SamplingSpec extends AnyFunSuite {
       train.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample matches an independent driver-side E-S reference " +
+      "and is layout-stable") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (1 to 30).map(i => (i.toLong, "s", (i % 7 + 1).toLong * 10))
+    val df = rows.toDF("id", "src", "w")
+    // independent reference: same md5-uniform and exponential-key math,
+    // computed in plain Scala with no Spark expression in the path
+    val expected = rows.map { case (id, _, w) =>
+      val v = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16)
+      val u = (v + 1).toDouble / 4294967296.0
+      (id, -math.log(u) / w.toDouble)
+    }.sortBy { case (id, k) => (k, id) }.take(10).map(_._1)
+    val out = Sampling.weightedSample(df, "src", "id", "w", k = 10)
+      .orderBy("rk").collect().map(_.getAs[Long]("id")).toSeq
+    assert(out == expected, s"got $out\nexpected $expected")
+    // layout independence: identical selection after arbitrary repartition
+    val out2 = Sampling.weightedSample(df.repartition(13), "src", "id", "w",
+        k = 10).orderBy("rk").collect().map(_.getAs[Long]("id")).toSeq
+    assert(out2 == expected)
+  }
+
   test("waterfillAlloc: allocations sum to the budget, caps only the big") {
     import spark.implicits._
     val groups = Seq(("a", 10L), ("b", 20L), ("c", 100L), ("d", 400L))

@@ -60,6 +60,26 @@ class SkewStatsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L, 0L))
   }
 
+  test("robustZscore: hand-checked median/MAD, only the extreme flags") {
+    // values 1..9 plus an extreme 1000: sorted median (percentile_disc
+    // 0.5 over 10 values) = 5.0; |x-5| sorted = 0,1,1,2,2,3,3,4,4,995 →
+    // MAD = 2.0; threshold 3.5·1.4826·2 = 10.3782 — a mean/stddev screen
+    // would have its mean dragged to 104.5 by the same point
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_robust").toString
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, "t", (base + i * 1000L) * 1000000L, v)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatsQueries.robustZscore(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == 10L)
+    assert(r.head.getAs[Double]("med") == 5.0)
+    assert(r.head.getAs[Double]("mad") == 2.0)
+    assert(r.head.getAs[Long]("n_outliers") == 1L)
+  }
+
   test("approxPercentiles tracks exact percentiles within sketch error") {
     val df = (1 to 10000).map(i => ((i % 4).toString, i.toDouble))
       .toDF("g", "v")
