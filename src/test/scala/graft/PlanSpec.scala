@@ -142,7 +142,8 @@ class PlanSpec extends AnyFunSuite {
         llm.CorpusQueries.unigramLogprob(spark, sf),
         llm.CorpusQueries.sourceVocab(spark, sf),
         llm.CorpusQueries.bigramLogprob(spark, sf),
-        llm.CorpusQueries.interDocDupFraction(spark, sf))) {
+        llm.CorpusQueries.interDocDupFraction(spark, sf),
+        llm.CorpusQueries.dupSpans(spark, sf))) {
       val p = plan(df)
       val bad = p.linesIterator.exists(l => l.contains("Filter") && l.contains("split("))
       assert(!bad, s"split() re-inlined into a filter:\n${p.take(3000)}")
@@ -151,6 +152,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("hash-rank sampling keeps the WindowGroupLimit pushdown") {
     val p = plan(llm.CorpusQueries.hashSample(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+  }
+
+  test("weighted sampling keeps the WindowGroupLimit pushdown") {
+    // same contract as hash-rank sampling: the E-S key window must
+    // pre-prune to k rows per group per input partition before the
+    // shuffle, or each source's full doc list crosses the exchange
+    val p = plan(llm.CorpusQueries.weightedSampleDocs(spark, sf))
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
   }
 
