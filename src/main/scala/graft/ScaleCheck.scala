@@ -356,6 +356,82 @@ object ScaleCheck {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigP)
     }
 
+    // --- round-6 family ------------------------------------------------
+    // dup spans on the SUFFIXED corpus: replica vocabularies are disjoint,
+    // so no shingle gains document frequency across replicas — replica-0
+    // spans (and their run geometry) must equal the sf0.1 result exactly
+    timed("dup_spans (sf1 + compare)") {
+      val dsSrc = llm.CorpusQueries.dupSpans(spark, src)
+      val dsBig = llm.CorpusQueries.dupSpans(spark, out)
+        .filter(col("doc_id") < Stride)
+      val dsBad = dsBig.unionByName(dsSrc)
+        .groupBy("doc_id", "n_tokens", "dup_tokens", "n_runs", "max_run",
+          "dupspan_micro")
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 dup spans == sf0.1 bit-for-bit")(dsBad == 0,
+        s"$dsBad odd rows")
+    }
+
+    // weighted E-S sampling at sf1: the md5-derived uniform makes the
+    // draw a pure function of (id, weight), so an arbitrary repartition
+    // of the 10x corpus must select the IDENTICAL per-source sample
+    timed("weighted_sample (sf1 layout)") {
+      val docs1 = Tables.table(spark, out, "documents")
+        .filter(col("n_chars") > 0L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def sel(df: DataFrame) = ops.Sampling
+        .weightedSample(df, "source", "doc_id", "n_chars", k = 10)
+        .select("source", "rk", "doc_id")
+      val a = sel(docs1)
+      val b = sel(docs1.repartition(64))
+      val wsBad = a.unionByName(b).groupBy("source", "rk", "doc_id")
+        .count().filter(col("count") =!= 2).count()
+      val perSource = a.groupBy("source").count()
+        .filter(col("count") =!= 10L).count()
+      check("weighted sample is layout-invariant at sf1, k per source")(
+        wsBad == 0 && perSource == 0, s"$wsBad odd rows, $perSource sources off")
+    }
+
+    // robust z-score: event replicas copy every value R times, which
+    // preserves all cumulative fractions — percentile_disc medians and
+    // MADs are IDENTICAL while n and the outlier count are exactly xR
+    timed("robust_zscore (sf1 + compare)") {
+      val r1 = ops.StatsQueries.robustZscore(spark, src).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+          r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers")))).toMap
+      val rR = ops.StatsQueries.robustZscore(spark, out).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+          r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers")))).toMap
+      val rzOk = r1.keySet == rR.keySet && r1.forall {
+        case (t, (n, med, mad, out1)) =>
+          val (nB, medB, madB, outB) = rR(t)
+          nB == n * replicas && medB == med && madB == mad &&
+            outB == out1 * replicas
+      }
+      check("robust z-score: med/MAD invariant, counts exactly xR")(rzOk,
+        s"sf0.1 $r1\nsf1 $rR")
+    }
+
+    // BPE learning on the SHARED-vocab corpus: the distinct-vocab frame
+    // is unchanged and every word weight is exactly xR, so the learned
+    // merge SEQUENCE is identical with each merge count scaled by R
+    timed("bpe_learn (sf1 shared + compare)") {
+      val m1 = llm.CorpusQueries
+        .bpeLearnFromDocs(Tables.table(spark, src, "documents"),
+          llm.CorpusQueries.bpeMerges)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3) * replicas)).toSeq
+      val mR = llm.CorpusQueries
+        .bpeLearnFromDocs(Tables.table(spark, s"$out/shared", "documents"),
+          llm.CorpusQueries.bpeMerges)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      check(s"BPE merge sequence invariant, counts exactly x$replicas")(
+        m1 == mR, s"src×R $m1\nbig $mR")
+    }
+
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)
