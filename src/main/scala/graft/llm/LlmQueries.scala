@@ -91,6 +91,19 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** MMR diverse top-10 from each query's top-20 cosine candidates
+    * (λ=0.7, queries vec_id < 5): the diversity-selection step between
+    * retrieval and use ([[Similarity.mmrSelect]]). Oracle-checked
+    * against a DuckDB 10-round materialized-CTE unroll of the same
+    * greedy — the PageRank/BPE iterative-oracle pattern applied to a
+    * selection loop.
+    */
+  def mmrDiverse(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.mmrSelect(emb, emb.filter(col("vec_id") < 5),
+      m = 20, k = 10, lambda = 0.7)
+  }
+
   /** Exact cosine pairs on a bounded block (oracle-checked baseline for
     * the LSH scale path below).
     */
@@ -465,6 +478,7 @@ object LlmQueries {
     "q_incremental_minhash" -> (incrementalMinhashPairs _),
     "q_winnow_pairs" -> (winnowPairs _),
     "q_knn_cosine" -> (knnCosine _),
+    "q_mmr_diverse" -> (mmrDiverse _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_semantic_dedup" -> (semanticDedup _),
@@ -494,7 +508,89 @@ object LlmQueries {
     "q_multimodal_frames" -> (multimodalFrames _)
   )
 
+  /** k-round CTE unroll of the MMR greedy (λ hardcoded 0.7; the
+    * diversity weight is written `(1.0 - 0.7)` — an evaluated
+    * subtraction, not a folded 0.3 literal — so DuckDB's double matches
+    * Spark's `1.0 - lambda` exactly, 0.30000000000000004 and all).
+    * Round i: every not-yet-selected candidate's max similarity to the
+    * selected set, argmax of the unrounded λ·rel − (1−λ)·maxSim with
+    * id-asc ties — the same comparisons [[Similarity.mmrSelect]]'s loop
+    * performs on identical doubles.
+    */
+  private def mmrOracleSql(m: Int, k: Int): String = {
+    def cos(av: String, bv: String): String =
+      s"""(list_sum(list_transform(range(1, len($av) + 1),
+         |      i -> CAST($av[i] AS DOUBLE) * CAST($bv[i] AS DOUBLE))) /
+         |    (sqrt(list_sum(list_transform(range(1, len($av) + 1),
+         |      i -> CAST($av[i] AS DOUBLE) * CAST($av[i] AS DOUBLE)))) *
+         |     sqrt(list_sum(list_transform(range(1, len($bv) + 1),
+         |      i -> CAST($bv[i] AS DOUBLE) * CAST($bv[i] AS DOUBLE))))))"""
+        .stripMargin
+    val rounds = (2 to k).map { i =>
+      s"""mx$i AS MATERIALIZED (
+         |  SELECT c.query_id, c.neighbor_id, c.rel_raw, c.rel,
+         |    max(s.sim_raw) AS mx
+         |  FROM cand c
+         |  JOIN selall${i - 1} sl ON sl.query_id = c.query_id
+         |  JOIN sims s ON s.query_id = c.query_id
+         |    AND ((s.id_a = c.neighbor_id AND s.id_b = sl.neighbor_id)
+         |      OR (s.id_b = c.neighbor_id AND s.id_a = sl.neighbor_id))
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} x
+         |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id, c.rel_raw, c.rel),
+         |sel$i AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rel,
+         |    CAST(floor((0.7 * rel_raw - (1.0 - 0.7) * mx) * 1000000.0)
+         |      AS BIGINT) AS mmr_micro FROM (
+         |    SELECT query_id, neighbor_id, rel_raw, rel, mx,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY 0.7 * rel_raw - (1.0 - 0.7) * mx DESC,
+         |          neighbor_id) AS rn
+         |    FROM mx$i) WHERE rn = 1),
+         |selall$i AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM selall${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map { i =>
+      s"SELECT query_id, CAST($i AS BIGINT) AS rk, neighbor_id AS vec_id, rel, mmr_micro FROM sel$i"
+    }.mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cos("cv", "qv")} AS rel_raw
+       |  FROM c, q WHERE query_id <> neighbor_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rel_raw, rel FROM (
+       |    SELECT query_id, neighbor_id, rel_raw, round(rel_raw, 6) AS rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round(rel_raw, 6) DESC, neighbor_id ASC) AS rk
+       |    FROM scored) WHERE rk <= $m),
+       |cvec AS MATERIALIZED (
+       |  SELECT cand.query_id, cand.neighbor_id, e.embedding AS v
+       |  FROM cand JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+       |sims AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |    ${cos("a.v", "b.v")} AS sim_raw
+       |  FROM cvec a JOIN cvec b
+       |    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, rel,
+       |    CAST(floor((0.7 * rel_raw) * 1000000.0) AS BIGINT) AS mmr_micro
+       |  FROM (
+       |    SELECT query_id, neighbor_id, rel_raw, rel,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY 0.7 * rel_raw DESC, neighbor_id) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |selall1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel1),
+       |$rounds
+       |SELECT * FROM (
+       |$unions)
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_mmr_diverse" -> mmrOracleSql(20, 10),
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents

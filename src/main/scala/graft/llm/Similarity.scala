@@ -100,6 +100,97 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "score")
   }
 
+  /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein,
+    * SIGIR 1998): from each query's top-`m` cosine candidates, greedily
+    * select `k` maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    * diversity-selection step between retrieval and use (dedup-aware
+    * few-shot example picking, diverse eval-set construction).
+    *
+    * Scale shape: stage 1 is [[knnBruteForce]]'s broadcast top-m (the
+    * exact-rerank economics); stage 2 builds the per-query candidate
+    * similarity matrix — m²-bounded, ≤m(m−1)/2 pair rows per query,
+    * never corpus-sized; stage 3 runs the greedy loop per query via
+    * `flatMapGroups`, the documented legitimate imperative case (a
+    * sequential argmax against a growing exclusion set has no
+    * declarative form; per-group state is O(m²)).
+    *
+    * Oracle parity: candidate top-m ranks on the round-6 cosine (the knn
+    * contract), but the greedy SCORES on the UNROUNDED cosines — the
+    * sequential-fold doubles that are bit-identical across engines — and
+    * reports floor(score·1e6) micro-units. Feeding the display-rounded
+    * values back into arithmetic is the trap: two engines' round(x, 6)
+    * doubles can sit one ulp apart on .5e-6 ties, and a first cut that
+    * scored on them diverged by exactly 1 micro-unit at sf0.01. The
+    * (1.0 − λ) subtraction is performed, not pre-folded, so both engines
+    * see the same 0.30000000000000004; ties break on id asc; round 1
+    * scores λ·rel (empty S ⇒ no diversity term).
+    */
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, m: Int, k: Int,
+                lambda: Double, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rel"),
+      asc("neighbor_id"))
+    val cand = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cv"),
+        cosine(col("cv"), col("qv")).as("rel_raw"))
+      .withColumn("rel", round(col("rel_raw"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+    val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("rel_raw").as("relraw_a"), col("rel").as("rel_a"),
+      col("cv").as("va"))
+    val b = cand.select(col("query_id"), col("neighbor_id").as("id_b"),
+      col("rel_raw").as("relraw_b"), col("rel").as("rel_b"),
+      col("cv").as("vb"))
+    val pairs = a.join(b, Seq("query_id")).filter(col("id_a") < col("id_b"))
+      .select(col("query_id"), col("id_a"), col("relraw_a"), col("rel_a"),
+        col("id_b"), col("relraw_b"), col("rel_b"),
+        cosine(col("va"), col("vb")).as("sim_raw"))
+      .as[(Long, Long, Double, Double, Long, Double, Double, Double)]
+    val lam = lambda
+    val kk = k
+    pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val relRaw = scala.collection.mutable.Map.empty[Long, Double]
+      val relOut = scala.collection.mutable.Map.empty[Long, Double]
+      val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
+      it.foreach { case (_, ia, rra, ra, ib, rrb, rb, s) =>
+        relRaw(ia) = rra; relOut(ia) = ra
+        relRaw(ib) = rrb; relOut(ib) = rb
+        sim((ia, ib)) = s; sim((ib, ia)) = s
+      }
+      val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ relRaw.keys
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double, Long)]
+      var rk = 1L
+      while (rk <= kk && remaining.nonEmpty) {
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        // ascending-id iteration + strict > keeps the smallest id on ties,
+        // matching the oracle's ORDER BY score DESC, neighbor_id ASC
+        remaining.foreach { cid =>
+          val score =
+            if (selected.isEmpty) lam * relRaw(cid)
+            else lam * relRaw(cid) -
+              (1.0 - lam) * selected.map(sid => sim((cid, sid))).max
+          if (score > bestScore) { bestScore = score; bestId = cid }
+        }
+        out += ((qid, rk, bestId, relOut(bestId),
+          math.floor(bestScore * 1000000.0).toLong))
+        selected += bestId
+        remaining -= bestId
+        rk += 1
+      }
+      out.iterator
+    }.toDF("query_id", "rk", "vec_id", "rel", "mmr_micro")
+      .orderBy("query_id", "rk")
+  }
+
   /** Exact cosine near-neighbor pairs on a bounded block (verification
     * form; the LSH variant below is the scale path). Self-join + HOF
     * cosine stays fully inside whole-stage codegen.

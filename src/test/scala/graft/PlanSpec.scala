@@ -155,6 +155,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
   }
 
+  test("MMR candidate stage keeps the WindowGroupLimit pushdown") {
+    // the top-m rank window over the corpus-sized scored frame must
+    // pre-prune per input partition, or every score row crosses the
+    // per-query exchange
+    val p = plan(llm.LlmQueries.mmrDiverse(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+  }
+
   test("weighted sampling keeps the WindowGroupLimit pushdown") {
     // same contract as hash-rank sampling: the E-S key window must
     // pre-prune to k rows per group per input partition before the

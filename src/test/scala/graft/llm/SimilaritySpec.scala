@@ -180,4 +180,53 @@ class SimilaritySpec extends AnyFunSuite {
         s"pair $key lsh=${r.getDouble(2)} exact=${exact(key)}")
     }
   }
+
+  test("mmrSelect: diversity reorders a redundant pair, matches an " +
+      "independent driver-side greedy, layout-stable") {
+    // query (1,0); 10 and 11 point the same way (near-duplicates: cosine
+    // ≈0.99999), 12 is the mirror image. 11's marginally SHORTER vector
+    // normalizes to the best relevance, so plain top-k ranks (11, 10, 12)
+    // — MMR must demote the near-duplicate 10 below the diverse 12
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.435f)),
+      (11L, Array(0.9f, 0.43f)),
+      (12L, Array(0.9f, -0.435f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(emb, emb.filter($"vec_id" < 1L),
+        m = 3, k = 3, lambda = 0.7)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("mmr_micro")))
+    assert(out.map(_._2).toSeq == Seq(11L, 12L, 10L),
+      s"expected 11,12,10 got ${out.toSeq}")
+    // independent reference: same greedy in plain Scala on the raw math
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      def dot(p: Array[Float], q: Array[Float]) =
+        p.indices.foldLeft(0.0)((s, i) => s + p(i).toDouble * q(i).toDouble)
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    }
+    val vecs = rows.toMap
+    val qv = vecs(0L)
+    val cands = Seq(10L, 11L, 12L)
+    val rel = cands.map(id => id -> cos(vecs(id), qv)).toMap
+    var selected = List.empty[Long]
+    val expected = (1 to 3).map { _ =>
+      val best = cands.filterNot(selected.contains).map { id =>
+        val score = if (selected.isEmpty) 0.7 * rel(id)
+          else 0.7 * rel(id) -
+            (1.0 - 0.7) * selected.map(s => cos(vecs(id), vecs(s))).max
+        (id, score)
+      }.maxBy { case (id, s) => (s, -id) }
+      selected ::= best._1
+      (best._1, math.floor(best._2 * 1000000.0).toLong)
+    }
+    assert(out.map(t => (t._2, t._3)).toSeq == expected,
+      s"engine ${out.toSeq} vs reference $expected")
+    // layout independence: identical selection after repartition
+    val out2 = Similarity.mmrSelect(emb.repartition(7),
+        emb.filter($"vec_id" < 1L), m = 3, k = 3, lambda = 0.7)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("mmr_micro")))
+    assert(out2.toSeq == out.toSeq)
+  }
 }
