@@ -194,6 +194,30 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution-TIMEOUT
+    * shape that completes [[streamIntervalJoin]]'s inner form: matched
+    * rows emit as soon as both sides arrive, UNMATCHED left rows emit
+    * null-extended only when the watermark proves no match can still
+    * come (state eviction). At 100 TB this is the operator that turns
+    * "no conversion within the window" into a first-class row instead of
+    * an absence; both sides carry watermarks, so per-side state holds
+    * one join window of history. Eviction timing is engine-internal
+    * (watermark bookkeeping), so this is deliberately NOT oracled —
+    * the executed two-batch spec drives it instead: a late sentinel
+    * advances the watermark past the unmatched row's window and must
+    * flush exactly that row.
+    */
+  def leftOuterIntervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+                            right: DataFrame, rightKey: String,
+                            rightTs: String, windowExpr: String,
+                            watermark: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $windowExpr"),
+        "left_outer")
+
   /** Batch sessionization (gap rule 6 h) — the window-function form of
     * [[Sessionize.sessionize]]; the streaming form is covered by the
     * flatMapGroupsWithState spec.
