@@ -190,6 +190,47 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Token co-occurrence mining (the apriori-pruned market-basket pass):
+    * which of the corpus's top-50 document-frequency tokens appear
+    * TOGETHER, ranked by document support, with lift
+    * n_docs·N / (df_a·df_b) as the association strength. The unordered
+    * complement of [[collocations]] (adjacent-bigram PMI): co-presence
+    * anywhere in the document, the "these topics travel together"
+    * signal. Scale shape: the candidate set is a FIXED top-F token list
+    * (TakeOrderedAndProject, broadcast at 50 rows — schema-bounded by
+    * construction, not data-bounded), so the within-doc pair explode is
+    * ≤F² per document at any corpus size — the apriori prune that makes
+    * basket mining tractable; the pair aggregate shuffles on the pair
+    * key. Lift divides exact integer products cast to double once —
+    * engine-exact parity.
+    */
+  def cooccurPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val dt = docs.select(col("doc_id"),
+        explode_outer(array_distinct(TextStats.tokens(col("text"))))
+          .as("token"))
+      .filter(col("token").isNotNull)
+    val topf = dt.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("token")).limit(50)
+    val ft = dt.join(broadcast(topf), Seq("token"))
+    val a = ft.select(col("doc_id"), col("token").as("tok_a"),
+      col("df").as("df_a"))
+    val b = ft.select(col("doc_id"), col("token").as("tok_b"),
+      col("df").as("df_b"))
+    val pairs = a.join(b, Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        max(col("df_a")).as("df_a"), max(col("df_b")).as("df_b"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(tot))
+      .select(col("tok_a"), col("tok_b"), col("n_docs"),
+        round((col("n_docs") * col("n")).cast("double") /
+          (col("df_a") * col("df_b")).cast("double"), 6).as("lift"))
+      .orderBy(desc("n_docs"), col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   /** Greedy sequence packing: documents stream into ~2048-token bins per
     * source ([[graft.ops.Sampling.packBins]]); output is the per-bin
     * manifest (doc count + token total). Parallel across sources; no
@@ -792,6 +833,7 @@ object CorpusQueries {
     "q_interdoc_dup" -> (interDocDupFraction _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
+    "q_cooccur_pairs" -> (cooccurPairs _),
     "q_seq_pack" -> (seqPack _),
     "q_pii_redact" -> (piiRedact _),
     "q_hash_sample" -> (hashSample _),
@@ -1009,6 +1051,31 @@ object CorpusQueries {
         |  FROM documents)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    "q_cooccur_pairs" ->
+      """WITH dt0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, token FROM dt0),
+        |topf AS (
+        |  SELECT token, count(*) AS df FROM dt GROUP BY token
+        |  ORDER BY df DESC, token ASC LIMIT 50),
+        |ft AS (SELECT dt.doc_id, dt.token, topf.df
+        |       FROM dt JOIN topf USING (token)),
+        |p AS (
+        |  SELECT a.token AS tok_a, b.token AS tok_b,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    max(a.df) AS df_a, max(b.df) AS df_b
+        |  FROM ft a JOIN ft b
+        |    ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY tok_a, tok_b),
+        |tot AS (SELECT count(*) AS n FROM documents)
+        |SELECT tok_a, tok_b, n_docs,
+        |  round(CAST(n_docs * n AS DOUBLE) /
+        |        CAST(df_a * df_b AS DOUBLE), 6) AS lift
+        |FROM p CROSS JOIN tot
+        |ORDER BY n_docs DESC, tok_a, tok_b
+        |LIMIT 20""".stripMargin,
 
     "q_weighted_sample" ->
       """WITH d AS (

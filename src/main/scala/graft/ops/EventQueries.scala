@@ -89,6 +89,32 @@ object EventQueries {
       .orderBy("event_type", "day")
   }
 
+  /** Per-type linear TREND of daily event volume — closed-form OLS via
+    * the engine's regression aggregates (`regr_slope`/`regr_intercept`,
+    * single-pass co-moments): the "is this metric growing or decaying,
+    * and how fast" companion to [[anomalyDays]]' level screen and
+    * [[cusumAlarms]]' step detector. Runs over the POST-AGGREGATION
+    * daily frame (|days| rows per type), never the raw events; x is
+    * epoch-day so both engines regress on identical integers. Round-6
+    * absorbs the co-moment merge-order ulps (the q_corr_matrix
+    * contract).
+    */
+  def trendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    daily
+      .select(col("event_type"),
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("double").as("x"),
+        col("n").cast("double").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        round(expr("regr_slope(y, x)"), 6).as("slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** One-sided CUSUM change-point detection over the daily volume of
     * each event type — the standard sequential drift detector (Page
     * 1954): S_t = max(0, S_{t-1} + (x_t − μ − slack)), alarm when S_t
@@ -206,6 +232,7 @@ object EventQueries {
     "q_cohort_retention" -> (cohortRetention _),
     "q_equidepth_hist" -> (equidepthHistogram _),
     "q_anomaly_days" -> (anomalyDays _),
+    "q_trend_slope" -> (trendSlope _),
     "q_event_transitions" -> (eventTransitions _),
     "q_pagerank" -> (transitionPageRank _)
   )
@@ -322,6 +349,19 @@ object EventQueries {
         |FROM d JOIN c USING (user_id)
         |GROUP BY c.cohort_day, day_offset
         |ORDER BY c.cohort_day, day_offset""".stripMargin,
+
+    "q_trend_slope" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, day)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(regr_slope(CAST(n AS DOUBLE),
+        |    CAST(day - DATE '1970-01-01' AS DOUBLE)), 6) AS slope,
+        |  round(regr_intercept(CAST(n AS DOUBLE),
+        |    CAST(day - DATE '1970-01-01' AS DOUBLE)), 6) AS intercept
+        |FROM d
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_anomaly_days" ->
       """WITH d AS (

@@ -225,6 +225,66 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(TimeSeries.ewma(empty, "k", "t", "id", "v", 0.5, 8).count() == 0)
   }
 
+  test("weightedSample: k larger than the group returns the whole group; " +
+      "equal weights still produce a total order") {
+    import graft.ops.Sampling
+    val tiny = Seq((1L, "s", 5L), (2L, "s", 5L), (3L, "s", 5L))
+      .toDF("id", "src", "w")
+    val all3 = Sampling.weightedSample(tiny, "src", "id", "w", k = 10)
+      .collect()
+    assert(all3.length == 3)
+    assert(all3.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L, 3L))
+    // equal weights: ranking reduces to the md5-uniform order — ranks
+    // must still be distinct and deterministic
+    val again = Sampling.weightedSample(tiny, "src", "id", "w", k = 10)
+      .collect().map(r => (r.getAs[Long]("rk"), r.getAs[Long]("id"))).toSet
+    assert(again == all3.map(r =>
+      (r.getAs[Long]("rk"), r.getAs[Long]("id"))).toSet)
+  }
+
+  test("dupSpans: identical docs are fully duplicated, sub-shingle docs " +
+      "score zero") {
+    // two byte-identical 4-token docs: every position sits in a shared
+    // shingle → dup_tokens = n_tokens, one run, micro = 1000000; the
+    // 2-token doc cannot form a shingle → all zeros
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ds_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.llm.CorpusQueries.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("dup_tokens"), r.getAs[Long]("n_runs"),
+        r.getAs[Long]("dupspan_micro")))).toMap
+    assert(out(1L) == ((4L, 4L, 1L, 1000000L)))
+    assert(out(2L) == ((4L, 4L, 1L, 1000000L)))
+    assert(out(3L) == ((2L, 0L, 0L, 0L)))
+  }
+
+  test("robustZscore: constant values give MAD 0 and zero outliers") {
+    // |x - med| = 0 for every row; the > threshold comparison is strict,
+    // so nothing flags — the degenerate case a stddev z-score turns into
+    // 0/0 NaNs
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val dir = java.nio.file.Files.createTempDirectory("graft_rz_edge").toString
+    (1 to 6).map(i => (i.toLong, 1L, "t", (base + i * 1000L) * 1000000L, 7.5))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.StatsQueries.robustZscore(spark, dir).collect().head
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("mmrSelect with k beyond the candidate pool emits the pool and stops") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.5f, 0.5f)),
+      (11L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(emb, emb.filter($"vec_id" < 1L),
+      m = 5, k = 10, lambda = 0.7).collect()
+    assert(out.length == 2) // only two candidates exist
+    assert(out.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("importance weights survive an absent target slice (uniform target LM)") {
     // no doc matches the target source: t_tot = 0, add-1 smoothing keeps
     // every target logprob at ln(1/(0+V)) — finite, no crash, and the
