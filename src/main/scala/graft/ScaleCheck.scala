@@ -414,6 +414,42 @@ object ScaleCheck {
         s"sf0.1 $r1\nsf1 $rR")
     }
 
+    // co-occurrence mining on the SHARED-vocab corpus: every df, pair
+    // support, and the doc total scale exactly xR, so lift
+    // n_docs·N/(df_a·df_b) is EXACTLY preserved (R²/R² cancels in
+    // integers before the one division) and the top-20 is identical
+    // with supports xR
+    timed("cooccur_pairs (sf1 shared + compare)") {
+      val c1 = llm.CorpusQueries.cooccurPairs(spark, src).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2) * replicas,
+          r.getAs[Double]("lift"))).toSeq
+      val cR = llm.CorpusQueries.cooccurPairs(spark, sharedDir).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getAs[Double]("lift"))).toSeq
+      check(s"co-occurrence top-20 invariant, supports exactly x$replicas")(
+        c1 == cR, s"src×R $c1\nbig $cR")
+    }
+
+    // daily-volume trend under event replication: every daily count is
+    // exactly xR, so OLS slope and intercept scale by R (covariance and
+    // mean both linear in y) up to summation-order ulps
+    timed("trend_slope (sf1 + compare)") {
+      val t1 = ops.EventQueries.trendSlope(spark, src).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n_days"),
+          r.getAs[Double]("slope"), r.getAs[Double]("intercept")))).toMap
+      val tR = ops.EventQueries.trendSlope(spark, out).collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n_days"),
+          r.getAs[Double]("slope"), r.getAs[Double]("intercept")))).toMap
+      val tOk = t1.keySet == tR.keySet && t1.forall {
+        case (t, (nd, sl, ic)) =>
+          val (ndB, slB, icB) = tR(t)
+          ndB == nd && math.abs(slB / replicas - sl) <= 2e-6 &&
+            math.abs(icB / replicas - ic) <= 2e-6
+      }
+      check(s"trend slope/intercept scale x$replicas under replication")(tOk,
+        s"sf0.1 $t1\nsf1 $tR")
+    }
+
     // BPE learning on the SHARED-vocab corpus: the distinct-vocab frame
     // is unchanged and every word weight is exactly xR, so the learned
     // merge SEQUENCE is identical with each merge count scaled by R

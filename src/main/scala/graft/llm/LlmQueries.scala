@@ -130,6 +130,21 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Hybrid-search fusion: RRF of the float brute-force top-20 and the
+    * int8 quantized top-20 per query ([[Similarity.rrfFuse]], c=60),
+    * fused top-10 — both input rankings are themselves oracle-checked,
+    * and the fusion arithmetic is exact-integer-rank based, so the
+    * combined query hashes too.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    Similarity.rrfFuse(
+        Similarity.knnBruteForce(emb, q, k = 20),
+        Similarity.int8TopK(emb, q, k = 20), k = 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** SemDeDup-style cluster-scoped near-dup pairs (rows-only scale path;
     * within-KMeans-cell search only — candidates ~N²/nlist; every pair
     * exact-verified, recall vs the exact join gated in SimilaritySpec).
@@ -483,6 +498,7 @@ object LlmQueries {
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_semantic_dedup" -> (semanticDedup _),
     "q_int8_topk" -> (int8TopK _),
+    "q_rrf_fusion" -> (rrfFusion _),
     "q_ivf_topk" -> (ivfTopK _),
     "q_pq_topk" -> (pqTopK _),
     "q_embedding_dedup" -> (embeddingDedup _),
@@ -728,6 +744,75 @@ object LlmQueries {
         |  FROM scored)
         |SELECT query_id, rk, neighbor_id, score
         |FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+
+    // the two input rankings are verbatim the q_knn_cosine and
+    // q_int8_topk oracle pipelines at k=20; fusion is rank-only
+    "q_rrf_fusion" ->
+      """WITH fq AS (SELECT vec_id AS query_id, embedding AS qv
+        |            FROM embeddings WHERE vec_id < 5),
+        |fc AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |       FROM embeddings),
+        |fscored AS (
+        |  SELECT query_id, neighbor_id, round(
+        |    list_sum(list_transform(range(1, len(cv) + 1),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))), 6)
+        |      AS score
+        |  FROM fc, fq WHERE query_id <> neighbor_id),
+        |franked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id ASC) AS rk_a
+        |  FROM fscored),
+        |flist AS (SELECT query_id, neighbor_id, rk_a
+        |          FROM franked WHERE rk_a <= 20),
+        |u AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding,
+        |        y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS uv
+        |  FROM embeddings),
+        |qy AS (SELECT vec_id AS query_id, uv AS qu FROM u WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, uv,
+        |    list_min(uv) AS mn,
+        |    (list_max(uv) - list_min(uv)) / 255.0 AS sc
+        |  FROM u),
+        |dq AS (
+        |  SELECT neighbor_id,
+        |    list_transform(uv, x -> CASE WHEN sc = 0 THEN mn
+        |      ELSE mn + least(floor((x - mn) / sc), 255.0) * sc END) AS d
+        |  FROM c),
+        |qscored AS (
+        |  SELECT query_id, neighbor_id, round(
+        |    list_sum(list_transform(range(1, len(d) + 1),
+        |      i -> qu[i] * d[i])), 6) AS score
+        |  FROM dq, qy WHERE query_id <> neighbor_id),
+        |qranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, neighbor_id ASC) AS rk_b
+        |  FROM qscored),
+        |qlist AS (SELECT query_id, neighbor_id, rk_b
+        |          FROM qranked WHERE rk_b <= 20),
+        |fused AS (
+        |  SELECT query_id, neighbor_id,
+        |    COALESCE(1.0 / (60.0 + CAST(rk_a AS DOUBLE)), 0.0) +
+        |    COALESCE(1.0 / (60.0 + CAST(rk_b AS DOUBLE)), 0.0) AS rrf
+        |  FROM flist FULL OUTER JOIN qlist
+        |    USING (query_id, neighbor_id)),
+        |final AS (
+        |  SELECT query_id, neighbor_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, neighbor_id ASC) AS rk
+        |  FROM fused)
+        |SELECT query_id, CAST(rk AS BIGINT) AS rk, neighbor_id,
+        |  CAST(floor(rrf * 1000000000.0) AS BIGINT) AS rrf_nano
+        |FROM final WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin,
 
     "q_cosine_pairs" ->

@@ -246,6 +246,36 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "score")
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * two per-query rankings: rrf(d) = Σ_lists 1/(c + rank_d), the
+    * score-free way to combine retrieval signals (here: full-precision
+    * cosine and the int8 quantized ranking — the hybrid-search shape;
+    * at 100 TB the lists fused are whatever recall stages ran). Rank
+    * positions, not scores, cross lists, so incomparable score scales
+    * fuse cleanly. Shape: both inputs are already top-k-per-query
+    * bounded frames, so the full-outer join and the rank window touch
+    * ≤2k rows per query. Parity: 1/(c + rank) from exact integer ranks,
+    * fixed a-then-b addition order, floor nano-units output (the mmr
+    * lesson: never round a derived double for display).
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              c: Double = 60.0): DataFrame = {
+    val ra = a.select(col("query_id"), col("neighbor_id"),
+      col("rk").as("rk_a"))
+    val rb = b.select(col("query_id"), col("neighbor_id"),
+      col("rk").as("rk_b"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"),
+      asc("neighbor_id"))
+    ra.join(rb, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("rk_a").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rk_b").cast("double")), lit(0.0)))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        floor(col("rrf") * lit(1000000000.0)).cast("bigint").as("rrf_nano"))
+  }
+
   /** SemDeDup-style cluster-scoped near-duplicate pairs (Abbas et al.
     * 2023, public arXiv 2303.09540): partition the embedding space with
     * KMeans, then search for cosine >= `minCosine` pairs only WITHIN each

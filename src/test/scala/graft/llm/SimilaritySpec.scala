@@ -181,6 +181,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: both-list items outrank single-list items, hand-checked " +
+      "nano scores, full-outer keeps one-sided entries") {
+    val a = Seq((0L, 101L, 1L), (0L, 102L, 2L), (0L, 103L, 3L))
+      .toDF("query_id", "neighbor_id", "rk")
+    val b = Seq((0L, 102L, 1L), (0L, 104L, 2L))
+      .toDF("query_id", "neighbor_id", "rk")
+    val out = Similarity.rrfFuse(a, b, k = 10).orderBy("rk").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rrf_nano")))
+    // 102 appears in both lists (1/62 + 1/61) and must lead; then the
+    // rank-1 single (101, 1/61), the rank-2 single (104, 1/62), the
+    // rank-3 single (103, 1/63)
+    assert(out.map(_._1).toSeq == Seq(102L, 101L, 104L, 103L), s"${out.toSeq}")
+    def nano(terms: Double*) =
+      math.floor(terms.sum * 1000000000.0).toLong
+    assert(out(0)._2 == nano(1.0 / (60.0 + 2.0), 1.0 / (60.0 + 1.0)))
+    assert(out(1)._2 == nano(1.0 / (60.0 + 1.0)))
+    assert(out(3)._2 == nano(1.0 / (60.0 + 3.0)))
+  }
+
   test("mmrSelect: diversity reorders a redundant pair, matches an " +
       "independent driver-side greedy, layout-stable") {
     // query (1,0); 10 and 11 point the same way (near-duplicates: cosine
