@@ -392,4 +392,33 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Canonical-document selection: for each transitive dup cluster, keep
+    * the BEST member (max quality, ties to the lowest id) instead of the
+    * arbitrary first — the curation-aware dedup policy (a near-dup group
+    * usually contains one clean original and several truncated/boilerplate
+    * copies; keep-first would keep whichever id sorted lower).
+    *
+    * Shape at scale: one groupBy-argmax over (component) via a packed
+    * max(struct(quality, -id)) — partial aggregation does the argmax
+    * map-side, no Window, no second join back to find the winner. The
+    * negated id inside the struct makes lexicographic max = (max quality,
+    * then min id), deterministic at any partition layout.
+    *
+    * `components` is (id, component) from [[connectedComponents]]; `docs`
+    * supplies `idCol` + `qualityCol`. Returns one row per cluster:
+    * (component, kept_doc, n_members, best_quality).
+    */
+  def keepBestPerCluster(components: DataFrame, docs: DataFrame,
+                         qualityCol: String,
+                         idCol: String = "doc_id"): DataFrame =
+    components
+      .join(docs.select(col(idCol).as("id"), col(qualityCol).as("__q")), "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        max(struct(col("__q").as("q"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("component"),
+        (-col("__best.nid")).cast("bigint").as("kept_doc"),
+        col("n_members"),
+        col("__best.q").cast("bigint").as("best_quality"))
 }

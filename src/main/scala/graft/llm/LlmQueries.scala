@@ -197,6 +197,24 @@ object LlmQueries {
     Dedup.connectedComponents(nodes, pairs).orderBy("id")
   }
 
+  /** Curation-aware dedup: the transitive clusters resolved to ONE
+    * canonical doc each by (max n_chars, ties to min doc_id) — the
+    * keep-best policy real pipelines use instead of keep-first (a dup
+    * group usually holds one clean original and several truncated
+    * copies). Oracle: the q_dup_clusters recursive-CTE closure extended
+    * with a per-component argmax join.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val nodes = docs.filter(col("doc_id") < 200L)
+      .select(col("doc_id").as("id"))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+      maxId = 200L)
+    Dedup.keepBestPerCluster(Dedup.connectedComponents(nodes, pairs),
+        docs, "n_chars")
+      .orderBy("component")
+  }
+
   /** Greedy near-dedup corpus: docs retained after dropping the higher id
     * of every MinHash-detected near-dup pair (rows-only).
     */
@@ -507,6 +525,7 @@ object LlmQueries {
     "q_label_centroids" -> (labelCentroids _),
     "q_near_deduped_docs" -> (nearDedupedDocs _),
     "q_dup_clusters" -> (dupClusters _),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -687,6 +706,37 @@ object LlmQueries {
         |SELECT id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM sh
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |j AS (
+        |  SELECT c.component, d.doc_id, d.n_chars
+        |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+        |m AS (
+        |  SELECT component, count(*) AS n_members, max(n_chars) AS best_q
+        |  FROM j GROUP BY component)
+        |SELECT CAST(m.component AS BIGINT) AS component,
+        |       CAST(min(j.doc_id) AS BIGINT) AS kept_doc,
+        |       CAST(m.n_members AS BIGINT) AS n_members,
+        |       CAST(m.best_q AS BIGINT) AS best_quality
+        |FROM m JOIN j ON j.component = m.component AND j.n_chars = m.best_q
+        |GROUP BY m.component, m.n_members, m.best_q
+        |ORDER BY component""".stripMargin,
 
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

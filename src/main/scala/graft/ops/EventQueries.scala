@@ -226,8 +226,47 @@ object EventQueries {
       .orderBy("event_type")
   }
 
+  /** SCD2 validity intervals from a change stream: consecutive same-type
+    * runs per user collapse into (state, valid_from, valid_to) rows — the
+    * slowly-changing-dimension build every warehouse ingest performs, and
+    * the point-in-time shape the as-of join consumes. Gaps-and-islands:
+    * lag() marks state changes, a running sum of the change flags numbers
+    * the islands, one groupBy collapses each island, lead() over the
+    * POST-AGG island frame closes the intervals (NULL = current row).
+    *
+    * Scale: two windows over the raw events share one (user_id, ts,
+    * event_id) sort and carry O(1) state; the lead() window runs over the
+    * already-collapsed island frame. Everything partitions by user_id —
+    * state is bounded by one user's history, never the table. Interval
+    * bounds are exact epoch MICROS (the data's native resolution), so
+    * both engines emit identical integers.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("seq", sum(col("chg")).over(w))
+    val islands = flagged.groupBy(col("user_id"), col("seq"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("us")).as("valid_from"),
+        count(lit(1)).cast("bigint").as("n_events"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("seq")
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+      .select(col("user_id"), col("seq"), col("state"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+      .orderBy("user_id", "seq")
+  }
+
   val all: Map[String, Q] = Map(
     "q_cusum_alarms" -> (cusumAlarms _),
+    "q_scd2_intervals" -> (scd2Intervals _),
     "q_decayed_counts" -> (decayedCounts _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_equidepth_hist" -> (equidepthHistogram _),
@@ -292,6 +331,29 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+
+    "q_scd2_intervals" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id) = event_type
+        |         THEN 0 ELSE 1 END AS chg
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type, us,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+        |  FROM f),
+        |i AS (
+        |  SELECT user_id, seq, min(event_type) AS state,
+        |    min(us) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, seq)
+        |SELECT user_id, CAST(seq AS BIGINT) AS seq, state,
+        |  CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY seq)
+        |    AS BIGINT) AS valid_to,
+        |  n_events
+        |FROM i ORDER BY user_id, seq""".stripMargin,
 
     "q_cusum_alarms" ->
       """WITH daily AS (

@@ -149,8 +149,46 @@ object StatsQueries {
     Profile.histogram(table(spark, dir, "events"), col("value"), width = 25.0)
       .orderBy("bucket")
 
+  /** Mergeable HLL sketch cube — the pre-aggregated distinct-count
+    * pattern a 100 TB deployment actually runs: per-day Datasketches HLL
+    * sketches of the user set (4 KiB each at lgK=12), merged at QUERY
+    * time via `hll_union_agg` into the global distinct estimate, no
+    * rescan of the raw data. This is what `approx_count_distinct`
+    * (q_sketch_counts) cannot do — its sketch never surfaces, so partial
+    * results can't be stored-and-merged across days/partitions.
+    *
+    * Output: one row per day (estimate + exact sibling) plus a
+    * `__merged__` row whose estimate comes ONLY from unioning the daily
+    * sketches. Rows-only by nature (DuckDB carries a different sketch);
+    * HllSketchSpec gates the error contract (≤5% per day, ≤2% global)
+    * and the mergeability identity: union-of-dailies == one-shot global
+    * sketch, bit-exact (HLL register max is insertion-order invariant).
+    * The exact `countDistinct` siblings are the verification arm and
+    * would be dropped at scale — the estimate IS the product.
+    */
+  def hllSketchCube(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    val perDay = daily.select(col("day").cast("string").as("key"),
+      hll_sketch_estimate(col("sk")).cast("bigint").as("est_users"),
+      col("exact_users").cast("bigint").as("exact_users"))
+    val mergedRow = daily
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .cast("bigint").as("est_users"))
+      .crossJoin(broadcast(
+        ev.agg(countDistinct(col("user_id")).cast("bigint")
+          .as("exact_users"))))
+      .select(lit("__merged__").as("key"), col("est_users"),
+        col("exact_users"))
+    perDay.unionByName(mergedRow).orderBy("key")
+  }
+
   val all: Map[String, Q] = Map(
     "q_corr_matrix" -> (corrMatrix _),
+    "q_hll_cube" -> (hllSketchCube _),
     "q_top_correlated" -> (topCorrelated _),
     "q_argmax_embedding" -> (argmaxEmbedding _),
     "q_percentiles" -> (percentiles _),

@@ -193,4 +193,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       6L -> 6L, 7L -> 7L))
   }
+
+  test("keepBestPerCluster: max quality wins, ties resolve to the lowest id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "component")
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L))
+      .toDF("doc_id", "n_chars")
+    val got = Dedup.keepBestPerCluster(comps, docs, "n_chars")
+      .collect()
+      .map(r => r.getAs[Long]("component") ->
+        ((r.getAs[Long]("kept_doc"), r.getAs[Long]("n_members"),
+          r.getAs[Long]("best_quality")))).toMap
+    // cluster 1: docs 2 and 3 tie at quality 50 → the LOWER id (2) is kept
+    assert(got == Map(1L -> ((2L, 3L, 50L)), 4L -> ((4L, 1L, 7L))))
+  }
 }

@@ -162,4 +162,29 @@ class EventQueriesSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("scd2: consecutive same-state runs collapse into closed intervals, " +
+      "the last interval stays open") {
+    // user 1: A@1s A@2s B@3s A@4s → islands (A,1s→3s,n=2) (B,3s→4s,n=1)
+    // (A,4s→null,n=1); user 2: a single C@5s → one open interval
+    def ns(sec: Long): Long = sec * 1000000000L
+    val rows = Seq(
+      (10L, 1L, "A", ns(1), 1.0), (11L, 1L, "A", ns(2), 1.0),
+      (12L, 1L, "B", ns(3), 1.0), (13L, 1L, "A", ns(4), 1.0),
+      (14L, 2L, "C", ns(5), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.scd2Intervals(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("seq")) ->
+        ((r.getAs[String]("state"), r.getAs[Long]("valid_from"),
+          Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+          r.getAs[Long]("n_events")))).toMap
+    def us(sec: Long): Long = sec * 1000000L
+    assert(got == Map(
+      (1L, 1L) -> (("A", us(1), Some(us(3)), 2L)),
+      (1L, 2L) -> (("B", us(3), Some(us(4)), 1L)),
+      (1L, 3L) -> (("A", us(4), None, 1L)),
+      (2L, 1L) -> (("C", us(5), None, 1L))))
+  }
 }
