@@ -393,6 +393,43 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** One (bands, rowsPerBand) choice of the LSH S-curve, with its
+    * operating numbers: `threshold` ≈ (1/b)^(1/r) is the Jaccard where
+    * collision probability crosses ~50%; `pAtTarget`/`pBelow` are the
+    * catch rates at the target similarity and 0.1 below it (the
+    * false-positive pressure).
+    */
+  final case class LshPlan(bands: Int, rowsPerBand: Int, threshold: Double,
+                           pAtTarget: Double, pBelow: Double)
+
+  /** Closed-form LSH banding selection (Leskovec–Rajaraman–Ullman MMDS
+    * ch. 3): among all (b, r) with b·r = nHashes, pick the pair whose
+    * S-curve midpoint (1/b)^(1/r) lands closest to the target Jaccard.
+    * Collision probability at similarity s is 1 − (1 − s^r)^b.
+    *
+    * Planning arithmetic, not data work — O(divisors of nHashes) on the
+    * driver. This is how [[minhashNearDupPairs]]'s banding would be
+    * derived per-corpus instead of fixed: tighter thresholds want more
+    * rows per band (fewer, more selective buckets), looser ones more
+    * bands. Ties (equidistant midpoints) resolve to the larger band
+    * count — the recall-favoring side, the cheaper error to fix because
+    * the exact-verify stage already prunes false positives.
+    */
+  def lshParams(nHashes: Int, targetJaccard: Double): LshPlan = {
+    require(nHashes > 0 && targetJaccard > 0.0 && targetJaccard < 1.0,
+      s"need nHashes > 0 and 0 < target < 1, got $nHashes, $targetJaccard")
+    def pCollide(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val candidates = for {
+      r <- 1 to nHashes if nHashes % r == 0
+      b = nHashes / r
+    } yield LshPlan(b, r, math.pow(1.0 / b, 1.0 / r),
+      pCollide(targetJaccard, b, r),
+      pCollide(math.max(targetJaccard - 0.1, 0.0), b, r))
+    // stable sort on (distance, -bands): equidistant picks the most bands
+    candidates.minBy(p => (math.abs(p.threshold - targetJaccard), -p.bands))
+  }
+
   /** Canonical-document selection: for each transitive dup cluster, keep
     * the BEST member (max quality, ties to the lowest id) instead of the
     * arbitrary first — the curation-aware dedup policy (a near-dup group

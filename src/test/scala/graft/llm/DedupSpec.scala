@@ -207,4 +207,19 @@ class DedupSpec extends AnyFunSuite {
     // cluster 1: docs 2 and 3 tie at quality 50 → the LOWER id (2) is kept
     assert(got == Map(1L -> ((2L, 3L, 50L)), 4L -> ((4L, 1L, 7L))))
   }
+
+  test("lshParams: MMDS hand math at 128 hashes, S-curve shape, and " +
+      "threshold→rows monotonicity") {
+    val p = Dedup.lshParams(128, 0.9)
+    // midpoints: (b=8,r=16)→0.878 (dist .022) beats (b=4,r=32)→0.958
+    // (dist .058) and (b=16,r=8)→0.707 (dist .193)
+    assert(p.bands == 8 && p.rowsPerBand == 16)
+    assert(math.abs(p.threshold - math.pow(1.0 / 8, 1.0 / 16)) < 1e-12)
+    // the S-curve must separate target from target−0.1: catch more than
+    // half at 0.9 (actual 0.806), less than half at 0.8 (actual 0.204)
+    assert(p.pAtTarget > 0.5 && p.pBelow < 0.5 && p.pAtTarget > p.pBelow)
+    // tighter targets buy more rows per band (more selective buckets)
+    val rows = Seq(0.7, 0.9, 0.95).map(Dedup.lshParams(128, _).rowsPerBand)
+    assert(rows == Seq(8, 16, 32))
+  }
 }
