@@ -91,6 +91,24 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Matryoshka two-stage retrieval: head-16-dim cosine ranks the corpus,
+    * top-50 re-ranked by full 64-dim cosine to top-10 (queries vec_id <
+    * 5). Oracle: the q_knn_cosine ranking contract applied to both
+    * stages, with DuckDB's `embedding[1:16]` slice as the head.
+    *
+    * m is a recall knob tuned per-corpus: on these RANDOM fixtures the
+    * untrained 16-dim head needs m≈400 for recall 1.0 (measured in
+    * SimilaritySpec); MRL-trained embeddings concentrate signal in the
+    * prefix and get away with far smaller shortlists. The oracle checks
+    * the algorithm, not the recall — that's the spec's monotonicity gate.
+    */
+  def mrlRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+    Similarity.mrlRerank(emb, emb.filter(col("vec_id") < 5),
+        dHead = 16, m = 50, k = 10)
+      .orderBy("query_id", "rk")
+  }
+
   /** MMR diverse top-10 from each query's top-20 cosine candidates
     * (λ=0.7, queries vec_id < 5): the diversity-selection step between
     * retrieval and use ([[Similarity.mmrSelect]]). Oracle-checked
@@ -512,6 +530,7 @@ object LlmQueries {
     "q_winnow_pairs" -> (winnowPairs _),
     "q_knn_cosine" -> (knnCosine _),
     "q_mmr_diverse" -> (mmrDiverse _),
+    "q_mrl_rerank" -> (mrlRerank _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_semantic_dedup" -> (semanticDedup _),
@@ -737,6 +756,45 @@ object LlmQueries {
         |FROM m JOIN j ON j.component = m.component AND j.n_chars = m.best_q
         |GROUP BY m.component, m.n_members, m.best_q
         |ORDER BY component""".stripMargin,
+
+    "q_mrl_rerank" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qh,
+        |                  embedding AS qf
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding[1:16] AS ch,
+        |             embedding AS cf FROM embeddings),
+        |head AS (
+        |  SELECT query_id, neighbor_id, cf, qf, round(
+        |    list_sum(list_transform(range(1, len(ch) + 1),
+        |      i -> CAST(ch[i] AS DOUBLE) * CAST(qh[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(ch) + 1),
+        |      i -> CAST(ch[i] AS DOUBLE) * CAST(ch[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(qh) + 1),
+        |      i -> CAST(qh[i] AS DOUBLE) * CAST(qh[i] AS DOUBLE))))), 6)
+        |    AS head_score
+        |  FROM c, q WHERE query_id <> neighbor_id),
+        |cand AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY head_score DESC, neighbor_id ASC) AS cand_rk
+        |  FROM head),
+        |rer AS (
+        |  SELECT query_id, neighbor_id, head_score, round(
+        |    list_sum(list_transform(range(1, len(cf) + 1),
+        |      i -> CAST(cf[i] AS DOUBLE) * CAST(qf[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(range(1, len(cf) + 1),
+        |      i -> CAST(cf[i] AS DOUBLE) * CAST(cf[i] AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(range(1, len(qf) + 1),
+        |      i -> CAST(qf[i] AS DOUBLE) * CAST(qf[i] AS DOUBLE))))), 6)
+        |    AS score
+        |  FROM cand WHERE cand_rk <= 50),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, head_score, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS rk
+        |  FROM rer)
+        |SELECT query_id, rk, neighbor_id, score, head_score
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
 
     "q_knn_cosine" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

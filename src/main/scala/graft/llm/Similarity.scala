@@ -100,6 +100,46 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "score")
   }
 
+  /** Matryoshka two-stage retrieval (Kusupati et al., arXiv 2205.13147):
+    * rank the corpus by cosine on the first `dHead` dims only — the MRL
+    * prefix that carries most of the signal at a fraction of the
+    * compute — keep each query's top `m`, then re-rank those `m` by
+    * full-dimension cosine and emit the top `k`.
+    *
+    * Scale shape: the head pass is where 100 TB economics live — with
+    * embeddings stored dim-truncatable (MRL's point), stage 1 reads and
+    * multiplies dHead/d of the bytes (16/64 here = 4×); stage 2's full
+    * vectors are fetched for only m rows per query. Both stages are the
+    * proven broadcast-queries + per-query WindowGroupLimit top-k plan;
+    * the rerank stage's window runs over the already-m-bounded frame.
+    *
+    * Oracle parity: both stages rank on round-6 cosines with id-asc tie
+    * break — the q_knn_cosine contract, applied twice.
+    */
+  def mrlRerank(corpus: DataFrame, queries: DataFrame, dHead: Int, m: Int,
+                k: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val wHead = Window.partitionBy("query_id")
+      .orderBy(desc("head_score"), asc("neighbor_id"))
+    val cand = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cv"), col("qv"),
+        round(cosine(slice(col("cv"), 1, dHead), slice(col("qv"), 1, dHead)),
+          6).as("head_score"))
+      .withColumn("cand_rk", row_number().over(wHead))
+      .filter(col("cand_rk") <= m)
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("neighbor_id"))
+    cand
+      .select(col("query_id"), col("neighbor_id"), col("head_score"),
+        round(cosine(col("cv"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(wFull).cast("bigint"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "score", "head_score")
+  }
+
   /** Maximal-Marginal-Relevance diverse top-k (Carbonell & Goldstein,
     * SIGIR 1998): from each query's top-`m` cosine candidates, greedily
     * select `k` maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the

@@ -264,9 +264,43 @@ object EventQueries {
       .orderBy("user_id", "seq")
   }
 
+  /** First/last-touch conversion attribution: every purchase credited to
+    * the first and the most recent PRECEDING click by the same user,
+    * with the click→purchase latency — the marketing-analytics join the
+    * funnel family doesn't answer (funnel asks "did the path complete",
+    * attribution asks "which touch gets the credit").
+    *
+    * Shape: one per-user window, frame UNBOUNDED PRECEDING → 1 PRECEDING,
+    * first/last with ignoreNulls over click-conditional columns — running
+    * state is O(1) per user, no self-join against the click table (the
+    * naive formulation is a range join purchase×click; this is the same
+    * answer in one sort). Purchases with no prior click keep NULL credit
+    * rows — the unattributed bucket a real dashboard must surface.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val clickId = when(col("event_type") === "click", col("event_id"))
+    val clickUs = when(col("event_type") === "click", col("us"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("first_touch", first(clickId, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(clickId, ignoreNulls = true).over(w))
+      .withColumn("last_click_us", last(clickUs, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("first_touch"), col("last_touch"),
+        (col("us") - col("last_click_us")).as("latency_us"))
+      .orderBy("purchase_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q_cusum_alarms" -> (cusumAlarms _),
     "q_scd2_intervals" -> (scd2Intervals _),
+    "q_attribution" -> (attribution _),
     "q_decayed_counts" -> (decayedCounts _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_equidepth_hist" -> (equidepthHistogram _),
@@ -331,6 +365,24 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+
+    "q_attribution" ->
+      """WITH a AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    first_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_us
+        |  FROM events)
+        |SELECT event_id AS purchase_id, user_id, first_touch, last_touch,
+        |  us - last_us AS latency_us
+        |FROM a WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
 
     "q_scd2_intervals" ->
       """WITH f AS (

@@ -248,4 +248,36 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Long]("mmr_micro")))
     assert(out2.toSeq == out.toSeq)
   }
+
+  test("mrlRerank: full-width head with corpus-wide m degenerates to brute " +
+      "knn; the 16-dim head keeps high recall") {
+    val emb = graft.Tables.table(spark, GraftTestSpark.sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 3L)
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("neighbor_id"))).toSeq
+    val brute = Similarity.knnBruteForce(emb, queries, k = 10)
+    // dHead = full width and m ≥ corpus: the two stages rank on the same
+    // score, so the rerank must reproduce brute force exactly
+    val degenerate = Similarity.mrlRerank(emb, queries, dHead = 64,
+      m = 100000, k = 10)
+    assert(key(degenerate) == key(brute))
+    // these embeddings are random, not MRL-trained — a 16-dim head is a
+    // weak ranker here (trained prefixes concentrate signal; these
+    // don't), so the gates are the properties that hold regardless of
+    // training: recall is monotone in the shortlist size, and a wide
+    // enough shortlist recovers brute force
+    val bruteSets = key(brute).groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    def recallByQuery(m: Int): Map[Long, Double] =
+      key(Similarity.mrlRerank(emb, queries, dHead = 16, m = m, k = 10))
+        .groupBy(_._1).map { case (q, rows) =>
+          q -> rows.map(_._3).toSet.intersect(bruteSets(q)).size / 10.0
+        }
+    val (r50, r400) = (recallByQuery(50), recallByQuery(400))
+    r50.foreach { case (q, r) =>
+      assert(r400(q) >= r, s"query $q: recall fell $r -> ${r400(q)} as m grew")
+    }
+    assert(r400.values.forall(_ >= 0.9), s"recalls@m=400 $r400")
+  }
 }

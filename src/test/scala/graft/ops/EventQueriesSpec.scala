@@ -187,4 +187,28 @@ class EventQueriesSpec extends AnyFunSuite {
       (1L, 3L) -> (("A", us(4), None, 1L)),
       (2L, 1L) -> (("C", us(5), None, 1L))))
   }
+
+  test("attribution: purchases credit first/last PRECEDING click, " +
+      "clickless purchases stay unattributed") {
+    // user 1: click@1 view@2 purchase@3 click@4 purchase@5
+    // user 2: purchase@6 with no click ever → NULL credit row
+    def ns(sec: Long): Long = sec * 1000000000L
+    val rows = Seq(
+      (1L, 1L, "click", ns(1), 1.0), (2L, 1L, "view", ns(2), 1.0),
+      (3L, 1L, "purchase", ns(3), 1.0), (4L, 1L, "click", ns(4), 1.0),
+      (5L, 1L, "purchase", ns(5), 1.0), (6L, 2L, "purchase", ns(6), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.attribution(spark, dir).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        ((Option(r.getAs[java.lang.Long]("first_touch")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("last_touch")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("latency_us")).map(_.toLong))))
+      .toMap
+    assert(got == Map(
+      3L -> ((Some(1L), Some(1L), Some(2000000L))),
+      5L -> ((Some(1L), Some(4L), Some(1000000L))),
+      6L -> ((None, None, None))))
+  }
 }
