@@ -15,7 +15,8 @@ object Explain {
     "q_stream_windowed", "q_csv_roundtrip", "q_json_roundtrip",
     "q_stream_dedup", "q_stream_enrich", "q_orc_roundtrip",
     "q_pq_topk", "q_pagerank", "q_ivf_topk",
-    "q_stream_interval_join", "q_approx_heavy_hitters", "q_source_kl")
+    "q_stream_interval_join", "q_approx_heavy_hitters", "q_source_kl",
+    "q_dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

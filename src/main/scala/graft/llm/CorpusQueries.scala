@@ -116,6 +116,47 @@ object CorpusQueries {
     * staged shingle chain as a per-row `size(...) > 0` filter — the
     * round-3 winnowing trap.
     */
+  /** Cross-source contamination matrix: for every source pair, the count
+    * of distinct trigrams present in BOTH, and the overlap coefficient
+    * |A∩B| / min(|A|,|B|) in micro-units — the corpus-audit answer to
+    * "which sources copied from each other" that the per-doc
+    * interDocDupFraction can't give.
+    *
+    * Scale shape: distinct (source, gram) in one keyed aggregate, then
+    * ONE groupBy(gram) collecting the source set — bounded by source
+    * cardinality (a schema-level constant, like the winsorize argument),
+    * so the pair fan-out is ≤ C(sources, 2) per gram and the pair counts
+    * shuffle on the pair key. No gram self-join: the naive ex⋈ex on gram
+    * would square the hot-gram rows; collect_set caps that row's cost at
+    * the source count. Per-source totals broadcast (one row per source —
+    * 20 here, never data-scale).
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sg = table(spark, dir, "documents")
+      .select(col("source"),
+        TextStats.shingles(TextStats.tokens(col("text")), 3).as("__raw"))
+      .select(col("source"), explode_outer(col("__raw")).as("g"))
+      .filter(col("g").isNotNull)
+      .select("source", "g").distinct()
+    val tot = sg.groupBy("source").agg(count(lit(1)).as("tot"))
+    val shared = sg.groupBy("g")
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .select(explode(col("ss")).as("src_a"), col("ss"))
+      .select(col("src_a"), explode(col("ss")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).cast("bigint").as("shared"))
+    shared
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("tot").as("ta"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("tot").as("tb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        TextStats.microRatio(col("shared"), least(col("ta"), col("tb")))
+          .as("overlap_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
   def interDocDupFraction(spark: SparkSession, dir: String): DataFrame = {
     val sh = table(spark, dir, "documents")
       .select(col("doc_id"),
@@ -831,6 +872,7 @@ object CorpusQueries {
     "q_approx_heavy_hitters" -> (approxHeavyHitters _),
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_interdoc_dup" -> (interDocDupFraction _),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
     "q_cooccur_pairs" -> (cooccurPairs _),
@@ -991,6 +1033,32 @@ object CorpusQueries {
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT source,
+        |    CASE WHEN len(string_split(text, ' ')) >= 3
+        |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |        i -> string_split(text, ' ')[i] || ' ' ||
+        |             string_split(text, ' ')[i+1] || ' ' ||
+        |             string_split(text, ' ')[i+2])
+        |      ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM documents),
+        |ex AS (SELECT DISTINCT source, unnest(grams) AS g FROM sh),
+        |tot AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS tot
+        |  FROM ex GROUP BY source),
+        |c AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT c.src_a, c.src_b, c.shared,
+        |  CAST((1000000 * c.shared) // least(ta.tot, tb.tot) AS BIGINT)
+        |    AS overlap_micro
+        |FROM c JOIN tot ta ON ta.source = c.src_a
+        |       JOIN tot tb ON tb.source = c.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q_interdoc_dup" ->
       """WITH sh AS (

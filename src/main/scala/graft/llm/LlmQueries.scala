@@ -91,6 +91,18 @@ object LlmQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** Balanced per-label downsample of the embedding corpus to the
+    * minority class size ([[graft.ops.Sampling.classBalance]]) — the
+    * rebalancing pass before training on skewed labels. md5-rank draw,
+    * so the kept set is identical on any layout and in DuckDB.
+    */
+  def classBalance(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.classBalance(
+        table(spark, dir, "embeddings").select(col("vec_id"), col("label")),
+        "label", "vec_id")
+      .select("label", "rk", "vec_id")
+      .orderBy("label", "rk")
+
   /** Matryoshka two-stage retrieval: head-16-dim cosine ranks the corpus,
     * top-50 re-ranked by full 64-dim cosine to top-10 (queries vec_id <
     * 5). Oracle: the q_knn_cosine ranking contract applied to both
@@ -531,6 +543,7 @@ object LlmQueries {
     "q_knn_cosine" -> (knnCosine _),
     "q_mmr_diverse" -> (mmrDiverse _),
     "q_mrl_rerank" -> (mrlRerank _),
+    "q_class_balance" -> (classBalance _),
     "q_cosine_pairs" -> (cosinePairs _),
     "q_lsh_cosine_pairs" -> (lshCosinePairs _),
     "q_semantic_dedup" -> (semanticDedup _),
@@ -756,6 +769,17 @@ object LlmQueries {
         |FROM m JOIN j ON j.component = m.component AND j.n_chars = m.best_q
         |GROUP BY m.component, m.n_members, m.best_q
         |ORDER BY component""".stripMargin,
+
+    "q_class_balance" ->
+      """WITH n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+        |m AS (SELECT min(n) AS n_min FROM n),
+        |r AS (
+        |  SELECT label, vec_id, row_number() OVER (PARTITION BY label
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM embeddings)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id
+        |FROM r, m WHERE rk <= n_min
+        |ORDER BY label, rk""".stripMargin,
 
     "q_mrl_rerank" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding[1:16] AS qh,

@@ -156,6 +156,30 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Balanced per-class downsampling to the MINORITY class size — the
+    * class-rebalancing pass before training on skewed labels. Same
+    * md5-rank draw as [[md5RankSample]] (layout/engine-reproducible,
+    * unlike rand(seed)), but the cutoff is the computed min class count,
+    * carried as a 1-row broadcast instead of a literal. The rank window
+    * partitions by class — per-class state only; at a billion rows per
+    * class the md5 ordering shuffles within each class partition, which
+    * is the unavoidable cost of an exact-count draw (the approximate
+    * alternative, [[stratified]] with fraction n_min/n_c, avoids the
+    * sort but only hits the target count in expectation).
+    */
+  def classBalance(df: DataFrame, classCol: String,
+                   idCol: String): DataFrame = {
+    val nMin = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__n_min"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("bigint"))
+      .crossJoin(broadcast(nMin))
+      .filter(col("rk") <= col("__n_min"))
+      .drop("__n_min")
+  }
+
   /** Weighted sampling WITHOUT replacement, k per group (Efraimidis &
     * Spirakis 2006, the exponential-keys formulation): each row draws a
     * deterministic uniform u ∈ (0,1] and competes on the exponential key

@@ -625,4 +625,22 @@ class CorpusQueriesSpec extends AnyFunSuite {
     assert(a == refBpe(texts, 5).map(t => org.apache.spark.sql.Row(
       t._1, t._2, t._3, t._4)))
   }
+
+  test("sourceOverlap: copied docs drive the overlap coefficient, " +
+      "disjoint sources produce no row") {
+    // X and Y share exactly one doc's trigrams; Z shares nothing.
+    // X: {a b c d} → trigrams {abc, bcd}; Y: same doc + its own
+    // {e f g h} → {efg, fgh}; Z: {p q r s} → {pqr, qrs}
+    val docs = Seq(
+      (1L, "a b c d", "X"), (2L, "a b c d", "Y"), (3L, "e f g h", "Y"),
+      (4L, "p q r s", "Z"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft_so").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("shared"), r.getAs[Long]("overlap_micro")))).toMap
+    // X∩Y = {abc, bcd} = 2; |X| = 2, |Y| = 4 → 2/min(2,4) = 1.0
+    assert(got == Map(("X", "Y") -> ((2L, 1000000L))))
+  }
 }

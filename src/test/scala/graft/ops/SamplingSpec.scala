@@ -119,4 +119,20 @@ class SamplingSpec extends AnyFunSuite {
       assert(r.getAs[Double]("alloc") <= r.getAs[Long]("c").toDouble + 1e-9)
     }
   }
+
+  test("classBalance: every class downsampled to exactly the minority " +
+      "size, layout-stable") {
+    val df = ((1L to 5L).map(i => (i, "a")) ++ (6L to 7L).map(i => (i, "b"))
+      ++ (8L to 10L).map(i => (i, "c"))).toDF("id", "cls")
+    val kept = Sampling.classBalance(df, "cls", "id")
+    val byClass = kept.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // the minority class survives whole; the draw is layout-independent
+    assert(kept.filter($"cls" === "b").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(6L, 7L))
+    val again = Sampling.classBalance(df.repartition(7, $"id"), "cls", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
