@@ -71,6 +71,39 @@ object StreamQueries {
     spark.table(name).orderBy("win_start", "event_type")
   }
 
+  /** Streaming sketch maintenance, EXECUTED: per-day Datasketches HLL
+    * distinct-user estimates computed IN the stream (file source,
+    * Trigger.AvailableNow, complete-mode memory sink) — the incremental
+    * form of the batch sketch cube (q_hll_cube). The state store carries
+    * one 4 KiB sketch buffer per window instead of the user set itself,
+    * which is the whole reason sketches belong in a 100 TB ingest: the
+    * same aggregation with countDistinct would hold every user id in
+    * state. Rows-only by nature; the spec pins the strong contract —
+    * streaming estimates equal the batch cube's per-day estimates
+    * EXACTLY (HLL register max is order-invariant, so micro-batch
+    * arrival order cannot move the result).
+    */
+  def streamHllDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", graft.Tables.eventTsFromNanos)
+    val daily = stream
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
+        .as("est_users"))
+      .select(col("window.start").cast("date").cast("string").as("day"),
+        col("est_users"))
+    val name = "graft_stream_hll"
+    val q = daily.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("day")
+  }
+
   /** Streaming dedup, EXECUTED and adversarial: every event from the
     * file stream arrives exactly twice (one scan, each row exploded into
     * two copies), then `dropDuplicatesWithinWatermark` on the event id
@@ -234,6 +267,7 @@ object StreamQueries {
   val all: Map[String, Q] = Map(
     "q_stream_roundtrip" -> (streamRoundtrip _),
     "q_stream_windowed" -> (streamWindowedCounts _),
+    "q_stream_hll" -> (streamHllDaily _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_interval_join" -> (streamIntervalJoin _),

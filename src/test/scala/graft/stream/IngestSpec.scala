@@ -234,4 +234,18 @@ class IngestSpec extends AnyFunSuite {
     // can drop nothing and the stateful join must equal the batch answer
     assert(streamed == batch)
   }
+
+  test("executed streaming HLL equals the batch sketch cube per day, " +
+      "estimate for estimate") {
+    val sf = GraftTestSpark.sfDir
+    val streamed = StreamQueries.streamHllDaily(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.StatsQueries.hllSketchCube(spark, sf)
+      .filter(col("key") =!= "__merged__").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("est_users")).toMap
+    assert(streamed.nonEmpty)
+    // same sketch algorithm over the same per-day sets: order-invariant
+    // register max means micro-batching cannot move a single estimate
+    assert(streamed == batch)
+  }
 }
