@@ -227,6 +227,21 @@ object LlmQueries {
     Dedup.connectedComponents(nodes, pairs).orderBy("id")
   }
 
+  /** Triangle census of the near-dup graph ([[graft.ops.Graph
+    * .triangleStats]] over the exact-Jaccard pairs on the id<200 block):
+    * per-node triangle counts and local clustering coefficient — the
+    * structural answer to "are these dup clusters cliques (true
+    * duplicates) or chains (drift)?". Oracle: DuckDB 3-way self-join on
+    * the id-canonical edge list — same triangle set the degree-oriented
+    * plan builds, enumerated the quadratic way the oracle can afford.
+    */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.ops.Graph.triangleStats(
+        Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9, maxId = 200L))
+      .orderBy("node")
+  }
+
   /** Curation-aware dedup: the transitive clusters resolved to ONE
     * canonical doc each by (max n_chars, ties to min doc_id) — the
     * keep-best policy real pipelines use instead of keep-first (a dup
@@ -558,6 +573,7 @@ object LlmQueries {
     "q_near_deduped_docs" -> (nearDedupedDocs _),
     "q_dup_clusters" -> (dupClusters _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_triangle_stats" -> (triangleStats _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -738,6 +754,35 @@ object LlmQueries {
         |SELECT id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    "q_triangle_stats" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |e AS (SELECT DISTINCT least(id_a, id_b) AS u,
+        |        greatest(id_a, id_b) AS v FROM p),
+        |d AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY node),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |n AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM t) GROUP BY node)
+        |SELECT d.node, d.deg, COALESCE(n.n_tri, 0) AS n_tri,
+        |  CASE WHEN d.deg < 2 THEN 0
+        |       ELSE (1000000 * COALESCE(n.n_tri, 0)) //
+        |            ((d.deg * (d.deg - 1)) // 2) END AS lcc_micro
+        |FROM d LEFT JOIN n USING (node)
+        |ORDER BY node""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH RECURSIVE sh AS (

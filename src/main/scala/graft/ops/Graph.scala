@@ -63,4 +63,59 @@ object Graph {
     bridge.releaseLocalCheckpoint(dangling)
     ranks
   }
+
+  /** Per-node triangle counts + local clustering coefficient by
+    * degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11 —
+    * "the curse of the last reducer"): orient every undirected edge from
+    * its lower-(degree, id) endpoint, enumerate wedges at each source,
+    * close them against the oriented edge list. Each triangle is built
+    * exactly once, and — the scale point — wedge fan-out is bounded by
+    * the ORIENTED out-degree (O(√m) for any graph), not the raw degree:
+    * a celebrity node with 10⁸ neighbors produces almost no wedges
+    * because nearly all its edges orient INTO it. The naive neighbor
+    * self-join squares the hot node; this caps it.
+    *
+    * Every stage is an equi-join keyed by node or edge — wedge build on
+    * src, closure on the (dst₁, dst₂) edge key. lcc = n_tri / C(deg, 2)
+    * in micro-units (deg < 2 degrades to 0, the microRatio convention).
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("bigint").as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val e1 = oriented.as("e1")
+    val e2 = oriented.as("e2")
+    val wedges = e1.join(e2,
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val closer = oriented.select(col("src").as("b"), col("dst").as("c"))
+    val triangles = wedges.join(closer, Seq("b", "c"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("bigint").as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        // integral div, not `/`: double division loses exactness once
+        // deg² passes 2⁵³ (the Tables.eventTsFromNanos lesson)
+        graft.llm.TextStats.microRatio(coalesce(col("n_tri"), lit(0L)),
+          expr("deg * (deg - 1) div 2")).as("lcc_micro"))
+  }
 }

@@ -74,4 +74,23 @@ class GraphSpec extends AnyFunSuite {
     val e = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 5L), ("a", "c", 1L))
     assert(ranks(e) == ranks(e))
   }
+
+  test("triangleStats: K4 plus a pendant — hand-counted census, " +
+      "duplicate/reversed input edges collapse") {
+    // K4 on 1-4 (4 triangles, every member in 3) + pendant 5 on node 1;
+    // edge list deliberately dirty: duplicates and reversed pairs
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (1L, 5L), (2L, 1L), (3L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Graph.triangleStats(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Long]("lcc_micro")))).toMap
+    assert(got == Map(
+      1L -> ((4L, 3L, 500000L)),   // 3 of C(4,2)=6 wedges closed
+      2L -> ((3L, 3L, 1000000L)),  // all wedges closed: clique member
+      3L -> ((3L, 3L, 1000000L)),
+      4L -> ((3L, 3L, 1000000L)),
+      5L -> ((1L, 0L, 0L))))       // pendant: deg<2 degrades to 0
+  }
 }
