@@ -468,6 +468,106 @@ object ScaleCheck {
         m1 == mR, s"src×R $m1\nbig $mR")
     }
 
+    // --- wave-7/8 ------------------------------------------------------
+    // event replication shifts user ids but keeps each user's history
+    // identical, so the per-user window families must give replica-0
+    // bit-identical frames and exactly xR row totals
+    timed("scd2 + attribution (sf1 + compare)") {
+      val bigS = ops.EventQueries.scd2Intervals(spark, out).localCheckpoint()
+      val smallS = ops.EventQueries.scd2Intervals(spark, src)
+      val sBad = bigS.filter(col("user_id") < Stride).unionByName(smallS)
+        .groupBy(smallS.columns.map(col): _*)
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 scd2 == sf0.1 bit-for-bit")(sBad == 0,
+        s"$sBad odd rows")
+      val (nb, ns) = (bigS.count(), smallS.count())
+      check(s"scd2 islands scale x$replicas")(nb == ns * replicas,
+        s"$nb vs $ns x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigS)
+      val bigA = ops.EventQueries.attribution(spark, out).localCheckpoint()
+      val smallA = ops.EventQueries.attribution(spark, src)
+      val aBad = bigA.filter(col("user_id") < Stride).unionByName(smallA)
+        .groupBy(smallA.columns.map(col): _*)
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 attribution == sf0.1 bit-for-bit")(aBad == 0,
+        s"$aBad odd rows")
+      val (ab, as) = (bigA.count(), smallA.count())
+      check(s"attribution rows scale x$replicas")(ab == as * replicas,
+        s"$ab vs $as x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigA)
+    }
+
+    // disjoint replica user sets: every exact distinct scales xR, and the
+    // sketch must hold its error contract at the 10x cardinality
+    timed("hll cube (sf1 + compare)") {
+      val smallH = ops.StatsQueries.hllSketchCube(spark, src).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("exact_users")).toMap
+      val bigH = ops.StatsQueries.hllSketchCube(spark, out).collect()
+      val hOk = bigH.nonEmpty && bigH.forall { r =>
+        val (exact, est) =
+          (r.getAs[Long]("exact_users"), r.getAs[Long]("est_users"))
+        exact == smallH(r.getString(0)) * replicas &&
+          math.abs(est - exact) <= exact * 0.05
+      }
+      check(s"hll cube: exacts x$replicas, estimates within 5% at 10x " +
+        "cardinality")(hOk, bigH.mkString(", "))
+    }
+
+    // suffixed replicas rename token sets bijectively, so each replica
+    // contributes the SAME overlap structure with disjoint grams: shared
+    // counts scale xR and the overlap coefficient is exactly invariant
+    // (floor(1e6·Rs/Rm) == floor(1e6·s/m))
+    timed("source overlap (sf1 + compare)") {
+      def matrix(dir: String) = llm.CorpusQueries.sourceOverlap(spark, dir)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("shared"), r.getAs[Long]("overlap_micro")))).toMap
+      val (bigO, smallO) = (matrix(out), matrix(src))
+      val oOk = bigO.keySet == smallO.keySet && smallO.forall {
+        case (k, (s, m)) => bigO(k) == ((s * replicas, m))
+      }
+      check(s"source overlap: shared x$replicas, coefficient invariant")(
+        oOk, s"src $smallO\nbig $bigO")
+    }
+
+    // triangle census runs on the BLOCKED graph only (the full sf1
+    // minhash graph is mega-cliques — 2.5e9 wedges, see the
+    // Graph.triangleStats scaladoc): each replica's id%Stride<200 block
+    // is suffix-isomorphic to sf0.1's, so the census must be replica-0
+    // bit-identical and exactly xR rows overall
+    timed("triangle census (blocked, sf1 + compare)") {
+      def blockCensus(dir: String) = ops.Graph.triangleStats(
+        llm.Dedup.ngramJaccardPairs(
+          Tables.table(spark, dir, "documents")
+            .filter(col("doc_id") % Stride < 200),
+          n = 1, minJaccard = 0.9, maxId = Long.MaxValue))
+      val bigT = blockCensus(out).localCheckpoint()
+      val smallT = blockCensus(src)
+      val tBad = bigT.filter(col("node") < Stride).unionByName(smallT)
+        .groupBy(smallT.columns.map(col): _*)
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 blocked triangle census == sf0.1 bit-for-bit")(
+        tBad == 0, s"$tBad odd rows")
+      val (tb, ts) = (bigT.count(), smallT.count())
+      check(s"blocked triangle census scales x$replicas")(
+        tb == ts * replicas, s"$tb vs $ts x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigT)
+    }
+
+    // per-source doc counts scale xR, so the balanced draw must keep
+    // exactly R x the source minority count in every class
+    timed("class balance (sf1)") {
+      val nMinSrc = Tables.table(spark, src, "documents")
+        .groupBy("source").count().agg(min(col("count"))).head().getLong(0)
+      val keptCounts = ops.Sampling.classBalance(
+          Tables.table(spark, out, "documents")
+            .select(col("doc_id"), col("source")), "source", "doc_id")
+        .groupBy("source").count().select(col("count")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      check(s"class balance: every class kept at x$replicas src minority")(
+        keptCounts == Seq(nMinSrc * replicas),
+        s"$keptCounts vs ${nMinSrc * replicas}")
+    }
+
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)

@@ -72,8 +72,17 @@ object Graph {
     * exactly once, and — the scale point — wedge fan-out is bounded by
     * the ORIENTED out-degree (O(√m) for any graph), not the raw degree:
     * a celebrity node with 10⁸ neighbors produces almost no wedges
-    * because nearly all its edges orient INTO it. The naive neighbor
-    * self-join squares the hot node; this caps it.
+    * because nearly all its edges orient INTO it — the skew ("last
+    * reducer") fix the naive neighbor self-join lacks.
+    *
+    * What orientation does NOT fix: the TOTAL wedge mass Σ C(d⁺, 2). A
+    * near-dup graph is mega-cliques (measured: sf0.1's full minhash
+    * graph is 837k edges over 2.9k nodes → 2.5e8 wedges), and an
+    * n-clique owns Θ(n³) triangles — no enumeration beats its own
+    * output size. At scale this op belongs on SPARSE similarity graphs
+    * or a blocked/collapsed one (dedup exact groups first, or bound the
+    * block the way q_triangle_stats does); ScaleCheck proves the blocked
+    * per-replica form, not a full dup-graph census.
     *
     * Every stage is an equi-join keyed by node or edge — wedge build on
     * src, closure on the (dst₁, dst₂) edge key. lcc = n_tri / C(deg, 2)

@@ -159,25 +159,26 @@ object Sampling {
   /** Balanced per-class downsampling to the MINORITY class size — the
     * class-rebalancing pass before training on skewed labels. Same
     * md5-rank draw as [[md5RankSample]] (layout/engine-reproducible,
-    * unlike rand(seed)), but the cutoff is the computed min class count,
-    * carried as a 1-row broadcast instead of a literal. The rank window
-    * partitions by class — per-class state only; at a billion rows per
-    * class the md5 ordering shuffles within each class partition, which
-    * is the unavoidable cost of an exact-count draw (the approximate
-    * alternative, [[stratified]] with fraction n_min/n_c, avoids the
-    * sort but only hits the target count in expectation).
+    * unlike rand(seed)).
+    *
+    * The cutoff is collected to the driver first (ONE aggregate row — the
+    * bounded-scalar pattern of waterfillAlloc) so the rank filter is a
+    * LITERAL: that is what lets Catalyst plan a WindowGroupLimit and keep
+    * ≤n_min rows per class per input partition ahead of the exchange
+    * (plan-gated in PlanSpec). A first cut carried the cutoff as a 1-row
+    * broadcast column instead — plan-clean but WindowGroupLimit-blind,
+    * so every row of every class crossed the shuffle; at a billion rows
+    * per majority class that is the whole cost of the operator.
     */
   def classBalance(df: DataFrame, classCol: String,
                    idCol: String): DataFrame = {
     val nMin = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n")).as("__n_min"))
+      .agg(min(col("__n"))).head().getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(classCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("rk", row_number().over(w).cast("bigint"))
-      .crossJoin(broadcast(nMin))
-      .filter(col("rk") <= col("__n_min"))
-      .drop("__n_min")
+      .filter(col("rk") <= lit(nMin))
   }
 
   /** Weighted sampling WITHOUT replacement, k per group (Efraimidis &

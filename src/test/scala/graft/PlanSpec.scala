@@ -171,6 +171,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
   }
 
+  test("class balancing keeps the WindowGroupLimit pushdown") {
+    // the cutoff is collected to a LITERAL precisely so this fires — a
+    // 1-row broadcast column form was plan-clean but group-limit-blind,
+    // shipping every majority-class row across the exchange
+    val p = plan(graft.ops.Sampling.classBalance(
+      graft.Tables.table(spark, sf, "embeddings")
+        .select(col("vec_id"), col("label")), "label", "vec_id"))
+    assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
+  }
+
+  test("MRL rerank: both ranking stages pre-prune per input partition") {
+    // stage 1's top-m window sees the corpus-sized scored frame — a
+    // Partial WindowGroupLimit must bound what crosses the per-query
+    // exchange; stage 2 re-ranks the m-bounded survivors
+    val p = plan(llm.LlmQueries.mrlRerank(spark, sf))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected both stages group-limited:\n$p")
+    assert(p.contains("Partial"), s"no partial pre-prune:\n$p")
+  }
+
   test("PQ ADC shortlist and rerank both get WindowGroupLimit pruning") {
     // per-query rank windows over corpus-sized input MUST pre-prune to
     // top-k per input partition or one window partition holds the corpus
