@@ -430,6 +430,23 @@ object Dedup {
     candidates.minBy(p => (math.abs(p.threshold - targetJaccard), -p.bands))
   }
 
+  /** Count-min sketch sizing for a (relative error ε, failure prob δ)
+    * target — the planning companion to [[lshParams]] for the
+    * [[CorpusQueries.approxHeavyHitters]] family: width = ⌈e/ε⌉ (each
+    * estimate overshoots by ≤ ε·N with prob ≥ 1−δ), depth = ⌈ln(1/δ)⌉
+    * (independent rows drive the failure prob down geometrically).
+    * Returns (width, depth, bytes) — the bytes figure is what a capacity
+    * plan actually needs: depth·width 8-byte counters, broadcast to
+    * every executor when used as a pre-filter.
+    */
+  def cmsParams(eps: Double, delta: Double): (Int, Int, Long) = {
+    require(eps > 0.0 && eps < 1.0 && delta > 0.0 && delta < 1.0,
+      s"need 0 < eps, delta < 1, got $eps, $delta")
+    val width = math.ceil(math.E / eps).toInt
+    val depth = math.ceil(math.log(1.0 / delta)).toInt
+    (width, depth, width.toLong * depth * 8L)
+  }
+
   /** Canonical-document selection: for each transitive dup cluster, keep
     * the BEST member (max quality, ties to the lowest id) instead of the
     * arbitrary first — the curation-aware dedup policy (a near-dup group

@@ -222,4 +222,13 @@ class DedupSpec extends AnyFunSuite {
     val rows = Seq(0.7, 0.9, 0.95).map(Dedup.lshParams(128, _).rowsPerBand)
     assert(rows == Seq(8, 16, 32))
   }
+
+  test("cmsParams: textbook sizing, monotone in both knobs") {
+    // ε=0.001, δ=0.01: w = ⌈e/0.001⌉ = 2719, d = ⌈ln 100⌉ = 5 → ~106 KiB
+    val (w, d, bytes) = Dedup.cmsParams(0.001, 0.01)
+    assert(w == 2719 && d == 5 && bytes == 2719L * 5 * 8)
+    // tighter error widens, higher confidence deepens — never the reverse
+    assert(Dedup.cmsParams(0.0001, 0.01)._1 > w)
+    assert(Dedup.cmsParams(0.001, 0.0001)._2 > d)
+  }
 }
