@@ -186,9 +186,54 @@ object StatsQueries {
     perDay.unionByName(mergedRow).orderBy("key")
   }
 
+  /** Key-skew diagnosis — the report you read BEFORE choosing a salting
+    * factor or AQE skew threshold: per analyzed key column, the exact
+    * Gini coefficient of the key-count distribution plus the top-1 /
+    * top-5 key shares (micro-units). Gini from the sorted-rank identity
+    * G = (2·Σi·cᵢ − (n+1)·Σcᵢ) / (n·Σcᵢ) — all-integer arithmetic, so
+    * both engines emit identical numerators before one floor division.
+    *
+    * Scale: everything runs over the POST-AGGREGATION key-count frame
+    * (domain-sized, not data-sized). The rank windows need a total order
+    * of that frame per column — the honest cost of an exact Gini; at
+    * billion-key domains the swap-in is binning the counts first (the
+    * winsorize argument), since Gini is insensitive to within-bin order.
+    */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    def keyCounts(c: String) = ev
+      .groupBy(col(c).cast("string").as("key"))
+      .agg(count(lit(1)).as("c")).withColumn("col", lit(c))
+    val kc = keyCounts("user_id").unionByName(keyCounts("event_type"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy("col").orderBy(col("c"), col("key"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("col").orderBy(desc("c"), desc("key"))
+    val ranked = kc
+      .withColumn("i", row_number().over(wAsc).cast("long"))
+      .withColumn("rd", row_number().over(wDesc).cast("long"))
+    ranked.groupBy("col")
+      .agg(count(lit(1)).cast("bigint").as("n_keys"),
+        sum(col("c")).cast("bigint").as("total"),
+        sum(col("i") * col("c")).cast("bigint").as("__s1"),
+        max(col("c")).cast("bigint").as("__cmax"),
+        sum(when(col("rd") <= 5L, col("c")).otherwise(0L)).cast("bigint")
+          .as("__top5"))
+      .select(col("col"), col("n_keys"), col("total"),
+        graft.llm.TextStats.microRatio(
+          lit(2L) * col("__s1") - (col("n_keys") + 1L) * col("total"),
+          col("n_keys") * col("total")).as("gini_micro"),
+        graft.llm.TextStats.microRatio(col("__cmax"), col("total"))
+          .as("top1_micro"),
+        graft.llm.TextStats.microRatio(col("__top5"), col("total"))
+          .as("top5_micro"))
+      .orderBy("col")
+  }
+
   val all: Map[String, Q] = Map(
     "q_corr_matrix" -> (corrMatrix _),
     "q_hll_cube" -> (hllSketchCube _),
+    "q_skew_report" -> (skewReport _),
     "q_top_correlated" -> (topCorrelated _),
     "q_argmax_embedding" -> (argmaxEmbedding _),
     "q_percentiles" -> (percentiles _),
@@ -212,6 +257,35 @@ object StatsQueries {
        |FROM orders""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_skew_report" ->
+      """WITH kc AS (
+        |  SELECT 'user_id' AS col, CAST(user_id AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY key
+        |  UNION ALL
+        |  SELECT 'event_type', event_type, CAST(count(*) AS BIGINT)
+        |  FROM events GROUP BY event_type),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY col ORDER BY c, key) AS i,
+        |    row_number() OVER (PARTITION BY col
+        |      ORDER BY c DESC, key DESC) AS rd
+        |  FROM kc),
+        |a AS (
+        |  SELECT col, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(i * c) AS BIGINT) AS s1,
+        |    CAST(max(c) AS BIGINT) AS cmax,
+        |    CAST(sum(CASE WHEN rd <= 5 THEN c ELSE 0 END) AS BIGINT)
+        |      AS top5
+        |  FROM r GROUP BY col)
+        |SELECT col, n_keys, total,
+        |  CAST((1000000 * (2 * s1 - (n_keys + 1) * total))
+        |       // (n_keys * total) AS BIGINT) AS gini_micro,
+        |  CAST((1000000 * cmax) // total AS BIGINT) AS top1_micro,
+        |  CAST((1000000 * top5) // total AS BIGINT) AS top5_micro
+        |FROM a ORDER BY col""".stripMargin,
+
     "q_table_profile" -> (
       Seq("o_orderstatus", "o_orderpriority", "o_custkey").map(profileArm)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),

@@ -264,8 +264,44 @@ object StreamQueries {
            count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** Session-level product analytics over the 6 h gap sessionization:
+    * per ENTRY event type (the session's first event — min over the
+    * (ts, event_id) struct, no second window pass), session count,
+    * bounce share (single-event sessions, micro-units), total events
+    * and total exact-micro dwell time. The funnel family says whether
+    * paths complete; this says what opens them and how long they hold.
+    *
+    * Scale: the sessionize windows partition per user (one sort), the
+    * per-session collapse reuses the user_id partitioning (subset
+    * property, the scd2 plan shape), and the entry-type rollup is a
+    * tiny keyed aggregate. All-integer outputs — no rounding contract.
+    */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.sessionize(table(spark, dir, "events"),
+      userCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+      gapSeconds = 6 * 3600L)
+    val per = sess
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("__first"),
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+    per.groupBy(col("__first.event_type").as("entry_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_sessions"),
+        sum((col("n_events") === 1L).cast("long")).as("bounces"),
+        sum(col("n_events")).cast("bigint").as("total_events"),
+        sum(col("duration_us")).cast("bigint").as("total_duration_us"))
+      .select(col("entry_type"), col("n_sessions"), col("bounces"),
+        graft.llm.TextStats.microRatio(col("bounces"), col("n_sessions"))
+          .as("bounce_micro"),
+        col("total_events"), col("total_duration_us"))
+      .orderBy("entry_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q_stream_roundtrip" -> (streamRoundtrip _),
+    "q_session_stats" -> (sessionStats _),
     "q_stream_windowed" -> (streamWindowedCounts _),
     "q_stream_hll" -> (streamHllDaily _),
     "q_stream_dedup" -> (streamDedup _),
@@ -276,6 +312,37 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_session_stats" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |              > CAST(21600000000 AS BIGINT) THEN 1
+        |         ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (
+        |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s),
+        |per AS (
+        |  SELECT user_id, session_id,
+        |    (min(struct_pack(us := epoch_us(ts), eid := event_id,
+        |                     et := event_type))).et AS entry_type,
+        |    count(*) AS n_events,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |  FROM sid GROUP BY user_id, session_id)
+        |SELECT entry_type,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS bounces,
+        |  CAST((1000000 * count(*) FILTER (WHERE n_events = 1))
+        |       // count(*) AS BIGINT) AS bounce_micro,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  CAST(sum(duration_us) AS BIGINT) AS total_duration_us
+        |FROM per GROUP BY entry_type
+        |ORDER BY entry_type""".stripMargin,
+
     "q_sessions" ->
       """WITH s AS (
         |  SELECT user_id,

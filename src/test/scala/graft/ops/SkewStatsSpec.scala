@@ -93,4 +93,25 @@ class SkewStatsSpec extends AnyFunSuite {
     }
     assert(approx.keySet == Set("0", "1", "2", "3"))
   }
+
+  test("skewReport: uniform keys score Gini 0, a 90% hot key scores 0.4 " +
+      "— hand arithmetic") {
+    // user_id: four keys x1 event each → perfectly equal → gini 0,
+    // top1 = 1/4. event_type: 'hot' x9 + 'cold' x1 → sorted [1,9]:
+    // G = (2·(1·1+2·9) − 3·10) / (2·10) = 8/20 = 0.4
+    def ns(sec: Long): Long = sec * 1000000000L
+    val rows = (0 until 9).map(i =>
+      (i.toLong, (i % 4).toLong, "hot", ns(i), 1.0)) :+
+      ((9L, 1L, "cold", ns(9), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StatsQueries.skewReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("gini_micro"),
+        r.getAs[Long]("top1_micro"), r.getAs[Long]("top5_micro")))).toMap
+    assert(got("event_type") == ((400000L, 900000L, 1000000L)))
+    // user_id counts [3,3,2,2]: sorted [2,2,3,3], s1=2+4+9+12=27,
+    // G = (54 − 5·10) / 40 = 0.1; top1 = 3/10, top5 covers all
+    assert(got("user_id") == ((100000L, 300000L, 1000000L)))
+  }
 }

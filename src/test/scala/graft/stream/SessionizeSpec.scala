@@ -82,4 +82,25 @@ class SessionizeSpec extends AnyFunSuite {
         s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("sessionStats: entry types, bounces, and dwell — hand fixture") {
+    // user 1: A@0h B@1h (entry A, 2 events, 3600 s) then C@10h (new
+    // session after the 6 h gap, a bounce); user 2: D@0h alone (bounce)
+    def ns(hr: Long): Long = hr * 3600L * 1000000000L
+    val rows = Seq(
+      (1L, 1L, "A", ns(0), 1.0), (2L, 1L, "B", ns(1), 1.0),
+      (3L, 1L, "C", ns(10), 1.0), (4L, 2L, "D", ns(0), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = StreamQueries.sessionStats(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("bounces"), r.getAs[Long]("bounce_micro"),
+        r.getAs[Long]("total_events"),
+        r.getAs[Long]("total_duration_us")))).toMap
+    assert(got == Map(
+      "A" -> ((1L, 0L, 0L, 2L, 3600L * 1000000L)),
+      "C" -> ((1L, 1L, 1000000L, 1L, 0L)),
+      "D" -> ((1L, 1L, 1000000L, 1L, 0L))))
+  }
 }
