@@ -22,6 +22,29 @@ object Layout {
     */
   def rebalance(df: DataFrame, n: Int): DataFrame = df.repartition(n)
 
+  /** SIZE-targeted directory compaction — the maintenance job every
+    * streaming/incremental sink eventually needs (each micro-batch lands
+    * a file; a year of 5-minute batches is 10⁵ files whose listing and
+    * footer reads dominate scan setup). Sizes the output from the
+    * measured input bytes: ceil(total / targetBytes) files, floor 1.
+    * Listing goes through the Hadoop FS API, so the same call works on
+    * HDFS/S3 paths, not just local disk; the rewrite is a coalesce —
+    * no shuffle, the whole job is one read + one write. Returns the
+    * file count written.
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 out: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(path)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
+
   /** Range-partitioned, within-partition-sorted layout: rows globally
     * ordered across files. Written as parquet this gives min/max footer
     * stats per file that scan-time range predicates prune on — the

@@ -41,6 +41,35 @@ object StatsQueries {
            max(col("o_totalprice")).as("hi"))
       .orderBy("o_orderpriority")
 
+  /** Inter-event dwell-time percentiles per event type — the latency
+    * distribution behind "how long until users act again", the
+    * conversion-latency cousin of q_percentiles. Dwell = exact micro
+    * gap to the user's NEXT event (lead over the per-user sort, O(1)
+    * window state); percentiles are exact discrete over the per-type
+    * dwell population — integer inputs, so engine parity is free. The
+    * grouped-sort cost argument is the q_percentiles/winsorize one:
+    * exact over the schema-bounded event taxonomy, approx_percentile
+    * swap-in at domain-cardinality keys.
+    */
+  def dwellPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), unix_micros(col("ts")).as("us"))
+      .withColumn("dwell_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dwell_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dwell_us)")
+          .cast("bigint").as("p50_us"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dwell_us)")
+          .cast("bigint").as("p90_us"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY dwell_us)")
+          .cast("bigint").as("p99_us"))
+      .orderBy("event_type")
+  }
+
   /** Hourly resample of the event stream with dense gap fill. */
   def resampleHourly(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.resampleCounts(table(spark, dir, "events"),
@@ -234,6 +263,7 @@ object StatsQueries {
     "q_corr_matrix" -> (corrMatrix _),
     "q_hll_cube" -> (hllSketchCube _),
     "q_skew_report" -> (skewReport _),
+    "q_dwell_percentiles" -> (dwellPercentiles _),
     "q_top_correlated" -> (topCorrelated _),
     "q_argmax_embedding" -> (argmaxEmbedding _),
     "q_percentiles" -> (percentiles _),
@@ -314,6 +344,20 @@ object StatsQueries {
         |  CAST(list_indexof(embedding, list_max(embedding)) - 1 AS BIGINT) AS arg_max
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+
+    "q_dwell_percentiles" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dwell_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(quantile_disc(dwell_us, 0.5) AS BIGINT) AS p50_us,
+        |  CAST(quantile_disc(dwell_us, 0.9) AS BIGINT) AS p90_us,
+        |  CAST(quantile_disc(dwell_us, 0.99) AS BIGINT) AS p99_us
+        |FROM d WHERE dwell_us IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,

@@ -75,4 +75,23 @@ class LayoutSpec extends AnyFunSuite {
     // and the layout preserves the rows themselves
     assert(z.count() == 4096)
   }
+
+  test("compactDir: sizes output from measured bytes, preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    (1L to 10000L).toDF("id").repartition(20)
+      .write.mode("overwrite").parquet(s"$dir/frag")
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(s"$dir/frag") == 20)
+    val total = new java.io.File(s"$dir/frag").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = ceil(bytes/3) so the file count is exactly 3 regardless
+    // of byte-level rounding (a floor target can tip the ceil to 4)
+    val n = Layout.compactDir(spark, s"$dir/frag", s"$dir/out",
+      (total + 2) / 3)
+    assert(n == 3 && parts(s"$dir/out") == 3)
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() == 10000L)
+    assert(got.agg(sum(col("id"))).head().getLong(0) == 10000L * 10001L / 2)
+  }
 }
