@@ -157,6 +157,42 @@ object CorpusQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Inverted-index build (top-200 df terms): per token, document
+    * frequency, total term frequency, and the first 10 postings as
+    * deterministic `doc:tf` strings — the search-engine artifact a
+    * retrieval stack materializes from the corpus. Postings sort by
+    * doc_id (array_sort over structs — unique key, engine-total order,
+    * the LISTAGG determinism rule) and the term cut is (df desc, token)
+    * via orderBy+limit = TakeOrderedAndProject, never a rank window.
+    *
+    * Scale shape: two keyed aggregates — (token, doc) tf with map-side
+    * partials, then per-token fold. The posting ARRAY is the one part
+    * that grows with df; slicing to 10 inside the aggregate's output
+    * keeps the result row bounded, and a production index would write
+    * the full postings as the segmented parquet this query's plan
+    * already shuffles by token.
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      // explode_outer + null filter: see heavyHitters
+      .select(col("doc_id"), explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+    val perDoc = tok.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).cast("bigint").as("df"),
+        sum(col("tf")).cast("bigint").as("tf_total"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+              1, 10),
+            x => concat_ws(":", x.getField("doc_id"), x.getField("tf"))),
+          ",").as("postings"))
+      .orderBy(desc("df"), asc("token"))
+      .limit(200)
+  }
+
   def interDocDupFraction(spark: SparkSession, dir: String): DataFrame = {
     val sh = table(spark, dir, "documents")
       .select(col("doc_id"),
@@ -873,6 +909,7 @@ object CorpusQueries {
     "q_unigram_logprob" -> (unigramLogprob _),
     "q_interdoc_dup" -> (interDocDupFraction _),
     "q_source_overlap" -> (sourceOverlap _),
+    "q_inverted_index" -> (invertedIndex _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
     "q_cooccur_pairs" -> (cooccurPairs _),
@@ -1033,6 +1070,23 @@ object CorpusQueries {
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |pd AS (
+        |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY token, doc_id),
+        |bt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS tf_total,
+        |    array_to_string(list_transform(
+        |      list_sort(list(struct_pack(d := doc_id, tf := tf)))[1:10],
+        |      x -> x.d || ':' || x.tf), ',') AS postings
+        |  FROM pd GROUP BY token)
+        |SELECT token, df, tf_total, postings
+        |FROM bt ORDER BY df DESC, token LIMIT 200""".stripMargin,
 
     "q_source_overlap" ->
       """WITH sh AS (

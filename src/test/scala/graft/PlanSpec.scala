@@ -171,6 +171,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
   }
 
+  test("per-user window chains ride ONE user_id exchange (scd2, " +
+      "attribution, session stats)") {
+    // the lag/sum/lead (and sessionize+collapse) chains all partition by
+    // user_id: the islands groupBy satisfies its distribution from the
+    // window's hash partitioning (subset property), so only the final
+    // presentation sort may add a second exchange. A regression here
+    // means the whole event table crosses the wire twice.
+    for (q <- Seq(
+        graft.ops.EventQueries.scd2Intervals(spark, sf),
+        graft.ops.EventQueries.attribution(spark, sf),
+        graft.stream.StreamQueries.sessionStats(spark, sf))) {
+      val p = plan(q)
+      val n = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(n == 1, s"expected exactly 1 user_id exchange, got $n:\n$p")
+    }
+  }
+
   test("class balancing keeps the WindowGroupLimit pushdown") {
     // the cutoff is collected to a LITERAL precisely so this fires — a
     // 1-row broadcast column form was plan-clean but group-limit-blind,
@@ -244,7 +261,8 @@ class PlanSpec extends AnyFunSuite {
       "q_heavy_hitters" -> graft.llm.CorpusQueries.heavyHitters(spark, sf),
       "q_bpe_pairs" -> graft.llm.CorpusQueries.bpePairs(spark, sf),
       "q_collocations" -> graft.llm.CorpusQueries.collocations(spark, sf),
-      "q_zipf_slope" -> graft.llm.CorpusQueries.zipfSlope(spark, sf))
+      "q_zipf_slope" -> graft.llm.CorpusQueries.zipfSlope(spark, sf),
+      "q_inverted_index" -> graft.llm.CorpusQueries.invertedIndex(spark, sf))
     qs.foreach { case (name, df) =>
       val p = plan(df)
       assert(p.contains("TakeOrderedAndProject"),
