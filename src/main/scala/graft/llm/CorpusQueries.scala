@@ -193,6 +193,54 @@ object CorpusQueries {
       .limit(200)
   }
 
+  /** BM25 ranking (Robertson; the Lucene idf variant) for a fixed
+    * 3-term query — the lexical-retrieval scorer the inverted index
+    * exists to serve, and the sparse half of every hybrid search stack
+    * (the dense half is q_knn_cosine; q_rrf_fusion shows the fusion).
+    *
+    * score(d) = Σ_t ln((N−df+0.5)/(df+0.5)+1) ·
+    *            tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),  k1=1.2 b=0.75
+    *
+    * Parity: every input is an exact integer (tf, df, N, |d|); constants
+    * are written as the same performed arithmetic in both engines
+    * ((1.2 + 1), (1 − 0.75) — the mmr evaluated-not-folded rule), so
+    * both compute identical doubles per term; the 3-term sum's merge
+    * order is absorbed by round-6 (the LM-family contract) and ranking
+    * runs on the rounded score with doc-id ties (the knn contract).
+    *
+    * Scale: term postings only (the IN filter prunes the explode before
+    * any shuffle), doc lengths shuffle once by doc, df and corpus stats
+    * are broadcast scalars, and the top-20 is TakeOrderedAndProject.
+    */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("query", "window", "scan")
+    val tok = table(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      // explode_outer + null filter: see heavyHitters
+      .select(col("doc_id"), explode_outer(col("__toks")).as("token"))
+      .filter(col("token").isNotNull)
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = tok.filter(col("token").isin(qTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") * (lit(1.2) + lit(1.0)) /
+      (col("tf") + lit(1.2) * ((lit(1.0) - lit(0.75)) +
+        lit(0.75) * col("dl") / avgdl))
+    tf.join(broadcast(dfr), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * norm).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_terms"),
+        round(sum(col("s")), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
   def interDocDupFraction(spark: SparkSession, dir: String): DataFrame = {
     val sh = table(spark, dir, "documents")
       .select(col("doc_id"),
@@ -910,6 +958,7 @@ object CorpusQueries {
     "q_interdoc_dup" -> (interDocDupFraction _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_inverted_index" -> (invertedIndex _),
+    "q_bm25_rank" -> (bm25Rank _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
     "q_cooccur_pairs" -> (cooccurPairs _),
@@ -1070,6 +1119,36 @@ object CorpusQueries {
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_bm25_rank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |dl AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok GROUP BY doc_id),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token IN ('query', 'window', 'scan')
+        |  GROUP BY doc_id, token),
+        |dfr AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0) *
+        |    (tf.tf * (1.2 + 1.0) /
+        |     (tf.tf + 1.2 * ((1.0 - 0.75) +
+        |      0.75 * dl.dl / (CAST(st.tot AS DOUBLE) / st.n_docs)))) AS s
+        |  FROM tf JOIN dfr USING (token) JOIN dl USING (doc_id)
+        |       CROSS JOIN st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       round(sum(s), 6) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_inverted_index" ->
       """WITH tok AS (

@@ -643,4 +643,33 @@ class CorpusQueriesSpec extends AnyFunSuite {
     // X∩Y = {abc, bcd} = 2; |X| = 2, |Y| = 4 → 2/min(2,4) = 1.0
     assert(got == Map(("X", "Y") -> ((2L, 1000000L))))
   }
+
+  test("bm25: more matched terms and shorter docs outrank, no-hit docs " +
+      "are absent, score matches a driver-side reference") {
+    // doc 1: 2 terms hit, short; doc 2: 1 term, long; doc 3: no hits
+    val docs = Seq(
+      (1L, "query query scan pad", "a", "s"),
+      (2L, "query pad pad pad pad pad pad pad", "a", "s"),
+      (3L, "pad pad pad pad", "a", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.bm25Rank(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Double]("score")))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L)
+    assert(got(1L)._2 > got(2L)._2)
+    // independent reference: N=3, avgdl=16/3; idf(df) = ln((3-df+.5)/(df+.5)+1)
+    def bm25(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+      idf * (tf * (1.2 + 1.0) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (16.0 / 3.0))))
+    }
+    // doc 1: query tf=2 df=2, scan tf=1 df=1, dl=4
+    val expect1 = BigDecimal(bm25(2, 2, 4) + bm25(1, 1, 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(1L)._2 - expect1) < 2e-6, s"${got(1L)._2} vs $expect1")
+  }
 }
