@@ -297,10 +297,32 @@ object EventQueries {
       .orderBy("purchase_id")
   }
 
+  /** New-vs-returning daily split — the growth dashboard's first chart:
+    * per day, how many active users were seen for the FIRST time that
+    * day vs returning. Two keyed aggregates: first-active day per user
+    * (min over the user key), then distinct (user, day) activity tagged
+    * against it. No window at all — "first day" is a min, not a rank.
+    */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val act = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val firstDay = act.groupBy("user_id").agg(min(col("day")).as("first_day"))
+    act.join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(sum((col("day") === col("first_day")).cast("long"))
+          .cast("bigint").as("new_users"),
+        sum((col("day") =!= col("first_day")).cast("long"))
+          .cast("bigint").as("returning_users"))
+      .select(col("day").cast("string").as("day"), col("new_users"),
+        col("returning_users"))
+      .orderBy("day")
+  }
+
   val all: Map[String, Q] = Map(
     "q_cusum_alarms" -> (cusumAlarms _),
     "q_scd2_intervals" -> (scd2Intervals _),
     "q_attribution" -> (attribution _),
+    "q_new_vs_returning" -> (newVsReturning _),
     "q_decayed_counts" -> (decayedCounts _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_equidepth_hist" -> (equidepthHistogram _),
@@ -365,6 +387,20 @@ object EventQueries {
 
   val oracle: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(),
+
+    "q_new_vs_returning" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM act
+        |      GROUP BY user_id)
+        |SELECT CAST(act.day AS VARCHAR) AS day,
+        |  CAST(count(*) FILTER (WHERE act.day = f.first_day) AS BIGINT)
+        |    AS new_users,
+        |  CAST(count(*) FILTER (WHERE act.day <> f.first_day) AS BIGINT)
+        |    AS returning_users
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY act.day
+        |ORDER BY day""".stripMargin,
 
     "q_attribution" ->
       """WITH a AS (

@@ -545,7 +545,39 @@ object RelationalQueries {
       table(spark, dir, "events").select("event_id", "event_type").orderBy("event_id"),
       n = 5)
 
+  /** Referential-integrity audit across the star schema — the data
+    * validation pass a warehouse runs on every load: per foreign key,
+    * child cardinality, null keys (allowed but counted), and ORPHANS
+    * (non-null keys with no parent — the violation). Each arm is one
+    * left-anti join keyed by the FK plus a scalar aggregate; the four
+    * 1-row arms union into the report. Zeros on consistent data are the
+    * point — the query is the gate, not the finding.
+    */
+  def fkViolations(spark: SparkSession, dir: String): DataFrame = {
+    def arm(name: String, childT: String, ck: String, parentT: String,
+            pk: String): DataFrame = {
+      val c = table(spark, dir, childT).select(col(ck).as("k"))
+      val p = table(spark, dir, parentT).select(col(pk).as("k"))
+      val counts = c.agg(count(lit(1)).cast("bigint").as("child_rows"),
+        sum(col("k").isNull.cast("long")).cast("bigint").as("null_keys"))
+      val orphans = c.filter(col("k").isNotNull)
+        .join(p, Seq("k"), "left_anti")
+        .agg(count(lit(1)).cast("bigint").as("orphans"))
+      counts.crossJoin(orphans).select(lit(name).as("fk"),
+        col("child_rows"), col("null_keys"), col("orphans"))
+    }
+    arm("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey")
+      .unionByName(arm("lineitem.orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"))
+      .unionByName(arm("orders.customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+      .unionByName(arm("supplier.nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .orderBy("fk")
+  }
+
   val all: Map[String, Q] = Map(
+    "q_fk_violations" -> (fkViolations _),
     "q_counts_by_type" -> (countsByType _),
     "q_pivot_status" -> (pivotStatus _),
     "q_pivot_ranked" -> (pivotRanked _),
@@ -585,7 +617,28 @@ object RelationalQueries {
     "q_head_limit" -> (headLimit _)
   )
 
+  private def fkArmSql(name: String, childT: String, ck: String,
+                       parentT: String, pk: String): String =
+    s"""SELECT '$name' AS fk,
+       |  CAST((SELECT count(*) FROM $childT) AS BIGINT) AS child_rows,
+       |  CAST((SELECT count(*) FROM $childT WHERE $ck IS NULL) AS BIGINT)
+       |    AS null_keys,
+       |  CAST((SELECT count(*) FROM $childT c WHERE c.$ck IS NOT NULL
+       |        AND NOT EXISTS (SELECT 1 FROM $parentT p
+       |                        WHERE p.$pk = c.$ck)) AS BIGINT) AS orphans
+       |""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_fk_violations" -> (Seq(
+      fkArmSql("customer.nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      fkArmSql("lineitem.orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      fkArmSql("orders.customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      fkArmSql("supplier.nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"))
+      .mkString("", "UNION ALL\n", "ORDER BY fk")),
     "q_counts_by_type" ->
       """SELECT event_type, count(*) AS n
         |FROM events

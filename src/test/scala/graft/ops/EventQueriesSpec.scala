@@ -211,4 +211,22 @@ class EventQueriesSpec extends AnyFunSuite {
       5L -> ((Some(1L), Some(4L), Some(1000000L))),
       6L -> ((None, None, None))))
   }
+
+  test("newVsReturning: first-day users count as new exactly once") {
+    // user 1 active day 1 and 2; user 2 only day 2; multiple events per
+    // (user, day) must not inflate the counts (distinct first)
+    def ns(day: Long, h: Long): Long = ((day - 1) * 24 + h) * 3600000000000L
+    val rows = Seq(
+      (1L, 1L, "a", ns(1, 1), 1.0), (2L, 1L, "a", ns(1, 2), 1.0),
+      (3L, 1L, "a", ns(2, 1), 1.0), (4L, 2L, "a", ns(2, 1), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nvr").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventQueries.newVsReturning(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("new_users"), r.getAs[Long]("returning_users"))))
+      .toMap
+    assert(got == Map("1970-01-01" -> ((1L, 0L)),
+      "1970-01-02" -> ((1L, 1L))))
+  }
 }

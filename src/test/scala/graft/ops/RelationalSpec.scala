@@ -112,4 +112,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(rowSums.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       g.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
+
+  test("fkViolations: orphans counted, null keys allowed but reported") {
+    val spark2 = GraftTestSpark.spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fk").toString
+    // nation {1,2}; customer: one ok, one ORPHAN (nation 9), one null key
+    Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+      .write.parquet(s"$dir/nation.parquet")
+    Seq((10L, Some(1L)), (11L, Some(9L)), (12L, None))
+      .toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq((100L, 10L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((1000L, 100L)).toDF("l_linenumber", "l_orderkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((20L, 1L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")
+    val got = RelationalQueries.fkViolations(spark2, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("child_rows"),
+        r.getAs[Long]("null_keys"), r.getAs[Long]("orphans")))).toMap
+    assert(got("customer.nation") == ((3L, 1L, 1L)))
+    assert(got("lineitem.orders") == ((1L, 0L, 0L)))
+    assert(got("orders.customer") == ((1L, 0L, 0L)))
+    assert(got("supplier.nation") == ((1L, 0L, 0L)))
+  }
 }
