@@ -553,6 +553,46 @@ object ScaleCheck {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigT)
     }
 
+    // replicated users have identical histories: dwell populations are R
+    // identical copies, so the discrete percentiles are INVARIANT and n
+    // scales xR; daily new/returning and session-entry stats scale xR
+    timed("dwell/new-returning/session stats (sf1 + compare)") {
+      def dwell(dir: String) = ops.StatsQueries.dwellPercentiles(spark, dir)
+        .collect().map(r => r.getString(0) -> ((r.getAs[Long]("n"),
+          r.getAs[Long]("p50_us"), r.getAs[Long]("p90_us"),
+          r.getAs[Long]("p99_us")))).toMap
+      val (bigD, smallD) = (dwell(out), dwell(src))
+      val dOk = bigD.keySet == smallD.keySet && smallD.forall {
+        case (k, (n, p50, p90, p99)) =>
+          bigD(k) == ((n * replicas, p50, p90, p99))
+      }
+      check(s"dwell percentiles invariant, n x$replicas")(dOk,
+        s"src $smallD\nbig $bigD")
+      def nvr(dir: String) = ops.EventQueries.newVsReturning(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("new_users"), r.getAs[Long]("returning_users"))))
+        .toMap
+      val (bigN, smallN) = (nvr(out), nvr(src))
+      val nOk = bigN.keySet == smallN.keySet && smallN.forall {
+        case (k, (nu, ru)) => bigN(k) == ((nu * replicas, ru * replicas))
+      }
+      check(s"new/returning users scale x$replicas")(nOk,
+        s"src $smallN\nbig $bigN")
+      def ss(dir: String) = stream.StreamQueries.sessionStats(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("n_sessions"), r.getAs[Long]("bounces"),
+            r.getAs[Long]("bounce_micro"), r.getAs[Long]("total_events"),
+            r.getAs[Long]("total_duration_us")))).toMap
+      val (bigS2, smallS2) = (ss(out), ss(src))
+      val ssOk = bigS2.keySet == smallS2.keySet && smallS2.forall {
+        case (k, (n, b, bm, te, td)) =>
+          bigS2(k) == ((n * replicas, b * replicas, bm, te * replicas,
+            td * replicas))
+      }
+      check(s"session stats scale x$replicas, bounce share invariant")(
+        ssOk, s"src $smallS2\nbig $bigS2")
+    }
+
     // per-source doc counts scale xR, so the balanced draw must keep
     // exactly R x the source minority count in every class
     timed("class balance (sf1)") {

@@ -70,6 +70,32 @@ object StatsQueries {
       .orderBy("event_type")
   }
 
+  /** Signup→purchase conversion latency: per user, the exact micro gap
+    * from FIRST signup to the first purchase at-or-after it, then the
+    * population's discrete p50/p90 and conversion count — the funnel
+    * family's "how long", next to funnel_steps' "how many". Two keyed
+    * min-aggregates and one join — no window, no range join: "first
+    * purchase after signup" is min(purchase_us ≥ signup_us) under the
+    * conditional aggregate, not an as-of pairing per event.
+    */
+  def funnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s_us"))
+    val latency = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("us") >= col("s_us"), col("us") - col("s_us")))
+        .as("latency_us"))
+      .filter(col("latency_us").isNotNull)
+    latency.agg(count(lit(1)).cast("bigint").as("n_converted"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("bigint").as("p50_us"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)")
+        .cast("bigint").as("p90_us"))
+  }
+
   /** Hourly resample of the event stream with dense gap fill. */
   def resampleHourly(spark: SparkSession, dir: String): DataFrame =
     TimeSeries.resampleCounts(table(spark, dir, "events"),
@@ -264,6 +290,7 @@ object StatsQueries {
     "q_hll_cube" -> (hllSketchCube _),
     "q_skew_report" -> (skewReport _),
     "q_dwell_percentiles" -> (dwellPercentiles _),
+    "q_funnel_time" -> (funnelTime _),
     "q_top_correlated" -> (topCorrelated _),
     "q_argmax_embedding" -> (argmaxEmbedding _),
     "q_percentiles" -> (percentiles _),
@@ -344,6 +371,22 @@ object StatsQueries {
         |  CAST(list_indexof(embedding, list_max(embedding)) - 1 AS BIGINT) AS arg_max
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+
+    "q_funnel_time" ->
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |l AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN epoch_us(e.ts) >= s.s_us
+        |             THEN epoch_us(e.ts) - s.s_us END) AS latency_us
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(quantile_disc(latency_us, 0.5) AS BIGINT) AS p50_us,
+        |  CAST(quantile_disc(latency_us, 0.9) AS BIGINT) AS p90_us
+        |FROM l WHERE latency_us IS NOT NULL""".stripMargin,
 
     "q_dwell_percentiles" ->
       """WITH d AS (

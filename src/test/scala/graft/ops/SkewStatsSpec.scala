@@ -114,4 +114,26 @@ class SkewStatsSpec extends AnyFunSuite {
     // G = (54 − 5·10) / 40 = 0.1; top1 = 3/10, top5 covers all
     assert(got("user_id") == ((100000L, 300000L, 1000000L)))
   }
+
+  test("funnelTime: first purchase AT-OR-AFTER first signup, " +
+      "pre-signup purchases never count") {
+    def ns(sec: Long): Long = sec * 1000000000L
+    // user 1: purchase@5 BEFORE signup@10, then purchase@40 → 30 s
+    // user 2: signup@0, purchases@7 and @20 → first = 7 s
+    // user 3: signup only → not converted
+    val rows = Seq(
+      (1L, 1L, "purchase", ns(5), 1.0), (2L, 1L, "signup", ns(10), 1.0),
+      (3L, 1L, "purchase", ns(40), 1.0),
+      (4L, 2L, "signup", ns(0), 1.0), (5L, 2L, "purchase", ns(7), 1.0),
+      (6L, 2L, "purchase", ns(20), 1.0),
+      (7L, 3L, "signup", ns(3), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ft").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = StatsQueries.funnelTime(spark, dir).head()
+    assert(r.getAs[Long]("n_converted") == 2L)
+    // latencies {30 s, 7 s}: discrete p50 = 7 s, p90 = 30 s
+    assert(r.getAs[Long]("p50_us") == 7000000L)
+    assert(r.getAs[Long]("p90_us") == 30000000L)
+  }
 }
