@@ -215,6 +215,43 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("update mode emits ONLY the windows a batch touched — the " +
+      "incremental-dashboard contract complete mode can't give") {
+    // complete mode rewrites every window per batch (O(state) sink
+    // traffic); update re-emits only changed rows (O(batch)). At 100 TB
+    // the difference is the whole sink bill. foreachBatch collects each
+    // batch's emitted rows so the per-batch delta is observable.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = Ingest.windowedCounts(mem.toDF().toDF("ts", "k"), "ts", "k",
+      watermark = "1 minute", window = "5 minutes")
+      .select(col("window.start").cast("string").as("start"), col("n"))
+    val batches = scala.collection.mutable.Map[Long, Seq[(String, Long)]]()
+    val q = agg.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches(id) = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        }: Unit
+      }
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "a"),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:07:00"), "a"))
+      q.processAllAvailable()
+      // batch 2 touches ONLY the 00:05 window; 00:00 must not re-emit
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 00:08:00"), "a"))
+      q.processAllAvailable()
+      val emitted = batches.synchronized(batches.toMap)
+      val first = emitted.filter(_._2.nonEmpty).minBy(_._1)._2.toSet
+      assert(first == Set(("2024-01-01 00:00:00", 1L),
+        ("2024-01-01 00:05:00", 1L)))
+      val last = emitted.filter(_._2.nonEmpty).maxBy(_._1)._2.toSet
+      assert(last == Set(("2024-01-01 00:05:00", 2L)),
+        s"untouched window re-emitted: $emitted")
+    } finally q.stop()
+  }
+
   test("executed stream-stream interval join equals the batch self-join") {
     val sf = GraftTestSpark.sfDir
     val streamed = StreamQueries.streamIntervalJoin(spark, sf).collect()
