@@ -300,4 +300,53 @@ class EdgeCasesSpec extends AnyFunSuite {
     // target LM is uniform, so the LLR ranks docs by corpus-token rarity
     assert(out(1L) > out(2L) && out(2L) > out(0L))
   }
+
+  test("wave-7/8 graph/dedup ops degrade to empty, not error, on empty " +
+      "or degenerate input") {
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(graft.ops.Graph.triangleStats(emptyPairs).count() == 0)
+    // self-loops and duplicates collapse; a single edge has no triangle
+    val loops = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val t = graft.ops.Graph.triangleStats(loops).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_tri")).toMap
+    assert(t == Map(1L -> 0L, 2L -> 0L))
+    val emptyComps = Seq.empty[(Long, Long)].toDF("id", "component")
+    val docs = Seq((1L, 5L)).toDF("doc_id", "n_chars")
+    assert(Dedup.keepBestPerCluster(emptyComps, docs, "n_chars").count() == 0)
+  }
+
+  test("classBalance on a single class keeps everything; skewReport on " +
+      "one key scores Gini 0 with full top-1 share") {
+    val one = Seq((1L, "only"), (2L, "only"), (3L, "only"))
+      .toDF("id", "cls")
+    val kept = graft.ops.Sampling.classBalance(one, "cls", "id")
+    assert(kept.count() == 3)
+    def ns(sec: Long): Long = sec * 1000000000L
+    val rows = Seq((1L, 7L, "solo", ns(1), 1.0), (2L, 7L, "solo", ns(2), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge1").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.StatsQueries.skewReport(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("gini_micro"),
+        r.getAs[Long]("top1_micro")))).toMap
+    // a single key: perfectly equal "distribution", all mass in top-1
+    assert(got("user_id") == ((0L, 1000000L)))
+    assert(got("event_type") == ((0L, 1000000L)))
+  }
+
+  test("bm25 returns empty when no document contains a query term; " +
+      "funnelTime yields zero conversions without purchases") {
+    val docs = Seq((1L, "pad pad pad", "a", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge2").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(graft.llm.CorpusQueries.bm25Rank(spark, dir).count() == 0)
+    def ns(sec: Long): Long = sec * 1000000000L
+    Seq((1L, 1L, "signup", ns(1), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.ops.StatsQueries.funnelTime(spark, dir).head()
+    assert(r.getAs[Long]("n_converted") == 0L)
+  }
 }
