@@ -409,6 +409,19 @@ object CorpusQueries {
     * ([[graft.ops.Sampling.md5RankSample]]) — reproducible down-sampling
     * for eval sets and ablations, WindowGroupLimit-pruned per group.
     */
+  /** T=2 temperature mix of 2000 docs across sources
+    * ([[graft.ops.Sampling.temperatureMix]]): √n-flattened draw counts,
+    * md5-rank membership — oracle-exact because sqrt (unlike pow) is
+    * correctly-rounded IEEE and the allocation is integer arithmetic.
+    */
+  def temperatureMixDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMix(
+        table(spark, dir, "documents").select(col("doc_id"), col("source")),
+        groupCol = "source", idCol = "doc_id", budget = 2000L,
+        temperature = 2.0)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.md5RankSample(
         table(spark, dir, "documents").select(col("doc_id"), col("source")),
@@ -959,6 +972,7 @@ object CorpusQueries {
     "q_source_overlap" -> (sourceOverlap _),
     "q_inverted_index" -> (invertedIndex _),
     "q_bm25_rank" -> (bm25Rank _),
+    "q_temperature_mix" -> (temperatureMixDocs _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
     "q_cooccur_pairs" -> (cooccurPairs _),
@@ -1119,6 +1133,25 @@ object CorpusQueries {
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH n AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n,
+        |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS wm FROM n),
+        |t AS (SELECT CAST(sum(wm) AS BIGINT) AS tw FROM w),
+        |a AS (
+        |  SELECT source, least(n, (2000 * wm) // tw) AS alloc
+        |  FROM w, t),
+        |r AS (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.source, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r JOIN a USING (source) WHERE rk <= alloc
+        |ORDER BY source, rk""".stripMargin,
 
     "q_bm25_rank" ->
       """WITH tok AS (

@@ -156,6 +156,49 @@ object Sampling {
       .filter(col("rk") <= k)
   }
 
+  /** Temperature-flattened source mixing (the T knob of multilingual /
+    * multi-source LM training, Conneau & Lample arXiv 1901.07291):
+    * per-source draw counts ∝ n_s^(1/T) scaled to `budget` rows — T=1
+    * keeps the natural distribution, T→∞ approaches uniform, T=2 (the
+    * common default) is √n flattening. Draws are md5-rank (layout- and
+    * engine-reproducible), capped at each source's population.
+    *
+    * Engine-parity design: n^(1/T) is a libm `pow` whose last ulp is NOT
+    * portable across engines — so weights enter integer space FIRST
+    * (floor(w·10⁶), exact for sqrt which IS correctly-rounded IEEE) and
+    * the allocation budget·w_micro // ΣW is pure integer arithmetic,
+    * identical everywhere. Σ over sources is an integer sum — no
+    * float merge-order hazard. Source counts collect to the driver
+    * (one row per source — the sourceOverlap cardinality argument);
+    * the rank filter joins the broadcast allocation after a
+    * literal-capped WindowGroupLimit prune at max(alloc).
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+                     budget: Long, temperature: Double): DataFrame = {
+    require(temperature > 0.0, s"temperature must be positive: $temperature")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    val wMicro = counts.map { case (g, n) =>
+      (g, n, math.floor(math.pow(n.toDouble, 1.0 / temperature) * 1e6).toLong)
+    }
+    val wSum = wMicro.map(_._3).sum
+    val alloc = wMicro.map { case (g, n, wm) =>
+      (g, math.min(n, budget * wm / wSum))
+    }.toSeq.toDF(groupCol, "__alloc")
+    val maxAlloc = alloc.agg(max(col("__alloc"))).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= lit(maxAlloc)) // literal: WindowGroupLimit fires
+      .join(broadcast(alloc), groupCol)
+      .filter(col("rk") <= col("__alloc"))
+      .drop("__alloc")
+  }
+
   /** Balanced per-class downsampling to the MINORITY class size — the
     * class-rebalancing pass before training on skewed labels. Same
     * md5-rank draw as [[md5RankSample]] (layout/engine-reproducible,

@@ -135,4 +135,30 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("temperatureMix: T=2 flattens toward uniform, budget respected, " +
+      "layout-stable") {
+    // 900 vs 100: natural shares .9/.1; sqrt weights 30/10 → T=2 shares
+    // .75/.25 — the big source gives up mass, the small one gains
+    val df = ((1L to 900L).map(i => (i, "big"))
+      ++ (901L to 1000L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = Sampling.temperatureMix(df, "src", "id",
+      budget = 200L, temperature = 2.0)
+    val by = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact integer allocation: wm = {30e6, 10e6}, W = 40e6 →
+    // big = 200·30/40 = 150, small = 200·10/40 = 50
+    assert(by == Map("big" -> 150L, "small" -> 50L))
+    // higher T → closer to uniform (small source gains further)
+    val flat = Sampling.temperatureMix(df, "src", "id",
+      budget = 200L, temperature = 8.0)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("small") > by("small"))
+    // draw membership is layout-independent
+    val again = Sampling.temperatureMix(df.repartition(13, $"id"), "src",
+      "id", budget = 200L, temperature = 2.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }
