@@ -422,6 +422,18 @@ object CorpusQueries {
       .select("source", "rk", "doc_id")
       .orderBy("source", "rk")
 
+  /** Deterministic source-interleaved training order
+    * ([[graft.ops.Sampling.roundRobinInterleave]]): first 100 positions
+    * of the balanced cycle — consecutive positions rotate sources
+    * instead of streaming one source's docs in a run.
+    */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.roundRobinInterleave(
+        table(spark, dir, "documents").select(col("doc_id"), col("source")),
+        bucketCol = "source", idCol = "doc_id")
+      .orderBy("pos").limit(100)
+      .select(col("pos"), col("source"), col("doc_id"))
+
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.md5RankSample(
         table(spark, dir, "documents").select(col("doc_id"), col("source")),
@@ -973,6 +985,7 @@ object CorpusQueries {
     "q_inverted_index" -> (invertedIndex _),
     "q_bm25_rank" -> (bm25Rank _),
     "q_temperature_mix" -> (temperatureMixDocs _),
+    "q_curriculum_order" -> (curriculumOrder _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
     "q_cooccur_pairs" -> (cooccurPairs _),
@@ -1133,6 +1146,21 @@ object CorpusQueries {
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum_order" ->
+      """WITH bi AS (
+        |  SELECT source,
+        |    row_number() OVER (ORDER BY source) - 1 AS bi
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi),
+        |r AS (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT CAST((r.rk - 1) * nb.n + bi.bi AS BIGINT) AS pos,
+        |       r.source, r.doc_id
+        |FROM r JOIN bi USING (source) CROSS JOIN nb
+        |ORDER BY pos LIMIT 100""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH n AS (

@@ -199,6 +199,38 @@ object Sampling {
       .drop("__alloc")
   }
 
+  /** Balanced round-robin interleave — the deterministic "training
+    * order" shuffle: rows take a global position by (within-bucket
+    * md5-rank, then bucket), so consecutive positions cycle through the
+    * buckets (sources, difficulty bands, languages) instead of streaming
+    * one bucket at a time. Order-sensitive training (curriculum, loss
+    * spikes from domain runs) wants exactly this; rand() shuffles are
+    * layout-dependent and irreproducible across engines.
+    *
+    * Scale: the rank window partitions per bucket (the md5RankSample
+    * shape); the global position is ARITHMETIC (rank − 1) · nBuckets +
+    * bucketIndex — no global sort, no second window. A writer then
+    * range-partitions on `pos`, which is the one global exchange any
+    * total order costs.
+    */
+  def roundRobinInterleave(df: DataFrame, bucketCol: String,
+                           idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val buckets = df.select(col(bucketCol).cast("string").as("b"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val idx = buckets.zipWithIndex.map { case (b, i) => (b, i.toLong) }
+      .toSeq.toDF(bucketCol, "__bi")
+    val n = buckets.length.toLong
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w).cast("bigint"))
+      .join(broadcast(idx), bucketCol)
+      .withColumn("pos", (col("__rk") - 1L) * n + col("__bi"))
+      .drop("__rk", "__bi")
+  }
+
   /** Balanced per-class downsampling to the MINORITY class size — the
     * class-rebalancing pass before training on skewed labels. Same
     * md5-rank draw as [[md5RankSample]] (layout/engine-reproducible,

@@ -161,4 +161,20 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("roundRobinInterleave: positions are unique and cycle buckets " +
+      "while every bucket still has rows") {
+    val df = ((1L to 6L).map(i => (i, "a")) ++ (7L to 9L).map(i => (i, "b"))
+      ++ (10L to 12L).map(i => (i, "c"))).toDF("id", "bkt")
+    val out = Sampling.roundRobinInterleave(df, "bkt", "id")
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("bkt")))
+    assert(out.map(_._1).distinct.length == 12)
+    // first 9 positions: all three buckets alive → strict a,b,c rotation
+    assert(out.take(9).map(_._2).toSeq ==
+      Seq("a", "b", "c", "a", "b", "c", "a", "b", "c"))
+    // b and c exhausted after rank 3: the tail is a's overflow, with the
+    // arithmetic position keeping the global order gap-free-sortable
+    assert(out.drop(9).map(_._2).forall(_ == "a"))
+  }
 }
