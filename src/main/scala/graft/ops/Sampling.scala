@@ -180,7 +180,12 @@ object Sampling {
     import spark.implicits._
     val counts = df.groupBy(groupCol)
       .agg(count(lit(1)).cast("long").as("n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .collect().map { r =>
+        // a null group would NPE below and has no defensible allocation —
+        // fail with the contract, not a stack trace
+        require(!r.isNullAt(0), s"$groupCol keys must be non-null")
+        (r.get(0).toString, r.getLong(1))
+      }
     val wMicro = counts.map { case (g, n) =>
       (g, n, math.floor(math.pow(n.toDouble, 1.0 / temperature) * 1e6).toLong)
     }
@@ -218,17 +223,23 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val buckets = df.select(col(bucketCol).cast("string").as("b"))
-      .distinct().collect().map(_.getString(0)).sorted
+      .distinct().collect().map { r =>
+        require(!r.isNullAt(0), s"$bucketCol keys must be non-null")
+        r.getString(0)
+      }.sorted // string order: deterministic, which is the contract
     val idx = buckets.zipWithIndex.map { case (b, i) => (b, i.toLong) }
-      .toSeq.toDF(bucketCol, "__bi")
+      .toSeq.toDF("__b", "__bi")
     val n = buckets.length.toLong
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rk", row_number().over(w).cast("bigint"))
-      .join(broadcast(idx), bucketCol)
+      // join on the CAST key so a non-string bucket column can't smuggle
+      // in a lossy numeric coercion of the compare
+      .withColumn("__b", col(bucketCol).cast("string"))
+      .join(broadcast(idx), "__b")
       .withColumn("pos", (col("__rk") - 1L) * n + col("__bi"))
-      .drop("__rk", "__bi")
+      .drop("__rk", "__bi", "__b")
   }
 
   /** Balanced per-class downsampling to the MINORITY class size — the
