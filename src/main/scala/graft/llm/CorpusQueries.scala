@@ -434,6 +434,40 @@ object CorpusQueries {
       .orderBy("pos").limit(100)
       .select(col("pos"), col("source"), col("doc_id"))
 
+  /** Fixed-window document chunking with overlap (window 32 tokens,
+    * stride 24 → 8-token overlap) — the RAG/embedding prep step that
+    * turns documents into retrievable passages, with the provenance a
+    * citation needs (doc_id, chunk_id, start token offset). The chunk
+    * body is emitted as its md5 (bounded output; a production run would
+    * write the text itself — same plan). Chunk count per doc is
+    * 1 + max(0, ⌈(n−w)/s⌉) via integer arithmetic; the per-doc explode
+    * is the only fan-out (≤ n/s rows per doc), and everything else is
+    * per-row expression work — zero shuffles before the output sort.
+    *
+    * Parity notes: the ceil numerator n−w+s−1 can go negative on tiny
+    * docs, where Spark's `div` truncates toward zero and DuckDB's `//`
+    * floors — greatest(0, ·) erases the difference on BOTH engines.
+    * Slice bounds clamp identically (Spark slice length vs DuckDB
+    * inclusive list ranges, both 1-based).
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (32, 24)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__extra",
+        greatest(lit(0), expr(s"(__n - $w + ${s - 1}) div $s").cast("int")))
+      .withColumn("chunk_id", explode(sequence(lit(0), col("__extra"))))
+      .withColumn("start_tok", col("chunk_id").cast("bigint") * s)
+      .select(col("doc_id"), col("chunk_id").cast("bigint").as("chunk_id"),
+        col("start_tok"),
+        size(slice(col("__toks"), (col("chunk_id") * s + 1), lit(w)))
+          .cast("bigint").as("n_tokens"),
+        md5(array_join(slice(col("__toks"), (col("chunk_id") * s + 1),
+          lit(w)), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.md5RankSample(
         table(spark, dir, "documents").select(col("doc_id"), col("source")),
@@ -986,6 +1020,7 @@ object CorpusQueries {
     "q_bm25_rank" -> (bm25Rank _),
     "q_temperature_mix" -> (temperatureMixDocs _),
     "q_curriculum_order" -> (curriculumOrder _),
+    "q_chunk_docs" -> (chunkDocs _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
     "q_cooccur_pairs" -> (cooccurPairs _),
@@ -1146,6 +1181,26 @@ object CorpusQueries {
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, 1 + greatest(0, (n - 32 + 23) // 24)))
+        |      AS chunk_id
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+        |    toks[chunk_id * 24 + 1 : chunk_id * 24 + 32] AS ch
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(ch) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(ch, ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_curriculum_order" ->
       """WITH bi AS (

@@ -672,4 +672,23 @@ class CorpusQueriesSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(math.abs(got(1L)._2 - expect1) < 2e-6, s"${got(1L)._2} vs $expect1")
   }
+
+  test("chunkDocs: stride-24/window-32 chunks cover every token with " +
+      "8-token overlap; short docs yield one whole chunk") {
+    val text40 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val text10 = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, text40, "a", "s"), (2L, text10, "a", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CorpusQueries.chunkDocs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens")))).toMap
+    // 40 tokens: chunk 0 = [1..32], chunk 1 = [25..40] (16 tokens) —
+    // tokens 25..32 covered twice (the 8-token overlap), none missed
+    assert(got == Map(
+      (1L, 0L) -> ((0L, 32L)), (1L, 1L) -> ((24L, 16L)),
+      (2L, 0L) -> ((0L, 10L))))
+  }
 }
