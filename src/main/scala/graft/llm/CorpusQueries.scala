@@ -468,6 +468,22 @@ object CorpusQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Cross-document repeated passages: the [[chunkDocs]] fingerprints
+    * aggregated by chunk body — passages appearing in 2+ documents are
+    * boilerplate (headers, licenses, templates), the chunk-granular
+    * complement of doc-level dedup and the q_dup_spans signal at
+    * passage resolution. One count aggregate on the 16-byte md5 key;
+    * top-50 by (n_docs desc, md5) via TakeOrderedAndProject.
+    */
+  def chunkDupes(spark: SparkSession, dir: String): DataFrame =
+    chunkDocs(spark, dir)
+      .groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).cast("bigint").as("n_docs"),
+        count(lit(1)).cast("bigint").as("n_chunks"))
+      .filter(col("n_docs") >= 2L)
+      .orderBy(desc("n_docs"), desc("n_chunks"), asc("chunk_md5"))
+      .limit(50)
+
   def hashSample(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.md5RankSample(
         table(spark, dir, "documents").select(col("doc_id"), col("source")),
@@ -1021,6 +1037,7 @@ object CorpusQueries {
     "q_temperature_mix" -> (temperatureMixDocs _),
     "q_curriculum_order" -> (curriculumOrder _),
     "q_chunk_docs" -> (chunkDocs _),
+    "q_chunk_dupes" -> (chunkDupes _),
     "q_dup_spans" -> (dupSpans _),
     "q_weighted_sample" -> (weightedSampleDocs _),
     "q_cooccur_pairs" -> (cooccurPairs _),
@@ -1181,6 +1198,30 @@ object CorpusQueries {
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_dupes" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, 1 + greatest(0, (n - 32 + 23) // 24)))
+        |      AS chunk_id
+        |  FROM d),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '))
+        |      AS chunk_md5
+        |  FROM c)
+        |SELECT chunk_md5,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks
+        |FROM h GROUP BY chunk_md5
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_chunks DESC, chunk_md5
+        |LIMIT 50""".stripMargin,
 
     "q_chunk_docs" ->
       """WITH d AS (
