@@ -101,6 +101,50 @@ object MlQueries {
     } finally sized.release()
   }
 
+  /** Per-class confusion statistics — the diagnosis behind the
+    * q_ml_pipeline summary numbers: for each true class, support,
+    * correct predictions, and precision/recall/F1 in floor micro-units
+    * (the rational-score contract). Runs the cheaper logistic head
+    * (Stages.logistic — deterministic LBFGS on standardized features)
+    * so the bench doesn't pay a second forest fit; the confusion counts
+    * themselves are one groupBy over the cached prediction frame, and
+    * the per-class rates are exact integer ratios of those counts.
+    */
+  def confusionStats(spark: SparkSession, dir: String): DataFrame = {
+    val sized = cacheSized(crimeShaped(spark, dir))
+    try {
+      val Array(train, holdout) =
+        sized.frame.randomSplit(Array(0.7, 0.3), seed = 0L)
+      val model = CrimePipeline.build(schema, Stages.logistic()).fit(train)
+      val preds = model.transform(holdout)
+        .select(col("label").cast("bigint").as("label"),
+          col("prediction").cast("bigint").as("prediction")).cache()
+      try {
+        val support = preds.groupBy("label")
+          .agg(count(lit(1)).as("support"),
+            sum((col("prediction") === col("label")).cast("long")).as("tp"))
+        val predicted = preds.groupBy(col("prediction").as("label"))
+          .agg(count(lit(1)).as("pred_n"))
+        val mr = graft.llm.TextStats.microRatio _
+        val out = support.join(predicted, Seq("label"), "left")
+          .select(col("label"), col("support").cast("bigint").as("support"),
+            col("tp").cast("bigint").as("tp"),
+            mr(col("tp"), coalesce(col("pred_n"), lit(0L)))
+              .as("precision_micro"),
+            mr(col("tp"), col("support")).as("recall_micro"),
+            // F1 = 2·tp / (support + pred_n): the harmonic mean in one
+            // exact integer ratio (both denominators are counts)
+            mr(lit(2L) * col("tp"),
+              col("support") + coalesce(col("pred_n"), lit(0L)))
+              .as("f1_micro"))
+          .orderBy("label")
+        val rows = out.collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toSeq), out.schema)
+      } finally preds.unpersist(blocking = false)
+    } finally sized.release()
+  }
+
   /** ML2+ML3 alone (crime.py:132-137): scale lon/lat, KMeans k=10 seed=0,
     * report cluster-size distribution (the id-free comparison form).
     */
@@ -138,6 +182,7 @@ object MlQueries {
 
   val all: Map[String, Q] = Map(
     "q_ml_pipeline" -> (mlPipeline _),
+    "q_ml_confusion" -> (confusionStats _),
     "q_ml_cluster_sizes" -> (clusterSizes _),
     "q_target_encode" -> (targetEncode _)
   )

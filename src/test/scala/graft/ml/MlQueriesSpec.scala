@@ -44,4 +44,25 @@ class MlQueriesSpec extends AnyFunSuite {
     assert(a == a.sortBy(-_), s"not size-descending: $a")
     assert(a.size == 10 && a.sum > 0)
   }
+
+  test("q_ml_confusion: rates bounded, counts consistent, stable " +
+      "across sessions") {
+    def run(s: org.apache.spark.sql.SparkSession) =
+      MlQueries.confusionStats(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSeq
+    val a = run(spark)
+    assert(a.nonEmpty)
+    a.foreach { case (_, support, tp, p, rec, f1) =>
+      assert(tp <= support)
+      assert(Seq(p, rec, f1).forall(v => v >= 0L && v <= 1000000L))
+      // F1 is between min and max of precision/recall (harmonic mean),
+      // modulo 1 micro-unit of independent flooring
+      assert(f1 >= math.min(p, rec) - 1 && f1 <= math.max(p, rec) + 1,
+        s"f1 $f1 outside [$p, $rec]")
+    }
+    // holdout support equals the 30% split the pipeline query uses
+    assert(a.map(_._2).sum > 0)
+    assert(run(spark.newSession()) == a)
+  }
 }
