@@ -593,6 +593,23 @@ object ScaleCheck {
         ssOk, s"src $smallS2\nbig $bigS2")
     }
 
+    // suffixed replication renames tokens but preserves token COUNTS, so
+    // chunk structure (offsets, sizes, row counts) replicates exactly and
+    // replica-0 — unsuffixed — is bit-identical down to the chunk md5s
+    timed("chunking (sf1 + compare)") {
+      val bigC = llm.CorpusQueries.chunkDocs(spark, out).localCheckpoint()
+      val smallC = llm.CorpusQueries.chunkDocs(spark, src)
+      val cBad = bigC.filter(col("doc_id") < Stride).unionByName(smallC)
+        .groupBy(smallC.columns.map(col): _*)
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 chunking == sf0.1 bit-for-bit incl. md5")(cBad == 0,
+        s"$cBad odd rows")
+      val (cb, cs) = (bigC.count(), smallC.count())
+      check(s"chunk rows scale x$replicas")(cb == cs * replicas,
+        s"$cb vs $cs x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigC)
+    }
+
     // per-source doc counts scale xR, so the balanced draw must keep
     // exactly R x the source minority count in every class
     timed("class balance (sf1)") {
