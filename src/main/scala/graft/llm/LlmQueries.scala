@@ -242,6 +242,28 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** Leakage-safe train/test split: assignment is hashed from each
+    * doc's DUP-CLUSTER representative, not the doc id — so a near-dup
+    * pair can never straddle the split (the classic eval contamination:
+    * a test doc's near-copy in train inflates every metric). Plain
+    * hash-split-by-id fails exactly this; hashing the component id
+    * moves whole clusters together. Split = md5(component) first byte
+    * < 0.8·256 → train (~80/20), deterministic on any engine/layout.
+    * Oracle: the q_dup_clusters recursive closure + the same md5 rule.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val nodes = docs.filter(col("doc_id") < 200L)
+      .select(col("doc_id").as("id"))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+      maxId = 200L)
+    Dedup.connectedComponents(nodes, pairs)
+      .select(col("id").as("doc_id"), col("component"),
+        (conv(substring(md5(col("component").cast("string")), 1, 2), 16, 10)
+          .cast("long") < 205L).cast("bigint").as("in_train"))
+      .orderBy("doc_id")
+  }
+
   /** Curation-aware dedup: the transitive clusters resolved to ONE
     * canonical doc each by (max n_chars, ties to min doc_id) — the
     * keep-best policy real pipelines use instead of keep-first (a dup
@@ -574,6 +596,7 @@ object LlmQueries {
     "q_dup_clusters" -> (dupClusters _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_triangle_stats" -> (triangleStats _),
+    "q_leakage_safe_split" -> (leakageSafeSplit _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -783,6 +806,31 @@ object LlmQueries {
         |            ((d.deg * (d.deg - 1)) // 2) END AS lcc_micro
         |FROM d LEFT JOIN n USING (node)
         |ORDER BY node""".stripMargin,
+
+    "q_leakage_safe_split" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM sh
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |comp AS (
+        |  SELECT id, CAST(min(r) AS BIGINT) AS component
+        |  FROM reach GROUP BY id)
+        |SELECT id AS doc_id, component,
+        |  CAST(CASE WHEN CAST('0x' ||
+        |      substring(md5(CAST(component AS VARCHAR)), 1, 2) AS BIGINT)
+        |    < 205 THEN 1 ELSE 0 END AS BIGINT) AS in_train
+        |FROM comp ORDER BY doc_id""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH RECURSIVE sh AS (

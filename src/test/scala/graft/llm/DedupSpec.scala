@@ -223,6 +223,25 @@ class DedupSpec extends AnyFunSuite {
     assert(rows == Seq(8, 16, 32))
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the split, both " +
+      "sides populated") {
+    val sf = graft.GraftTestSpark.sfDir
+    val split = graft.llm.LlmQueries.leakageSafeSplit(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("in_train")).toMap
+    val sides = split.values.toSet
+    assert(sides == Set(0L, 1L), s"degenerate split: $sides")
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+      maxId = 200L).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) straddles the split")
+    }
+  }
+
   test("cmsParams: textbook sizing, monotone in both knobs") {
     // ε=0.001, δ=0.01: w = ⌈e/0.001⌉ = 2719, d = ⌈ln 100⌉ = 5 → ~106 KiB
     val (w, d, bytes) = Dedup.cmsParams(0.001, 0.01)
