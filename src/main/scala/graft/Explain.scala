@@ -16,7 +16,7 @@ object Explain {
     "q_stream_dedup", "q_stream_enrich", "q_orc_roundtrip",
     "q_pq_topk", "q_pagerank", "q_ivf_topk",
     "q_stream_interval_join", "q_approx_heavy_hitters", "q_source_kl",
-    "q_dedup_keep_best", "q_leakage_safe_split")
+    "q_dedup_keep_best", "q_leakage_safe_split", "q_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -242,6 +242,31 @@ object LlmQueries {
       .orderBy("node")
   }
 
+  /** Degree assortativity of the blocked near-dup graph
+    * ([[graft.ops.Graph.assortativity]]) — near-1 on clique-structured
+    * dup graphs (every member of a clique has the same degree), dropping
+    * when chains/bridges appear. Oracle: DuckDB corr over the same
+    * symmetrized degree pairs (the q_corr_matrix round-6 contract).
+    */
+  def dupAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.ops.Graph.assortativity(
+      Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9, maxId = 200L))
+  }
+
+  /** k-core kernel of the blocked near-dup graph (k=3): the members of
+    * tightly-knit dup communities, with their within-core degrees —
+    * rows-only (the peel's round count is data-dependent), spec-gated
+    * on hand graphs in GraphSpec.
+    */
+  def dupKcore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    graft.ops.Graph.kCore(
+        Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9, maxId = 200L),
+        k = 3)
+      .orderBy("node")
+  }
+
   /** Leakage-safe train/test split: assignment is hashed from each
     * doc's DUP-CLUSTER representative, not the doc id — so a near-dup
     * pair can never straddle the split (the classic eval contamination:
@@ -597,6 +622,8 @@ object LlmQueries {
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_triangle_stats" -> (triangleStats _),
     "q_leakage_safe_split" -> (leakageSafeSplit _),
+    "q_assortativity" -> (dupAssortativity _),
+    "q_kcore" -> (dupKcore _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langId _),
     "q_quality_score" -> (qualityScore _),
@@ -806,6 +833,27 @@ object LlmQueries {
         |            ((d.deg * (d.deg - 1)) // 2) END AS lcc_micro
         |FROM d LEFT JOIN n USING (node)
         |ORDER BY node""".stripMargin,
+
+    "q_assortativity" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (
+        |  SELECT a.id AS u, b.id AS v
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |d AS (
+        |  SELECT node, count(*) AS deg
+        |  FROM (SELECT u AS node FROM p UNION ALL SELECT v FROM p)
+        |  GROUP BY node),
+        |e AS (
+        |  SELECT du.deg AS a, dv.deg AS b
+        |  FROM p JOIN d du ON du.node = p.u JOIN d dv ON dv.node = p.v),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)
+        |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+        |       round(corr(a, b), 6) AS assortativity
+        |FROM sym""".stripMargin,
 
     "q_leakage_safe_split" ->
       """WITH RECURSIVE sh AS (

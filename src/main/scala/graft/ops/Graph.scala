@@ -64,6 +64,81 @@ object Graph {
     ranks
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete nodes
+    * of degree < k until none remain; survivors form the k-core — the
+    * "dense kernel" membership test (spam rings, tight dup communities)
+    * that degree alone can't answer (a hub wired to leaves has high
+    * degree and no core). Each round is one degree aggregate + one
+    * semi-join filter, checkpoint-per-round with eager release (the
+    * pageRank/CC discipline); rounds are bounded by the peel depth,
+    * which is small on real graphs (each round removes every
+    * currently-underqualified node at once, not one node at a time).
+    *
+    * Returns the k-core's (node, deg_in_core). Not oracle-able — the
+    * fixpoint's round count is data-dependent — so the contract is
+    * spec-level: hand graphs with known cores, plus the invariant every
+    * returned degree ≥ k.
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    require(k >= 1, s"k must be >= 1: $k")
+    var cur = edges
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val deg = cur.select(col("u").as("node"))
+        .union(cur.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint()
+      converged = next.count() == cur.count()
+      bridge.releaseLocalCheckpoint(cur)
+      cur = next
+      iter += 1
+    }
+    require(converged, s"k-core peel did not converge in $maxIter rounds")
+    // materialize BEFORE releasing cur: the result must not read through
+    // a truncated checkpoint lineage (the CC/pageRank release rule)
+    val out = cur.select(col("u").as("node"))
+      .union(cur.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("bigint").as("deg_in_core"))
+      .localCheckpoint()
+    bridge.releaseLocalCheckpoint(cur)
+    out
+  }
+
+  /** Degree assortativity: Pearson correlation of endpoint degrees over
+    * the (symmetrized) edge list — positive means hubs link hubs
+    * (social/community structure), negative means hubs link leaves
+    * (star/broadcast structure). One degree aggregate, two joins keyed
+    * by node, one corr — all single-pass; round-6 on the corr is the
+    * q_corr_matrix contract.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    // symmetrize: an undirected edge contributes both (du,dv) and (dv,du)
+    withDeg.select(col("du").as("a"), col("dv").as("b"))
+      .union(withDeg.select(col("dv").as("a"), col("du").as("b")))
+      .agg((count(lit(1)) / 2).cast("bigint").as("n_edges"),
+        round(corr(col("a"), col("b")), 6).as("assortativity"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient by
     * degree-ordered edge orientation (Suri & Vassilvitskii, WWW'11 —
     * "the curse of the last reducer"): orient every undirected edge from

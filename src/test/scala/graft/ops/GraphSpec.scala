@@ -93,4 +93,23 @@ class GraphSpec extends AnyFunSuite {
       4L -> ((3L, 3L, 1000000L)),
       5L -> ((1L, 0L, 0L))))       // pendant: deg<2 degrades to 0
   }
+
+  test("kCore: peeling removes the pendant but keeps the clique; chains " +
+      "dissolve entirely; cascades peel transitively") {
+    // K4 + pendant, k=3: pendant goes, K4 survives with degrees 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val core = Graph.kCore(k4, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("deg_in_core")).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a chain has no 2-core; removal must CASCADE (ends peel first,
+    // exposing the middle) — the one-pass filter would wrongly keep b-c
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Graph.kCore(chain, k = 2).count() == 0)
+    // triangle + tail: the tail cascades off, the triangle is the 2-core
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val c2 = Graph.kCore(tri, k = 2).collect().map(_.getLong(0)).toSet
+    assert(c2 == Set(1L, 2L, 3L))
+  }
 }
