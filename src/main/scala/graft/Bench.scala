@@ -50,14 +50,17 @@ object Bench {
         }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      if (attempts.exists(!_._1)) failed += name
-      // an early crash must not LOWER the total vs a slow success — a
-      // failed run is billed a 600 s penalty, so regressions can only
-      // make the benchmark worse, never better
-      val times = attempts.map { case (ok, t) => if (ok) t else 600.0 }
+      val anyFailed = attempts.exists(!_._1)
+      if (anyFailed) failed += name
+      // an early crash must not LOWER the total vs a slow success: ANY
+      // failed run bills the full 600 s penalty (not just a majority —
+      // an intermittent crash whose surviving runs are fast would
+      // otherwise report its fast median and hide the regression), so
+      // regressions can only make the benchmark worse, never better
+      val times = attempts.map(_._2)
       // median of the sorted runs (upper median for even runs — the
       // conservative pick: never better than half the observations)
-      name -> times.sorted.apply(runs / 2)
+      name -> (if (anyFailed) 600.0 else times.sorted.apply(runs / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

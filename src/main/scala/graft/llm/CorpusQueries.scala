@@ -731,7 +731,11 @@ object CorpusQueries {
     * MATERIALIZED (each s{i} is referenced twice — pair counting and the
     * next merge — and DuckDB inlines plain CTEs). String ops mirror the
     * Spark side op-for-op: same sentinels, same LTR `replace`, same
-    * (count desc, left, right) tie-break.
+    * (count desc, left, right) tie-break. Merge EXHAUSTION (corpus
+    * supports fewer than k merges) is guarded: m_i is then empty, and the
+    * LEFT JOIN ON TRUE carries s_{i-1} forward unchanged — a CROSS JOIN
+    * would empty every later s_i and zero the vocab arm, while bpeTrain
+    * stops early and reports the final segmentation.
     */
   private def bpeOracleCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
@@ -746,10 +750,10 @@ object CorpusQueries {
          |m$i AS MATERIALIZED (
          |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |s$i AS MATERIALIZED (
-         |  SELECT c, replace(seg,
+         |  SELECT c, CASE WHEN m.l IS NULL THEN seg ELSE replace(seg,
          |    chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
-         |    chr(1) || m.l || m.r || chr(2)) AS seg
-         |  FROM s${i - 1} CROSS JOIN m$i m)""".stripMargin
+         |    chr(1) || m.l || m.r || chr(2)) END AS seg
+         |  FROM s${i - 1} LEFT JOIN m$i m ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH tok AS (
        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

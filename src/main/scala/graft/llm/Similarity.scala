@@ -191,17 +191,29 @@ object Similarity {
       .select(col("query_id"), col("id_a"), col("relraw_a"), col("rel_a"),
         col("id_b"), col("relraw_b"), col("rel_b"),
         cosine(col("va"), col("vb")).as("sim_raw"))
+    // the pair frame alone drops 1-candidate pools (no id_a < id_b row
+    // exists, so the query never reaches flatMapGroups and silently
+    // vanishes while the oracle emits its single candidate at rk=1) —
+    // union every candidate as a sentinel self-row so each pool is
+    // registered independently of pair existence
+    val singles = cand.select(col("query_id"),
+      col("neighbor_id").as("id_a"), col("rel_raw").as("relraw_a"),
+      col("rel").as("rel_a"), lit(Long.MinValue).as("id_b"),
+      lit(0.0).as("relraw_b"), lit(0.0).as("rel_b"), lit(0.0).as("sim_raw"))
+    val grouped = pairs.unionByName(singles)
       .as[(Long, Long, Double, Double, Long, Double, Double, Double)]
     val lam = lambda
     val kk = k
-    pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+    grouped.groupByKey(_._1).flatMapGroups { (qid, it) =>
       val relRaw = scala.collection.mutable.Map.empty[Long, Double]
       val relOut = scala.collection.mutable.Map.empty[Long, Double]
       val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
       it.foreach { case (_, ia, rra, ra, ib, rrb, rb, s) =>
         relRaw(ia) = rra; relOut(ia) = ra
-        relRaw(ib) = rrb; relOut(ib) = rb
-        sim((ia, ib)) = s; sim((ib, ia)) = s
+        if (ib != Long.MinValue) {
+          relRaw(ib) = rrb; relOut(ib) = rb
+          sim((ia, ib)) = s; sim((ib, ia)) = s
+        }
       }
       val remaining = scala.collection.mutable.SortedSet.empty[Long] ++ relRaw.keys
       val selected = scala.collection.mutable.ArrayBuffer.empty[Long]

@@ -558,8 +558,12 @@ object RelationalQueries {
             pk: String): DataFrame = {
       val c = table(spark, dir, childT).select(col(ck).as("k"))
       val p = table(spark, dir, parentT).select(col(pk).as("k"))
+      // coalesce: sum over an EMPTY child table is NULL, and the oracle's
+      // arm reports 0 there — latent only (TPC-H children are non-empty),
+      // but the degenerate input should keep the arm total
       val counts = c.agg(count(lit(1)).cast("bigint").as("child_rows"),
-        sum(col("k").isNull.cast("long")).cast("bigint").as("null_keys"))
+        coalesce(sum(col("k").isNull.cast("long")), lit(0L))
+          .cast("bigint").as("null_keys"))
       val orphans = c.filter(col("k").isNotNull)
         .join(p, Seq("k"), "left_anti")
         .agg(count(lit(1)).cast("bigint").as("orphans"))

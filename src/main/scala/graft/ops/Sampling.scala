@@ -165,41 +165,52 @@ object Sampling {
     *
     * Engine-parity design: n^(1/T) is a libm `pow` whose last ulp is NOT
     * portable across engines — so weights enter integer space FIRST
-    * (floor(w·10⁶), exact for sqrt which IS correctly-rounded IEEE) and
-    * the allocation budget·w_micro // ΣW is pure integer arithmetic,
-    * identical everywhere. Σ over sources is an integer sum — no
-    * float merge-order hazard. Source counts collect to the driver
-    * (one row per source — the sourceOverlap cardinality argument);
-    * the rank filter joins the broadcast allocation after a
-    * literal-capped WindowGroupLimit prune at max(alloc).
+    * (floor(w·10⁶)) and the allocation budget·w_micro // ΣW is pure
+    * integer arithmetic, identical everywhere. T=2 (the oracled path)
+    * computes √n via `sqrt`, which IS correctly-rounded IEEE on both
+    * engines — general T keeps `pow` and is documented reproducible but
+    * not oracle-exact to the last ulp. Σ over sources is an integer
+    * sum — no float merge-order hazard.
+    *
+    * Scale: NOTHING group-sized touches the driver — per-group counts,
+    * weights, and allocations stay a distributed frame keyed by the
+    * group, so `groupCol` may be domain-cardinality (1e7 groups), not
+    * just a source taxonomy. Only two 1-row scalars collect (ΣW and
+    * max alloc — the latter because WindowGroupLimit needs a LITERAL
+    * rank cutoff, the classBalance lesson); the per-row rank then joins
+    * the allocation frame un-hinted (AQE broadcasts it when small).
     */
   def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
                      budget: Long, temperature: Double): DataFrame = {
     require(temperature > 0.0, s"temperature must be positive: $temperature")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val counts = df.groupBy(groupCol)
-      .agg(count(lit(1)).cast("long").as("n"))
-      .collect().map { r =>
-        // a null group would NPE below and has no defensible allocation —
-        // fail with the contract, not a stack trace
-        require(!r.isNullAt(0), s"$groupCol keys must be non-null")
-        (r.get(0).toString, r.getLong(1))
-      }
-    val wMicro = counts.map { case (g, n) =>
-      (g, n, math.floor(math.pow(n.toDouble, 1.0 / temperature) * 1e6).toLong)
-    }
-    val wSum = wMicro.map(_._3).sum
-    val alloc = wMicro.map { case (g, n, wm) =>
-      (g, math.min(n, budget * wm / wSum))
-    }.toSeq.toDF(groupCol, "__alloc")
+    val weight =
+      if (temperature == 2.0) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), lit(1.0 / temperature))
+    val weighted = df.groupBy(groupCol)
+      .agg(count(lit(1)).cast("long").as("__n"))
+      .withColumn("__wm", floor(weight * lit(1e6)).cast("long"))
+      .cache()
+    // one aggregate pass for both scalars: the integer weight mass and
+    // the null-group guard (a null group has no defensible allocation —
+    // fail with the contract, not a downstream NPE)
+    val head = weighted.agg(
+      coalesce(sum(col("__wm")), lit(0L)),
+      coalesce(sum(col(groupCol).isNull.cast("long")), lit(0L))).head()
+    val (wSum, nNull) = (head.getLong(0), head.getLong(1))
+    require(nNull == 0L, s"$groupCol keys must be non-null")
+    val alloc = weighted.select(col(groupCol),
+      least(col("__n"), expr(s"${budget}L * __wm DIV ${wSum}L")).as("__alloc"))
     val maxAlloc = alloc.agg(max(col("__alloc"))).head().getLong(0)
+    // the returned plan depends only on the alloc FRAME SHAPE and the
+    // scalar cutoff; release the cache now (waterfillAlloc pattern) and
+    // let the final query recompute the one cheap map-side-combine agg
+    weighted.unpersist()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("rk", row_number().over(w).cast("bigint"))
       .filter(col("rk") <= lit(maxAlloc)) // literal: WindowGroupLimit fires
-      .join(broadcast(alloc), groupCol)
+      .join(alloc, groupCol)
       .filter(col("rk") <= col("__alloc"))
       .drop("__alloc")
   }
@@ -214,30 +225,43 @@ object Sampling {
     *
     * Scale: the rank window partitions per bucket (the md5RankSample
     * shape); the global position is ARITHMETIC (rank − 1) · nBuckets +
-    * bucketIndex — no global sort, no second window. A writer then
-    * range-partitions on `pos`, which is the one global exchange any
-    * total order costs.
+    * bucketIndex — no global sort over the DATA, no second window. The
+    * bucket index itself is a rank over the DISTINCT-bucket frame
+    * (cardinality-sized, not data-sized), computed by a distributed
+    * range-partitioned sort + zipWithIndex — nothing bucket-sized ever
+    * touches the driver, so `bucketCol` may be domain-cardinality, not
+    * just a source taxonomy. Only the bucket COUNT collects (one
+    * scalar). A writer then range-partitions on `pos`, which is the one
+    * global exchange any total order costs.
+    *
+    * Bucket order is the sort order of the bucket's STRING form
+    * (deterministic, which is the contract; ASCII taxonomies order
+    * identically in every engine).
     */
   def roundRobinInterleave(df: DataFrame, bucketCol: String,
                            idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val buckets = df.select(col(bucketCol).cast("string").as("b"))
-      .distinct().collect().map { r =>
-        require(!r.isNullAt(0), s"$bucketCol keys must be non-null")
-        r.getString(0)
-      }.sorted // string order: deterministic, which is the contract
-    val idx = buckets.zipWithIndex.map { case (b, i) => (b, i.toLong) }
-      .toSeq.toDF("__b", "__bi")
-    val n = buckets.length.toLong
+    val b = df.select(col(bucketCol).cast("string").as("__b")).distinct()
+    val head = b.agg(count(lit(1)),
+      coalesce(sum(col("__b").isNull.cast("long")), lit(0L))).head()
+    val (n, nNull) = (head.getLong(0), head.getLong(1))
+    require(nNull == 0L, s"$bucketCol keys must be non-null")
+    // distinct buckets → total sort order → stable dense index. The sort
+    // is a range-partitioned exchange over the bucket frame only;
+    // zipWithIndex adds one partition-size count job — the standard
+    // scalable "rank without a single-partition window" shape.
+    val idx = b.orderBy("__b").as[String].rdd.zipWithIndex()
+      .toDF("__b", "__bi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(bucketCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rk", row_number().over(w).cast("bigint"))
       // join on the CAST key so a non-string bucket column can't smuggle
-      // in a lossy numeric coercion of the compare
+      // in a lossy numeric coercion of the compare; un-hinted — AQE
+      // broadcasts the index frame when it is taxonomy-small
       .withColumn("__b", col(bucketCol).cast("string"))
-      .join(broadcast(idx), "__b")
+      .join(idx, "__b")
       .withColumn("pos", (col("__rk") - 1L) * n + col("__bi"))
       .drop("__rk", "__bi", "__b")
   }

@@ -285,6 +285,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("rk")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("mmrSelect with a 1-candidate pool emits that candidate at rk=1") {
+    // a singleton pool produces NO id_a < id_b pair row — a first cut that
+    // built per-query state solely from the pair frame never reached
+    // flatMapGroups for such queries and they silently vanished, while
+    // the oracle emits the lone candidate at rk=1
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (10L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(emb, emb.filter($"vec_id" < 1L),
+      m = 5, k = 3, lambda = 0.7).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("rk") == 1L)
+    assert(out.head.getAs[Long]("vec_id") == 10L)
+  }
+
+  test("bpeTrain stops early when merges exhaust before k rounds") {
+    // corpus supports exactly 1 multi-char merge ("ab"); asking for 5
+    // must report 1 merge and a final segmentation, not crash or loop
+    val docs = Seq((0L, "ab ab x"), (1L, "ab y")).toDF("doc_id", "text")
+    val out = graft.llm.CorpusQueries.bpeLearnFromDocs(docs, k = 5).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("left_sym") == "a")
+    assert(out.head.getAs[String]("right_sym") == "b")
+    val vocab = graft.llm.CorpusQueries.bpeVocabFromDocs(docs, k = 5, topK = 10)
+      .collect().map(_.getString(0))
+    assert(vocab.contains("ab")) // the merged symbol survives to the vocab
+  }
+
   test("importance weights survive an absent target slice (uniform target LM)") {
     // no doc matches the target source: t_tot = 0, add-1 smoothing keeps
     // every target logprob at ln(1/(0+V)) — finite, no crash, and the
