@@ -15,6 +15,34 @@ object StreamQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Runs `body` (a streaming start + await) with the state/shuffle
+    * partition count right-sized for the bounded executed runs, restoring
+    * the session conf afterwards.
+    *
+    * WHY: the shuffle-partition count is the canonical stateful-streaming
+    * sizing decision — it is frozen into the checkpoint at the query's
+    * FIRST start and cannot change on restart, so production jobs size it
+    * to expected state volume up front rather than inheriting a
+    * CPU-oriented batch default. Every stateful operator commits one
+    * delta file per state store per micro-batch (a stream-stream join
+    * carries FOUR stores per partition — KeyToNumValues +
+    * KeyWithIndexToValue per side), so over-partitioning multiplies
+    * fixed small-file commit cost that dominates when per-partition state
+    * is small: the executed interval join here holds ~40 k state rows,
+    * and 32 partitions spent 2-3.5 s/batch on empty-batch state commits
+    * alone (measured via BenchOne's progress listener; 8 partitions cut
+    * the query median 8.0 s → 3.3 s with identical results). At 100 TB
+    * the same knob goes UP (thousands), set via
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    */
+  private def withStatePartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Producer framing (stream.py:153-179): batches of 100 rows keyed by
     * row index, one JSON object per batch — then consumer parse
     * ([[Ingest.parsePayload]]) and per-batch aggregation. A full
@@ -65,9 +93,11 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
     val name = "graft_stream_windowed"
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("win_start", "event_type")
   }
 
@@ -98,9 +128,11 @@ object StreamQueries {
       .select(col("window.start").cast("date").cast("string").as("day"),
         col("est_users"))
     val name = "graft_stream_hll"
-    val q = daily.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = daily.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("day")
   }
 
@@ -131,9 +163,11 @@ object StreamQueries {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val name = "graft_stream_dedup"
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("event_type")
   }
 
@@ -181,9 +215,11 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") > col("mu"), 1L).otherwise(0L)).as("n_above"))
     val name = "graft_stream_enrich"
-    val q = enriched.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("event_type")
   }
 
@@ -218,9 +254,11 @@ object StreamQueries {
         col("pts") >= col("cts") &&
         col("pts") <= col("cts") + expr("INTERVAL 6 HOURS"))
     val name = "graft_stream_interval"
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("cu").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
