@@ -214,16 +214,29 @@ object LlmQueries {
     Similarity.labelCentroids(table(spark, dir, "embeddings"))
       .orderBy("label", "pos")
 
+  /** Oracle slice for the near-dup GRAPH family (clusters / keep-best /
+    * leakage split): the largest block whose DuckDB oracle — an N² exact
+    * Jaccard pair join feeding a recursive reach closure — stays
+    * affordable per round. Measured on sf0.1: 2 s at 200, 64 s at 1000,
+    * 269 s at 2000 — so 1000 is the ceiling in practice. Division of
+    * duties: these oracles prove the ALGORITHM (hash-level, both SFs) on
+    * the slice; full-corpus behavior (8.4 M pairs at sf1) is covered by
+    * ScaleCheck's CC invariants, which need no quadratic oracle. The
+    * pairwise-family oracles (q_jaccard_pairs etc.) stay at 200 because
+    * every one of them re-pays the same N² join in DuckDB per round.
+    */
+  private val GraphSlice = 1000L
+
   /** Transitive near-dup clusters: connected components over the exact
     * jaccard pair list on the bounded block — oracle-checked against a
-    * DuckDB recursive-CTE closure.
+    * DuckDB recursive-CTE closure (slice rationale at [[GraphSlice]]).
     */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val nodes = docs.filter(col("doc_id") < 200L)
+    val nodes = docs.filter(col("doc_id") < GraphSlice)
       .select(col("doc_id").as("id"))
     val pairs = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
-      maxId = 200L)
+      maxId = GraphSlice)
     Dedup.connectedComponents(nodes, pairs).orderBy("id")
   }
 
@@ -278,10 +291,10 @@ object LlmQueries {
     */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val nodes = docs.filter(col("doc_id") < 200L)
+    val nodes = docs.filter(col("doc_id") < GraphSlice)
       .select(col("doc_id").as("id"))
     val pairs = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
-      maxId = 200L)
+      maxId = GraphSlice)
     Dedup.connectedComponents(nodes, pairs)
       .select(col("id").as("doc_id"), col("component"),
         (conv(substring(md5(col("component").cast("string")), 1, 2), 16, 10)
@@ -298,10 +311,10 @@ object LlmQueries {
     */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val nodes = docs.filter(col("doc_id") < 200L)
+    val nodes = docs.filter(col("doc_id") < GraphSlice)
       .select(col("doc_id").as("id"))
     val pairs = Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
-      maxId = 200L)
+      maxId = GraphSlice)
     Dedup.keepBestPerCluster(Dedup.connectedComponents(nodes, pairs),
         docs, "n_chars")
       .orderBy("component")
@@ -788,7 +801,7 @@ object LlmQueries {
     "q_dup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM documents WHERE doc_id < 1000),
         |p AS (
         |  SELECT a.id AS id_a, b.id AS id_b
         |  FROM sh a JOIN sh b ON a.id < b.id
@@ -858,7 +871,7 @@ object LlmQueries {
     "q_leakage_safe_split" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM documents WHERE doc_id < 1000),
         |p AS (
         |  SELECT a.id AS id_a, b.id AS id_b
         |  FROM sh a JOIN sh b ON a.id < b.id
@@ -883,7 +896,7 @@ object LlmQueries {
     "q_dedup_keep_best" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
-        |  FROM documents WHERE doc_id < 200),
+        |  FROM documents WHERE doc_id < 1000),
         |p AS (
         |  SELECT a.id AS id_a, b.id AS id_b
         |  FROM sh a JOIN sh b ON a.id < b.id
