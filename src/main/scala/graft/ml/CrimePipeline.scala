@@ -35,7 +35,8 @@ object CrimePipeline {
     * broadcast-centroid jobs, forest = per-tree distributed training.
     */
   def build(schema: Schema,
-            classifier: Estimator[_] = defaultClassifier): Pipeline = {
+            classifier: Estimator[_] = defaultClassifier,
+            clusterer: Estimator[_] = defaultKMeans): Pipeline = {
     // handleInvalid=keep: categories absent from the training split map to
     // an extra index instead of failing at scoring time. The reference
     // avoided unseen labels by re-fitting encoders on test data
@@ -55,8 +56,7 @@ object CrimePipeline {
     val scaler = new StandardScaler() // ML2: z-score, sample std like pandas
       .setInputCol("geo_raw").setOutputCol("geo_scaled")
       .setWithMean(true).setWithStd(true)
-    val kmeans = new KMeans() // ML3: cluster id becomes a feature
-      .setK(10).setSeed(0L).setFeaturesCol("geo_scaled").setPredictionCol("cluster")
+    val kmeans = clusterer // ML3: cluster id becomes a feature
     // The reference hands label-encoded ints to LightGBM as plain numeric
     // features (crime.py:111-120 — no categorical declaration), so indexed
     // columns are demoted to bare doubles here too. The CAST drops the
@@ -76,6 +76,23 @@ object CrimePipeline {
       (Seq(labelIndexer) ++ catIndexers ++ demote ++
         Seq(geoAssembler, scaler, kmeans, featureAssembler, classifier)).toArray)
   }
+
+  /** ML3 default: one seeded k-means|| fit (k=10, seed=0, crime.py:136-137).
+    * Parity is metric-level (WSSSE / size distribution), never exact ids.
+    */
+  def defaultKMeans: KMeans = new KMeans()
+    .setK(10).setSeed(0L).setFeaturesCol("geo_scaled").setPredictionCol("cluster")
+
+  /** ML3 sklearn-parity variant: sklearn's KMeans takes the best of
+    * `n_init=10` restarts by inertia (crime.py:136 leaves the default);
+    * [[BestOfKMeans]] reproduces that restart loop over seeded
+    * k-means|| fits. Selectable, not default — 10× the clustering fits
+    * for a metric-level-only refinement, the same cost call the
+    * OneVsRest(GBT) classifier variant makes.
+    */
+  def bestOfKMeans(nInit: Int = 10): BestOfKMeans = new BestOfKMeans()
+    .setK(10).setNInit(nInit).setBaseSeed(0L)
+    .setFeaturesCol("geo_scaled").setPredictionCol("cluster")
 
   /** ML5 default: RandomForest is MLlib's native-multiclass tree ensemble
     * (GBTClassifier is binary-only); depth matches the reference config.

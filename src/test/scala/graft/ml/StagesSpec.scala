@@ -136,4 +136,42 @@ class StagesSpec extends AnyFunSuite {
     assert(best != null)
     assert(metric >= 0.6, s"cv accuracy=$metric")
   }
+
+  test("best-of-N KMeans restarts never lose to the single seeded fit (sklearn n_init parity)") {
+    // awkward geometry (three tight blobs + scatter) where a single init
+    // can land in a worse local optimum than the best of several
+    val rng = new scala.util.Random(19)
+    val pts = (0 until 900).map { i =>
+      val c = i % 3
+      (i.toLong, c * 4.0 + rng.nextGaussian() * 0.2,
+        (c % 2) * 3.0 + rng.nextGaussian() * 0.2)
+    } ++ (0 until 100).map { i =>
+      (1000L + i, rng.nextDouble() * 12, rng.nextDouble() * 5)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val feats = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x", "y")).setOutputCol("f").transform(df)
+    val single = new org.apache.spark.ml.clustering.KMeans()
+      .setK(6).setSeed(0L).setFeaturesCol("f").fit(feats)
+    val best = new BestOfKMeans().setK(6).setNInit(10).setBaseSeed(0L)
+      .setFeaturesCol("f").fit(feats)
+    // seed 0 is restart 0, so the winner can never be worse
+    assert(best.summary.trainingCost <= single.summary.trainingCost + 1e-9,
+      s"best=${best.summary.trainingCost} single=${single.summary.trainingCost}")
+    // deterministic: a second run picks the same winner
+    val again = new BestOfKMeans().setK(6).setNInit(10).setBaseSeed(0L)
+      .setFeaturesCol("f").fit(feats)
+    assert(best.clusterCenters.map(_.toArray.toSeq).toSeq ==
+      again.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
+  test("bestOfKMeans plugs into the crime pipeline as the clustering stage") {
+    val Array(train, test) = fixture.randomSplit(Array(0.7, 0.3), seed = 0L)
+    val model = CrimePipeline.build(schema,
+      clusterer = CrimePipeline.bestOfKMeans(nInit = 3)).fit(train)
+    val acc = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("accuracy").evaluate(model.transform(test))
+    assert(acc >= 0.8, s"accuracy=$acc")
+  }
 }
