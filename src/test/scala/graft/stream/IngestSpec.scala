@@ -135,6 +135,96 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  // ST5 failure semantics, EXECUTED (stream.py:66-72): the reference
+  // producer swallows BrokenPipeError and keeps emitting, so everything
+  // sent while the consumer is down is LOST — the documented at-most-once
+  // loss window. This drives a real consumer drop over loopback TCP: a
+  // producer thread emits sequence-numbered payloads every 50 ms and, on
+  // write error, returns to accept() (the reference's swallow-and-continue
+  // loop); the test stops the consumer mid-stream, lets the producer emit
+  // into the dead connection, reconnects with a fresh query, and asserts
+  // (a) a sequence GAP — the rows emitted while down reached neither
+  // query — and (b) a clean reconnect — the second query observes rows.
+  test("socket consumer drop loses the in-flight window and reconnects clean " +
+      "(at-most-once contract)") {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val port = server.getLocalPort
+    val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var done = false
+    @volatile var errorDetected = false
+    val producer = new Thread(() => {
+      while (!done) {
+        try {
+          val sock = server.accept()
+          val out = new java.io.PrintWriter(sock.getOutputStream, true)
+          // emit until the write errors (consumer dropped) — the
+          // reference's BrokenPipeError-swallowing loop, then re-accept
+          var alive = true
+          while (alive && !done) {
+            val i = seq.getAndIncrement()
+            out.println(s"""{"$i": {"feature0": "$i", "label": "x"}}""")
+            if (out.checkError()) { alive = false; errorDetected = true }
+            else Thread.sleep(50)
+          }
+          sock.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    })
+    producer.setDaemon(true)
+    producer.start()
+    val host = java.net.InetAddress.getLoopbackAddress.getHostAddress
+    def observed(table: String): Set[Long] =
+      spark.table(table).collect().map(_.getLong(0)).toSet
+    // sleep-poll only: processAllAvailable never settles against a
+    // producer that emits continuously (there is always newer data)
+    def pollUntil(table: String, pred: Set[Long] => Boolean): Set[Long] = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var s = observed(table)
+      while (!pred(s) && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        s = observed(table)
+      }
+      s
+    }
+    try {
+      // phase 1: consume some rows, then DROP mid-stream
+      val q1 = Ingest.socketPayloadStream(spark, host, port)
+        .writeStream.format("memory").queryName("sock_phase1")
+        .outputMode("append").start()
+      assert(pollUntil("sock_phase1", _.size >= 3).size >= 3,
+        "phase 1 never saw rows")
+      q1.stop() // consumer gone; producer keeps emitting into the void
+      val seen1 = observed("sock_phase1") // frozen at stop
+      // wait until rows have provably been emitted into the dead
+      // connection: either 3 more sequence numbers were consumed, or the
+      // producer already hit the write error (the errored row itself is a
+      // consumed-but-never-delivered loss)
+      val downUntil = seq.get() + 3
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (seq.get() < downUntil && !errorDetected &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      // phase 2: reconnect with a fresh query
+      val q2 = Ingest.socketPayloadStream(spark, host, port)
+        .writeStream.format("memory").queryName("sock_phase2")
+        .outputMode("append").start()
+      try {
+        val seen2 = pollUntil("sock_phase2", _.nonEmpty)
+        assert(seen2.nonEmpty, "no rows after reconnect")
+        // clean reconnect: phase 2 rows are NEW sequence numbers
+        assert(seen2.forall(_ > seen1.max), s"stale rows replayed: $seen2")
+        // the at-most-once loss window: at least one sequence number
+        // emitted while the consumer was down reached NEITHER query
+        val lost = ((seen1.max + 1) until seen2.min).toSet -- seen1 -- seen2
+        assert(lost.nonEmpty,
+          s"no loss window despite consumer downtime: 1=$seen1 2=$seen2")
+      } finally q2.stop()
+    } finally {
+      done = true
+      server.close()
+    }
+  }
+
   // ST5/S8: the DURABLE sink path executed end to end — micro-batches
   // land as parquet files under a checkpointed query, and the files read
   // back complete. This is the exactly-once file-sink contract (the
