@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * lesson: sf0.01 hid a rounding tie sf0.1 caught) surfaces here as an
   * invariant failure rather than as a wrong answer in production.
   *
-  * Usage: runMain graft.ScaleCheck [srcSfDir] [outDir] [replicas]
+  * Usage: runMain graft.ScaleCheck [srcSfDir] [outDir] [replicas] [tier]
+  * where tier is `full` (default, the whole battery at sf1) or `heavy`
+  * (the sf10 decade: minhash/CC/dup-spans/inverted-index only — one more
+  * order of magnitude of the linearity evidence on the operators whose
+  * cost actually grows with pair volume).
   */
 object ScaleCheck {
 
@@ -31,6 +35,7 @@ object ScaleCheck {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
+    val tier = if (args.length > 3) args(3) else "full"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -39,6 +44,11 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
 
     generate(spark, src, out, replicas)
+
+    if (tier == "heavy") {
+      heavyTier(spark, src, out, replicas)
+      return
+    }
 
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -632,6 +642,99 @@ object ScaleCheck {
     spark.stop()
     if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
     println("[scale] all invariants hold")
+  }
+
+  /** The sf10 decade for the heavy family only: pair discovery, the CC
+    * graph, span duplication, and the inverted index — the operators whose
+    * cost is pair- or posting-shaped and therefore the ones a 10× corpus
+    * actually stresses. Same invariant style as the full battery: replica
+    * bit-equality pins correctness, ×R linearity pins the scaling law, no
+    * cross-replica labels pins isolation.
+    */
+  private def heavyTier(spark: SparkSession, src: String, out: String,
+                        replicas: Int): Unit = {
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+      r
+    }
+    var failures = List.empty[String]
+    def check(name: String)(ok: Boolean, detail: => String): Unit = {
+      println(s"[scale] ${if (ok) "OK  " else "FAIL"} $name${if (ok) "" else s": $detail"}")
+      if (!ok) failures ::= name
+    }
+
+    val pairs = timed("minhash_pairs (materialize)") {
+      llm.Dedup.minhashNearDupPairs(
+        Tables.table(spark, out, "documents"), minJaccard = 0.9)
+        .localCheckpoint()
+    }
+    val srcPairs = timed("minhash_pairs (src)") {
+      llm.Dedup.minhashNearDupPairs(
+        Tables.table(spark, src, "documents"), minJaccard = 0.9)
+        .localCheckpoint()
+    }
+    timed("minhash invariants") {
+      val r0 = pairs.filter(col("id_a") < Stride && col("id_b") < Stride)
+      val diff = r0.unionByName(srcPairs).groupBy("id_a", "id_b", "jaccard")
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 minhash == src bit-for-bit")(diff == 0, s"$diff odd rows")
+      val total = pairs.count(); val srcTotal = srcPairs.count()
+      val ratio = total.toDouble / srcTotal
+      check(s"pair volume ~linear ($total vs $srcTotal x$replicas)")(
+        math.abs(ratio - replicas) / replicas < 0.05,
+        f"ratio $ratio%.2f, expected ~$replicas")
+    }
+    timed("dup_clusters (full corpus CC)") {
+      val comps = llm.Dedup.connectedComponents(
+        Tables.table(spark, out, "documents").select(col("doc_id").as("id")),
+        pairs)
+      val crossReplica = comps
+        .filter(col("id").divide(Stride).cast("long")
+          =!= col("component").divide(Stride).cast("long")).count()
+      check("no dup cluster crosses replicas")(crossReplica == 0,
+        s"$crossReplica nodes labeled across")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
+    }
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
+    org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)
+
+    timed("dup_spans (sfN + compare)") {
+      val dsBig = llm.CorpusQueries.dupSpans(spark, out).localCheckpoint()
+      val dsSrc = llm.CorpusQueries.dupSpans(spark, src)
+      val dsBad = dsBig.filter(col("doc_id") < Stride).unionByName(dsSrc)
+        .groupBy("doc_id", "n_tokens", "dup_tokens", "n_runs", "max_run",
+          "dupspan_micro")
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 dup spans == src bit-for-bit")(dsBad == 0,
+        s"$dsBad odd rows")
+      val (db, ds) = (dsBig.count(), dsSrc.count())
+      check(s"dup-span rows scale x$replicas")(db == ds * replicas,
+        s"$db vs $ds x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(dsBig)
+    }
+
+    // inverted index on the SHARED-vocab corpus: every df and tf_total is
+    // exactly xR with an identical top-200 term set and order, and the
+    // first-10 postings are IDENTICAL — replica-0 ids sort first and carry
+    // the same per-doc tf (the posting strings don't even see the shift)
+    timed("inverted_index (shared + compare)") {
+      val iiSrc = llm.CorpusQueries.invertedIndex(spark, src).collect()
+        .map(r => (r.getString(0), r.getLong(1) * replicas,
+          r.getLong(2) * replicas, r.getString(3))).toSeq
+      val iiBig = llm.CorpusQueries.invertedIndex(spark, s"$out/shared")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+      check(s"inverted index: df/tf x$replicas, postings + order identical")(
+        iiSrc == iiBig,
+        s"first diff: ${iiSrc.zip(iiBig).find(p => p._1 != p._2)}")
+    }
+
+    spark.stop()
+    if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
+    println(s"[scale] heavy tier: all invariants hold at x$replicas")
   }
 
   /** Replicate documents + events from `src` into `out`, one parquet FILE
