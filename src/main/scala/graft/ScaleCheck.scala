@@ -620,6 +620,46 @@ object ScaleCheck {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigC)
     }
 
+    // --- round-7: de-drivered mixing/interleave -----------------------
+    // temperatureMix keeps counts/weights/allocations distributed; the
+    // md5-ranked draw is a pure function of (id, group, alloc), so an
+    // arbitrary repartition of the 10x corpus must select the IDENTICAL
+    // sample, and every group must keep min(n, alloc) rows
+    timed("temperature_mix (sf1 layout)") {
+      val docs1 = Tables.table(spark, out, "documents")
+        .select(col("doc_id"), col("source"))
+      def sel(df: DataFrame) = ops.Sampling
+        .temperatureMix(df, "source", "doc_id", budget = 20000L,
+          temperature = 2.0)
+        .select("source", "doc_id")
+      val a = sel(docs1).localCheckpoint()
+      val b = sel(docs1.repartition(64))
+      val tmBad = a.unionByName(b).groupBy("source", "doc_id")
+        .count().filter(col("count") =!= 2).count()
+      val total = a.count()
+      check("temperature mix is layout-invariant at sf1, budget-bounded")(
+        tmBad == 0 && total <= 20000L, s"$tmBad odd rows, total $total")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(a)
+    }
+
+    // roundRobinInterleave's bucket index now comes from a distributed
+    // sort + zipWithIndex; positions must stay unique, layout-invariant,
+    // and per-bucket stride-balanced at 10x
+    timed("curriculum_interleave (sf1 layout)") {
+      val docs1 = Tables.table(spark, out, "documents")
+        .select(col("doc_id"), col("source"))
+      def sel(df: DataFrame) = ops.Sampling
+        .roundRobinInterleave(df, "source", "doc_id")
+      val a = sel(docs1).localCheckpoint()
+      val b = sel(docs1.repartition(64))
+      val riBad = a.unionByName(b).groupBy("source", "doc_id", "pos")
+        .count().filter(col("count") =!= 2).count()
+      val dupPos = a.groupBy("pos").count().filter(col("count") > 1).count()
+      check("interleave is layout-invariant at sf1, positions unique")(
+        riBad == 0 && dupPos == 0, s"$riBad odd rows, $dupPos dup positions")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(a)
+    }
+
     // per-source doc counts scale xR, so the balanced draw must keep
     // exactly R x the source minority count in every class
     timed("class balance (sf1)") {
