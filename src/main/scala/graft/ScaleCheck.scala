@@ -821,9 +821,10 @@ object ScaleCheck {
     }
     if (!new java.io.File(s"$out/events.parquet").exists()) {
       // keep ts (so windows line up as exact multiples); shift ids so
-      // per-user/per-batch group sizes stay constant instead of growing
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet(s"$src/events.parquet")
+      // per-user/per-batch group sizes stay constant instead of growing.
+      // Raw read: the replica preserves whatever physical ts vintage the
+      // source has, and Tables.eventsLayout re-adapts on read-back.
+      val ev = graft.Tables.rawEvents(spark, src)
       writeSingleFile((0 until replicas).map { i =>
         ev.withColumn("event_id", col("event_id") + lit(i * Stride))
           .withColumn("user_id", col("user_id") + lit(i * Stride))

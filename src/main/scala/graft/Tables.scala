@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructType,
+  TimestampNTZType, TimestampType}
 
 /** Loaders for the harness corpus (TESTDATA.md) plus shared numeric helpers.
   *
@@ -14,27 +16,54 @@ object Tables {
     if (name == "events") normalizeEventTs(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects outright. Read it as raw nanos-since-epoch
-    * (legacy conf) and convert to a microsecond TimestampType column, keeping
-    * the public schema identical to what DuckDB sees. The conf is a runtime
-    * SQL conf, so setting it here affects only this session.
+  /** The raw read of events.parquet, with NO ts normalization. The harness
+    * has shipped the `ts` column in two physical vintages — TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects unless the nanosAsLong legacy
+    * conf maps it to raw LongType) and TIMESTAMP(MICROS) without UTC
+    * adjustment (which Spark reads as TIMESTAMP_NTZ) — so the conf is set
+    * unconditionally (a no-op for non-nanos files) and callers normalize via
+    * [[eventsLayout]]. This is the one place allowed to touch that conf.
     */
-  private def normalizeEventTs(spark: SparkSession, sfDir: String): DataFrame = {
+  def rawEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", eventTsFromNanos)
+    spark.read.parquet(s"$dir/events.parquet")
   }
 
-  /** Raw nanos-since-epoch (the legacy-conf long form of events.`ts`) to
-    * a microsecond TimestampType — the ONE conversion the batch loader
-    * and the file-stream source must share, or their timestamps silently
-    * diverge. Integral `div`, NOT `/`: double division would round the
-    * ~1.8e18 nanos values past the 2⁵³ mantissa.
+  /** The raw file schema (what a file-STREAM source must declare) plus the
+    * schema-adaptive expression turning the raw `ts` into a session-local
+    * microsecond TimestampType. */
+  final case class EventsLayout(rawSchema: StructType, normalizeTs: Column)
+
+  /** Inspect the raw events schema and pick the ts conversion — the ONE
+    * decision the batch loader, every file-stream source, and the scale
+    * harness must share, or their timestamps silently diverge:
+    *
+    *  - `LongType` (nanos-as-long vintage): integral `ts div 1000` to
+    *    micros, NOT `/` — double division would round the ~1.8e18 nanos
+    *    values past the 2⁵³ mantissa.
+    *  - `TimestampNTZType` (micros-without-UTC-flag vintage): cast to
+    *    TimestampType. Under the pinned UTC session timezone the cast is
+    *    a type relabel with identical epoch-micro values, which the DuckDB
+    *    oracle hashes prove (q_date_split / q_hourly_events carry exact
+    *    epoch bounds).
+    *  - `TimestampType`: already the public form; pass through.
     */
-  def eventTsFromNanos: Column =
-    org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000"))
+  def eventsLayout(spark: SparkSession, dir: String): EventsLayout = {
+    val schema = rawEvents(spark, dir).schema
+    val norm = schema("ts").dataType match {
+      case LongType         => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other — extend " +
+          "Tables.eventsLayout for this testdata vintage")
+    }
+    EventsLayout(schema, norm)
+  }
+
+  private def normalizeEventTs(spark: SparkSession, sfDir: String): DataFrame =
+    rawEvents(spark, sfDir)
+      .withColumn("ts", eventsLayout(spark, sfDir).normalizeTs)
 
   /** Cast a money-like double column (2 decimal digits by construction) to an
     * exact decimal before aggregating. Summing doubles is order-dependent —

@@ -198,7 +198,7 @@ object Graph {
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         // integral div, not `/`: double division loses exactness once
-        // deg² passes 2⁵³ (the Tables.eventTsFromNanos lesson)
+        // deg² passes 2⁵³ (the Tables.eventsLayout nanos lesson)
         graft.llm.TextStats.microRatio(coalesce(col("n_tri"), lit(0L)),
           expr("deg * (deg - 1) div 2")).as("lcc_micro"))
   }

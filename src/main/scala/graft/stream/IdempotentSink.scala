@@ -45,9 +45,8 @@ object IdempotentSink {
     */
   def run(spark: SparkSession, srcDir: String, target: String,
           checkpoint: String): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val layout = graft.Tables.eventsLayout(spark, srcDir)
+    val stream = spark.readStream.schema(layout.rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcDir)
       .select(col("event_id"), col("event_type"), col("user_id"))

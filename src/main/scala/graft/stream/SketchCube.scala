@@ -49,12 +49,11 @@ object SketchCube {
     */
   def run(spark: SparkSession, srcDir: String, target: String,
           checkpoint: String): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$srcDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val layout = graft.Tables.eventsLayout(spark, srcDir)
+    val stream = spark.readStream.schema(layout.rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(srcDir)
-      .withColumn("ts", graft.Tables.eventTsFromNanos)
+      .withColumn("ts", layout.normalizeTs)
       .select(col("ts"), col("user_id"))
     val q = stream.writeStream
       .foreachBatch { (df: DataFrame, batchId: Long) =>

@@ -78,16 +78,15 @@ object StreamQueries {
     */
   def streamWindowedCounts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    // file streams need an explicit schema; reuse the batch reader's
-    // (with the nanos conf set it reads ts as raw LongType nanos)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file streams need an explicit schema; declare the RAW file schema and
+    // apply the same schema-adaptive ts normalization as the batch loader
+    val layout = graft.Tables.eventsLayout(spark, dir)
     // the file-stream source wants a DIRECTORY to watch; narrow it to the
     // events table with a glob filter
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(layout.rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", graft.Tables.eventTsFromNanos)
+      .withColumn("ts", layout.normalizeTs)
     val counts = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -115,12 +114,11 @@ object StreamQueries {
     */
   def streamHllDaily(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val layout = graft.Tables.eventsLayout(spark, dir)
+    val stream = spark.readStream.schema(layout.rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", graft.Tables.eventTsFromNanos)
+      .withColumn("ts", layout.normalizeTs)
     val daily = stream
       .groupBy(window(col("ts"), "1 day"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12))
@@ -148,12 +146,11 @@ object StreamQueries {
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema)
+    val layout = graft.Tables.eventsLayout(spark, dir)
+    val src = spark.readStream.schema(layout.rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", graft.Tables.eventTsFromNanos)
+      .withColumn("ts", layout.normalizeTs)
     // double every arrival from ONE scan (explode a 2-element array)
     // rather than self-union: same duplicated-delivery semantics, half
     // the source reads — the spec still proves the control plan doubles
@@ -201,12 +198,11 @@ object StreamQueries {
     */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val layout = graft.Tables.eventsLayout(spark, dir)
     val static = table(spark, dir, "events")
       .groupBy("event_type")
       .agg(avg(col("value")).as("mu"))
-    val stream = spark.readStream.schema(schema)
+    val stream = spark.readStream.schema(layout.rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
     val enriched = stream
@@ -238,13 +234,12 @@ object StreamQueries {
     */
   def streamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val layout = graft.Tables.eventsLayout(spark, dir)
     def side(tpe: String, u: String, t: String) =
-      spark.readStream.schema(schema)
+      spark.readStream.schema(layout.rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-        .withColumn("ts", graft.Tables.eventTsFromNanos)
+        .withColumn("ts", layout.normalizeTs)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(u), col("ts").as(t))
     val clicks = side("click", "cu", "cts").withWatermark("cts", "1 hour")

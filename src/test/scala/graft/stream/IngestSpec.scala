@@ -238,11 +238,10 @@ class IngestSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // control: the same plan WITHOUT dropDuplicatesWithinWatermark
     import org.apache.spark.sql.streaming.Trigger
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    def src = spark.readStream.schema(schema)
+    val layout = graft.Tables.eventsLayout(spark, sf)
+    def src = spark.readStream.schema(layout.rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", graft.Tables.eventTsFromNanos)
+      .withColumn("ts", layout.normalizeTs)
     val ctl = src.withColumn("__copy", explode(typedlit(Seq(1, 2))))
       .groupBy($"event_type").agg(count(lit(1)).as("n"))
     val q = ctl.writeStream.format("memory").queryName("dedup_ctl")
