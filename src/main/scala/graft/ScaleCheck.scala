@@ -788,7 +788,15 @@ object ScaleCheck {
                        replicas: Int): Unit = {
     new java.io.File(out).mkdirs()
     val marker = new java.io.File(out, "gen_args.txt")
-    val wanted = s"src=$src replicas=$replicas"
+    // fingerprint the SOURCE files (len+mtime), not just the arguments: the
+    // harness regenerates /root/testdata between rounds (r8 changed the
+    // events ts encoding in place), and a replica corpus built from the old
+    // vintage would fail the ×N invariants as a phantom engine bug
+    val srcPrint = Seq("documents", "events").map { t =>
+      val f = new java.io.File(s"$src/$t.parquet")
+      s"$t=${f.length()}:${f.lastModified()}"
+    }.mkString(" ")
+    val wanted = s"src=$src replicas=$replicas $srcPrint"
     val current = if (marker.exists())
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) else ""
     if (current != wanted) {
