@@ -40,6 +40,14 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // driver and executor share one JVM here: a long full-GC pause under
+      // the x100 tier's heap pressure stalls heartbeat replies and the
+      // executor kills itself after 60 misses ("unable to send heartbeats"),
+      // which presents as a phantom RpcEndpointNotFound cascade. Generous
+      // timeouts are correct for this harness; a real cluster would keep
+      // the defaults and size executor heaps instead.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .appName("graft-scalecheck").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
