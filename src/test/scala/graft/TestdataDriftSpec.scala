@@ -57,4 +57,25 @@ class TestdataDriftSpec extends AnyFunSuite {
       assert(missing.isEmpty, s"$t lost columns $missing — testdata drift")
     }
   }
+
+  test("type-sensitive columns keep their physical types (hash-compare " +
+      "safety: a silent float->double drift would move oracle hashes, " +
+      "not throw)") {
+    def tpe(t: String, c: String): DataType =
+      Tables.table(spark, GraftTestSpark.sfDir, t).schema(c).dataType
+    // the whole similarity family (cosine, IVF, PQ, int8, SemDeDup)
+    // assumes float32 embeddings — float64 would change every dot product
+    assert(tpe("embeddings", "embedding") == ArrayType(FloatType),
+      "embeddings.embedding drifted from array<float>")
+    assert(tpe("documents", "text") == StringType)
+    assert(tpe("documents", "doc_id") == LongType)
+    // money-like doubles feed the exact-decimal cast contract (Tables.dec)
+    assert(tpe("lineitem", "l_quantity") == DoubleType)
+    assert(tpe("customer", "c_acctbal") == DoubleType)
+    // the current vintage ships o_orderdate as timestamp[us]/NTZ (not a
+    // DATE) and every date query is oracle-green against it — pin THAT;
+    // a flip to DateType or LTZ would shift date_trunc/year extractions
+    assert(tpe("orders", "o_orderdate") == TimestampNTZType,
+      "orders.o_orderdate drifted — date arithmetic queries would shift")
+  }
 }
