@@ -802,6 +802,12 @@ object ScaleCheck {
     // vintage would fail the ×N invariants as a phantom engine bug
     val srcPrint = Seq("documents", "events").map { t =>
       val f = new java.io.File(s"$src/$t.parquet")
+      // length()/lastModified() return 0 for a missing file — that would
+      // fingerprint an absent source as "0:0" and poison the marker; a
+      // mid-regeneration window (the scenario this guards against) must
+      // fail fast instead
+      require(f.isFile, s"source table missing: $f — is the testdata " +
+        "directory mid-regeneration?")
       s"$t=${f.length()}:${f.lastModified()}"
     }.mkString(" ")
     val wanted = s"src=$src replicas=$replicas $srcPrint"

@@ -48,11 +48,23 @@ object Tables {
     *    epoch bounds).
     *  - `TimestampType`: already the public form; pass through.
     */
-  def eventsLayout(spark: SparkSession, dir: String): EventsLayout = {
-    val schema = rawEvents(spark, dir).schema
+  def eventsLayout(spark: SparkSession, dir: String): EventsLayout =
+    layoutFor(spark, rawEvents(spark, dir).schema)
+
+  private def layoutFor(spark: SparkSession, schema: StructType): EventsLayout = {
     val norm = schema("ts").dataType match {
       case LongType         => timestamp_micros(expr("ts div 1000"))
-      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampNTZType =>
+        // the NTZ cast reinterprets the wall-clock in the SESSION zone; the
+        // oracle hashes are only valid under UTC, and a non-UTC session
+        // would shift every events timestamp SILENTLY — fail loudly instead
+        // (the nanos path is absolute-epoch and needs no such guard)
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and the session timezone is '$tz': " +
+            "the NTZ->LTZ cast is only value-preserving under UTC — set " +
+            "spark.sql.session.timeZone=UTC on the session builder")
+        col("ts").cast(TimestampType)
       case TimestampType    => col("ts")
       case other => throw new IllegalStateException(
         s"events.ts has unsupported physical type $other — extend " +
@@ -61,9 +73,12 @@ object Tables {
     EventsLayout(schema, norm)
   }
 
-  private def normalizeEventTs(spark: SparkSession, sfDir: String): DataFrame =
-    rawEvents(spark, sfDir)
-      .withColumn("ts", eventsLayout(spark, sfDir).normalizeTs)
+  private def normalizeEventTs(spark: SparkSession, sfDir: String): DataFrame = {
+    // one footer read: derive the layout from the frame being returned
+    // rather than calling eventsLayout (which would re-read the schema)
+    val raw = rawEvents(spark, sfDir)
+    raw.withColumn("ts", layoutFor(spark, raw.schema).normalizeTs)
+  }
 
   /** Cast a money-like double column (2 decimal digits by construction) to an
     * exact decimal before aggregating. Summing doubles is order-dependent —

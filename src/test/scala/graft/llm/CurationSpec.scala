@@ -35,7 +35,7 @@ class CurationSpec extends AnyFunSuite {
   test("winsorized stats: wmean within [lo, hi], bounds are real values") {
     val rows = Curation.winsorizedStats(spark, sf).collect()
     assert(rows.nonEmpty)
-    val values = spark.read.parquet(s"$sf/events.parquet")
+    val values = graft.Tables.table(spark, sf, "events")
       .filter(col("value").isNotNull)
       .select("event_type", "value").as[(String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -59,7 +59,7 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r).toMap
     val approx = Curation.winsorizedStatsApprox(spark, sf).collect()
     assert(approx.nonEmpty && approx.length == exact.size)
-    val values = spark.read.parquet(s"$sf/events.parquet")
+    val values = graft.Tables.table(spark, sf, "events")
       .filter(col("value").isNotNull)
       .select("event_type", "value").as[(String, Double)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap

@@ -29,7 +29,8 @@ class IdempotentSinkSpec extends AnyFunSuite {
   test("foreachBatch idempotent sink: restarts and replays never duplicate") {
     val target = tmp("graft_idem_target")
     val ckpt = tmp("graft_idem_ckpt")
-    // events.parquet carries a nanosecond timestamp — load via Tables
+    // events.ts physical encoding varies per testdata vintage — load via
+    // Tables (eventsLayout adapts); never raw spark.read.parquet
     val srcRows = graft.Tables.table(spark, sf, "events").count()
 
     // first run: everything lands, one partition per streaming batch
