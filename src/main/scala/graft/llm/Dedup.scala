@@ -17,18 +17,32 @@ object Dedup {
   /** Exact dedup groups: one row per distinct text with the id to keep
     * (min) and the copy count. Grouping key is the md5 fingerprint, so the
     * shuffle carries 16 bytes per row regardless of document size.
+    *
+    * Null texts are EXCLUDED, not grouped: md5(null) is null and groupBy
+    * treats nulls as equal, so a corpus with N null-text rows would
+    * otherwise collapse them into one "duplicate" group and count N−1
+    * phantom copies — null text is unknown content, not identical
+    * content (the near-dup path makes the same call: null signatures get
+    * null band keys and never match). The oracle SQL carries the same
+    * `WHERE text IS NOT NULL`.
     */
   def exactDupGroups(docs: DataFrame, textCol: String = "text",
                      idCol: String = "doc_id"): DataFrame =
-    docs.select(TextStats.fingerprint(col(textCol)).as("fp"), col(idCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(TextStats.fingerprint(col(textCol)).as("fp"), col(idCol))
       .groupBy("fp")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Exact dedup keep-first: the retained rows (min id per distinct text). */
+  /** Exact dedup keep-first: the retained rows (min id per distinct
+    * text). Null-text rows pass through untouched — they are unknown, not
+    * duplicates of each other (see [[exactDupGroups]]).
+    */
   def exactDedupKeepFirst(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id"): DataFrame = {
     val keep = exactDupGroups(docs, textCol, idCol).select("keep_id")
-    docs.join(keep, docs(idCol) === keep("keep_id"), "left_semi")
+    docs.filter(col(textCol).isNotNull)
+      .join(keep, docs(idCol) === keep("keep_id"), "left_semi")
+      .unionByName(docs.filter(col(textCol).isNull))
   }
 
   /** MinHash+LSH near-duplicate pairs over word sets, the classic banding
@@ -118,8 +132,13 @@ object Dedup {
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     val toks = tokenHashSets(docs.filter(col(idCol) < maxId), textCol, idCol)
+    // explode_outer + null filter, NOT plain explode: InferFiltersFromGenerate
+    // would add a size(hset)>0 pre-filter whose pushdown re-inlines the whole
+    // tokenize+hash chain into a per-row Filter under the scan, evaluating it
+    // twice per document (the round-3 trap, plan-gated in PlanSpec)
     val ex = toks.select(col("id"), size(col("hset")).as("n"),
-      explode(col("hset")).as("h"))
+      explode_outer(col("hset")).as("h"))
+      .filter(col("h").isNotNull)
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df").asc, col("h").asc)
     val prefix = ex.join(dfreq, "h")
@@ -353,7 +372,12 @@ object Dedup {
       }
       // a silent non-converged return would hand back split clusters with
       // intermediate labels; long chains (diameter > maxIter) must fail
-      // loudly so the caller raises maxIter
+      // loudly so the caller raises maxIter. Release the final label
+      // checkpoint on the failure path — only a RETURNED frame may keep
+      // its blocks (a throw here would otherwise strand them until GC,
+      // the exact accumulation the in-loop release exists to prevent)
+      if (!converged)
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(labels)
       require(converged,
         s"connected components did not converge within $maxIter rounds " +
           "(cluster diameter exceeds maxIter)")
@@ -379,7 +403,11 @@ object Dedup {
       array_distinct(if (n == 1) col("toks")
                      else TextStats.shingles(col("toks"), n)).as("shingles"))
     val sizes = shingled.select(col("id"), size(col("shingles")).as("n_sh"))
-    val inv = shingled.select(col("id"), explode(col("shingles")).as("sh"))
+    // explode_outer + null filter: plain explode would let the optimizer
+    // push a size(shingles)>0 pre-filter that re-inlines the shingle HOF
+    // stack into the scan Filter (see prefixJaccardPairs)
+    val inv = shingled.select(col("id"), explode_outer(col("shingles")).as("sh"))
+      .filter(col("sh").isNotNull)
     val shared = inv.as("x").join(inv.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -442,6 +470,11 @@ object Dedup {
   def cmsParams(eps: Double, delta: Double): (Int, Int, Long) = {
     require(eps > 0.0 && eps < 1.0 && delta > 0.0 && delta < 1.0,
       s"need 0 < eps, delta < 1, got $eps, $delta")
+    // double→int conversion SATURATES at Int.MaxValue: a very small eps
+    // would silently return a width ~21% under the e/eps contract
+    require(math.E / eps <= Int.MaxValue.toDouble,
+      s"eps $eps needs width ${math.ceil(math.E / eps)} > Int.MaxValue — " +
+        "use a coarser eps or shard the sketch")
     val width = math.ceil(math.E / eps).toInt
     val depth = math.ceil(math.log(1.0 / delta)).toInt
     (width, depth, width.toLong * depth * 8L)
@@ -465,7 +498,18 @@ object Dedup {
     */
   def keepBestPerCluster(components: DataFrame, docs: DataFrame,
                          qualityCol: String,
-                         idCol: String = "doc_id"): DataFrame =
+                         idCol: String = "doc_id"): DataFrame = {
+    // the output schema fixes best_quality as bigint (the oracle contract);
+    // a fractional quality column would TRUNCATE silently (0 for every
+    // [0,1) score) while the argmax itself ranked on the true values —
+    // refuse non-integral quality columns instead (callers with fractional
+    // scores pass their micro-unit form, e.g. quality_micro)
+    val qType = docs.schema(qualityCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(qType.typeName),
+      s"qualityCol '$qualityCol' is $qType: best_quality is reported as " +
+        "bigint, so fractional scores would truncate silently — pass an " +
+        "integral (micro-unit) quality column")
     components
       .join(docs.select(col(idCol).as("id"), col(qualityCol).as("__q")), "id")
       .groupBy(col("component"))
@@ -475,4 +519,5 @@ object Dedup {
         (-col("__best.nid")).cast("bigint").as("kept_doc"),
         col("n_members"),
         col("__best.q").cast("bigint").as("best_quality"))
+  }
 }

@@ -740,6 +740,7 @@ object LlmQueries {
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents
+        |WHERE text IS NOT NULL
         |GROUP BY fp
         |ORDER BY keep_id""".stripMargin,
 

@@ -196,9 +196,13 @@ object Similarity {
     // vanishes while the oracle emits its single candidate at rk=1) —
     // union every candidate as a sentinel self-row so each pool is
     // registered independently of pair existence
+    // sentinel = SELF-pair (id_b == id_a): impossible in `pairs` (strict
+    // id_a < id_b), and collision-free for every id value — an absolute
+    // sentinel like Long.MinValue would silently drop a legitimate id
+    // that happened to equal it
     val singles = cand.select(col("query_id"),
       col("neighbor_id").as("id_a"), col("rel_raw").as("relraw_a"),
-      col("rel").as("rel_a"), lit(Long.MinValue).as("id_b"),
+      col("rel").as("rel_a"), col("neighbor_id").as("id_b"),
       lit(0.0).as("relraw_b"), lit(0.0).as("rel_b"), lit(0.0).as("sim_raw"))
     val grouped = pairs.unionByName(singles)
       .as[(Long, Long, Double, Double, Long, Double, Double, Double)]
@@ -210,7 +214,7 @@ object Similarity {
       val sim = scala.collection.mutable.Map.empty[(Long, Long), Double]
       it.foreach { case (_, ia, rra, ra, ib, rrb, rb, s) =>
         relRaw(ia) = rra; relOut(ia) = ra
-        if (ib != Long.MinValue) {
+        if (ib != ia) {
           relRaw(ib) = rrb; relOut(ib) = rb
           sim((ia, ib)) = s; sim((ib, ia)) = s
         }
@@ -239,7 +243,7 @@ object Similarity {
         rk += 1
       }
       out.iterator
-    }.toDF("query_id", "rk", "vec_id", "rel", "mmr_micro")
+    }.toDF("query_id", "rk", idCol, "rel", "mmr_micro")
       .orderBy("query_id", "rk")
   }
 
@@ -470,6 +474,15 @@ object Similarity {
       .select(col(idCol).as("id"), unitNormalize(col(vecCol)).as("u"))
       .orderBy("id").limit(sampleN)
       .select("u").collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) {
+      // empty corpus: nothing to train codebooks on and nothing to find —
+      // return zero rows with the contract schema instead of crashing
+      // (the behavior every sibling search path already has)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("query_id", "rk", "neighbor_id", "score")
+    }
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
@@ -613,8 +626,13 @@ object Similarity {
     // return zero pairs
     // empty corpus → no row to infer from; any positive dim works (zero
     // rows produce zero pairs regardless), so don't throw
+    // filter null sizes (null embeddings) BEFORE take(1): size(null) is a
+    // null slot and getInt would NPE — null vectors are in-model for the
+    // rest of this function (the __ok guard nulls their projections), so
+    // the inference path must tolerate them too
     val d = if (dim > 0) dim
-            else corpus.select(size(col(vecCol))).take(1).headOption
+            else corpus.select(size(col(vecCol)).as("__d"))
+              .filter(col("__d").isNotNull).take(1).headOption
               .map(_.getInt(0)).getOrElse(1)
     val rng = new scala.util.Random(42L)
     val projections = Array.fill(bands * rowsPerBand, d)(rng.nextGaussian())
