@@ -139,8 +139,11 @@ object CorpusQueries {
       .filter(col("g").isNotNull)
       .select("source", "g").distinct()
     val tot = sg.groupBy("source").agg(count(lit(1)).as("tot"))
+    // no array_sort on the set: the order is immediately destroyed by the
+    // double explode + src_a < src_b filter, so sorting every gram's
+    // source set is pure dead work
     val shared = sg.groupBy("g")
-      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .agg(collect_set(col("source")).as("ss"))
       .select(explode(col("ss")).as("src_a"), col("ss"))
       .select(col("src_a"), explode(col("ss")).as("src_b"))
       .filter(col("src_a") < col("src_b"))
@@ -843,9 +846,14 @@ object CorpusQueries {
         TextStats.shingles(TextStats.tokens(col("text")), 2).as("__bg"))
       .select(explode_outer(col("__bg")).as("g"))
       .filter(col("g").isNotNull)
-    val big = bg.groupBy("g").agg(count(lit(1)).as("bc"))
-      .filter(col("bc") >= minCount)
-    val bigTot = bg.agg(count(lit(1)).as("btot"))
+    // grand total DERIVES from the keyed aggregate (sum of per-g counts,
+    // exact integers, value-identical) so ReuseExchange dedups the
+    // corpus-wide tokenize+shingle+explode scan — `bg.agg(count)` has no
+    // common exchange subtree and would run the whole chain a second time
+    // (the unigramLogprob pattern, already applied to uni/uniTot above)
+    val bigAll = bg.groupBy("g").agg(count(lit(1)).as("bc"))
+    val big = bigAll.filter(col("bc") >= minCount)
+    val bigTot = bigAll.agg(coalesce(sum(col("bc")), lit(0L)).as("btot"))
     // the unigram-count side is token-keyed — vocabulary-sized, Heaps-law
     // unbounded at 100 TB — so no broadcast hint: AQE picks the build side
     // at bench SF and shuffles at web scale (only the two 1-row totals are

@@ -145,13 +145,22 @@ object Curation {
       .select(col("doc_id"), col("source"),
         explode_outer(col("__toks")).as("token"))
       .filter(col("token").isNotNull)
-    val cfreq = tok.groupBy("token").agg(count(lit(1)).as("c_cnt"))
-    val tfreq = tok.filter(col("source") === importanceTarget)
-      .groupBy("token").agg(count(lit(1)).as("t_cnt"))
+    // ONE corpus tokenize pass feeds every LM input: checkpoint the
+    // (source, token) aggregate (the sourceKl pattern) and derive
+    // cfreq / tfreq / t_tot from it. The direct form ran the
+    // scan+split+explode chain four times — cfreq, tfreq, the t_tot
+    // probe, and scored — because their differing pushed filters defeat
+    // ReuseExchange. All derived values are exact integer counts, so the
+    // restructure is value-identical.
+    val st = tok.groupBy("source", "token")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val cfreq = st.groupBy("token").agg(sum(col("cnt")).as("c_cnt"))
+    val tfreq = st.filter(col("source") === importanceTarget)
+      .groupBy("token").agg(sum(col("cnt")).as("t_cnt"))
     val totals = cfreq.agg(sum(col("c_cnt")).as("c_tot"),
       count(lit(1)).as("vocab"))
-      .crossJoin(tok.filter(col("source") === importanceTarget)
-        .agg(count(lit(1)).as("t_tot")))
+      .crossJoin(tfreq.agg(
+        coalesce(sum(col("t_cnt")), lit(0L)).as("t_tot")))
     val scored = tok.filter(col("source") =!= importanceTarget)
       .join(cfreq, Seq("token"))
       .join(tfreq, Seq("token"), "left")

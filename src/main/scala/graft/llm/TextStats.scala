@@ -186,8 +186,12 @@ object TextStats {
     val num = lit(1000000L) * (lit(10L) * m * t + lit(3750L) * (h + d))
     val den = lit(12500L) * t
     // exact integer floor-division: num - (num mod den) is an exact
-    // multiple of den, and both fit in double's 2^53 integer range
-    ((num - pmod(num, den)) / den).cast("bigint")
+    // multiple of den, and both fit in double's 2^53 integer range.
+    // t=0 (empty token array) would pmod-by-zero under ANSI — score 0,
+    // the same "too short to score" convention as microRatio and
+    // repetitionMicroFromShingles
+    when(t === 0L, lit(0L))
+      .otherwise(((num - pmod(num, den)) / den).cast("bigint"))
   }
 
   /** Float view of [[qualityScoreMicro]] for human-facing use (not the
@@ -342,8 +346,12 @@ object TextStats {
                     textCol: String = "text",
                     idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explode_outer + null filter: plain explode lets the optimizer infer
+    // a size(tokens(text))>0 pre-filter whose pushdown re-tokenizes every
+    // row inside a scan Filter (the round-3 trap, plan-gated)
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+        explode_outer(tokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
