@@ -89,9 +89,16 @@ object Multimodal {
       val compression = getIntLE(b, 30)
       if (bpp != 24 || compression != 0 || width <= 0 || height <= 0)
         return null
+      // header fields are attacker-controlled bytes: a negative dataOffset
+      // or a width whose *3 overflows Int would pass a naive bound check
+      // and crash arraycopy/allocation — all sizing math stays in Long and
+      // anything out of range is malformed, i.e. null
+      if (dataOffset < 0) return null
+      val rasterLen = width.toLong * height.toLong * 3L
+      if (rasterLen > Int.MaxValue) return null
       val stride = rowStride(width)
       if (dataOffset.toLong + stride.toLong * height > b.length) return null
-      val raster = new Array[Byte](width * height * 3)
+      val raster = new Array[Byte](rasterLen.toInt)
       var y = 0
       while (y < height) {
         System.arraycopy(b, dataOffset + (height - 1 - y) * stride,
@@ -146,9 +153,16 @@ object Multimodal {
         skipWs(); val maxVal = parseInt()
         if (w <= 0 || h <= 0 || maxVal != 255 || i >= b.length) return frames.toSeq
         i += 1 // the single whitespace after maxval
-        if (i + w * h * 3 > b.length) return frames.toSeq
-        frames += ((w, h, java.util.Arrays.copyOfRange(b, i, i + w * h * 3)))
-        i += w * h * 3
+        // Long math: parsed w*h*3 can overflow Int (a "P6\n50000 50000..."
+        // header on a short buffer would wrap negative, pass the bound
+        // check, and crash copyOfRange) — oversized frames are truncated
+        // input, i.e. stop and return what parsed so far
+        val frameLen = w.toLong * h.toLong * 3L
+        if (frameLen > Int.MaxValue || i + frameLen > b.length)
+          return frames.toSeq
+        frames += ((w, h,
+          java.util.Arrays.copyOfRange(b, i, i + frameLen.toInt)))
+        i += frameLen.toInt
       }
       frames.toSeq
     }
@@ -229,15 +243,17 @@ object Multimodal {
 
     /** (sampleRate, channels, samples) or null on a malformed payload. */
     def decode(b: Array[Byte]): (Int, Int, Array[Short]) = {
-      if (b.length < HeaderBytes || !tag(b, 0, "RIFF") ||
+      if (b == null || b.length < HeaderBytes || !tag(b, 0, "RIFF") ||
           !tag(b, 8, "WAVE") || !tag(b, 12, "fmt ") ||
           getIntLE(b, 16) != 16 || getShortLE(b, 20) != 1 ||
           getShortLE(b, 34) != 16 || !tag(b, 36, "data")) return null
       val channels = getShortLE(b, 22)
       val sampleRate = getIntLE(b, 24)
       val dataBytes = getIntLE(b, 40)
+      // Long bound check: a near-Int.MaxValue dataBytes would wrap the
+      // Int sum negative, pass, and then OOM or crash the sample loop
       if (channels < 1 || sampleRate <= 0 || dataBytes < 0 ||
-          HeaderBytes + dataBytes > b.length) return null
+          HeaderBytes.toLong + dataBytes.toLong > b.length) return null
       val samples = new Array[Short](dataBytes / 2)
       var j = 0
       while (j < samples.length) {
@@ -422,15 +438,20 @@ object Multimodal {
     withVideoPayload(spark, docs)
       .repartition(partitions, col("doc_id"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, payload) =>
-        PpmCodec.decodeAll(payload).zipWithIndex
-          .collect { case ((w, h, px), f) if f % stride == 0 =>
-            var sum = 0L
-            var i = 0
-            while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
-            FrameFeatures(id, f.toLong, w.toLong, h.toLong,
-              1000000L * sum / (w.toLong * h * 3))
-          }
+      // mapPartitions, not per-row flatMap: the documented batch shape —
+      // a real codec binding initializes once per partition here, which
+      // is the whole point of the preceding repartition
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          PpmCodec.decodeAll(payload).zipWithIndex
+            .collect { case ((w, h, px), f) if f % stride == 0 =>
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
+              FrameFeatures(id, f.toLong, w.toLong, h.toLong,
+                1000000L * sum / (w.toLong * h * 3))
+            }
+        }
       }
       .toDF()
   }

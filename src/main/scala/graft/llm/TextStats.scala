@@ -94,6 +94,22 @@ object TextStats {
       .otherwise(((scaled - pmod(scaled, den)) / den).cast("bigint"))
   }
 
+  /** [[microRatio]] in DecimalType(38,0): for ratios whose numerator can
+    * exceed ~9.2e12 (Long.MaxValue / 1e6) — e.g. whole-corpus key·row
+    * products in skew metrics, where the long form would overflow under
+    * ANSI at billion-key scale. Same subtract-remainder-then-divide shape
+    * (exact at every step; the final division has remainder zero), NOT
+    * floor(a*b/c): decimal division rounds to a finite result scale, and
+    * a quotient one ulp under an integer would round UP past the floor.
+    */
+  def microRatioDec(num: Column, den: Column): Column = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val scaled = num.cast(d38) * lit(1000000L).cast(d38)
+    when(den === 0L, lit(0L))
+      .otherwise(((scaled - pmod(scaled, den.cast(d38))) / den.cast(d38))
+        .cast("bigint"))
+  }
+
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("bigint")
 

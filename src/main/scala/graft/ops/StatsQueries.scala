@@ -254,6 +254,8 @@ object StatsQueries {
     * billion-key domains the swap-in is binning the counts first (the
     * winsorize argument), since Gini is insensitive to within-bin order.
     */
+  private val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   def skewReport(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
     def keyCounts(c: String) = ev
@@ -274,13 +276,23 @@ object StatsQueries {
         max(col("c")).cast("bigint").as("__cmax"),
         sum(when(col("rd") <= 5L, col("c")).otherwise(0L)).cast("bigint")
           .as("__top5"))
+      // decimal micro-ratios, not the long form: the gini numerator is
+      // O(n_keys·total) and ×1e6 overflows Long past ~9.2e12 key·row
+      // products (billion-key corpora are this query's stated target);
+      // the oracle computes in HUGEINT, so the long form would diverge
+      // exactly where the report matters. The num/den PRODUCTS are built
+      // in decimal too — at extreme key·row scale even the un-scaled
+      // Long products wrap before the ratio is taken
       .select(col("col"), col("n_keys"), col("total"),
-        graft.llm.TextStats.microRatio(
-          lit(2L) * col("__s1") - (col("n_keys") + 1L) * col("total"),
-          col("n_keys") * col("total")).as("gini_micro"),
-        graft.llm.TextStats.microRatio(col("__cmax"), col("total"))
+        graft.llm.TextStats.microRatioDec(
+          lit(2L).cast(dec38) * col("__s1").cast(dec38) -
+            (col("n_keys").cast(dec38) + lit(1L).cast(dec38)) *
+              col("total").cast(dec38),
+          col("n_keys").cast(dec38) * col("total").cast(dec38))
+          .as("gini_micro"),
+        graft.llm.TextStats.microRatioDec(col("__cmax"), col("total"))
           .as("top1_micro"),
-        graft.llm.TextStats.microRatio(col("__top5"), col("total"))
+        graft.llm.TextStats.microRatioDec(col("__top5"), col("total"))
           .as("top5_micro"))
       .orderBy("col")
   }
@@ -482,11 +494,18 @@ object StatsQueries {
         |ORDER BY event_type""".stripMargin,
 
     "q_asof_clicks" ->
+      // the clicks side pre-dedupes (user_id, ts) ties to the max-event_id
+      // row: the Spark side's rightTieBreak resolves same-instant clicks
+      // deterministically (running last() over asc __tie = max event_id
+      // wins), while a plain ASOF JOIN leaves the winner unspecified —
+      // without this the contract is under-specified on tied data even
+      // though the current fixtures happen to have no (user_id, ts) dups
       """SELECT e.event_id AS event_id, c.value AS click_value
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'error') e
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-        |                WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, arg_max(value, event_id) AS value
+        |                FROM events WHERE event_type = 'click'
+        |                GROUP BY user_id, ts) c
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY event_id""".stripMargin
   )
