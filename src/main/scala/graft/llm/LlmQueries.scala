@@ -269,8 +269,9 @@ object LlmQueries {
 
   /** k-core kernel of the blocked near-dup graph (k=3): the members of
     * tightly-knit dup communities, with their within-core degrees —
-    * rows-only (the peel's round count is data-dependent), spec-gated
-    * on hand graphs in GraphSpec.
+    * oracle-checked against a DuckDB fixed-round peel unroll
+    * ([[kcoreOracleSql]]; the q_pagerank pattern) plus hand-graph specs
+    * in GraphSpec.
     */
   def dupKcore(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -735,8 +736,46 @@ object LlmQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** DuckDB unroll of [[graft.ops.Graph.kCore]]'s iterative peel on the
+    * id<200 near-dup block (the q_pagerank/q_bpe_learn fixed-round
+    * pattern). The peel is a fixpoint, but a fixpoint unrolled PAST its
+    * convergence depth is stable — extra rounds are identity filters —
+    * so a generous round count makes the data-dependent depth a
+    * non-issue: measured depth is 2–3 at sf0.001/0.01/0.1, the oracle
+    * unrolls `rounds`=12 (4–6× margin). If the data ever out-peels the
+    * unroll, the mismatch is a loud hash failure, never a silent wrong
+    * answer (Spark's side `require(converged)`s at its own fixpoint).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { i =>
+      s"""keep$i AS (
+         |  SELECT node FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY node HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM e${i - 1}
+         |  WHERE u IN (SELECT node FROM keep$i)
+         |    AND v IN (SELECT node FROM keep$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sh AS (
+       |  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS s
+       |  FROM documents WHERE doc_id < 200),
+       |p AS (
+       |  SELECT a.id AS u, b.id AS v
+       |  FROM sh a JOIN sh b ON a.id < b.id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+       |e0 AS MATERIALIZED (SELECT DISTINCT u, v FROM p),
+       |$peel
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg_in_core
+       |FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY node
+       |ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_mmr_diverse" -> mmrOracleSql(20, 10),
+    "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents

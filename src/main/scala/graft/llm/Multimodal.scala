@@ -96,8 +96,12 @@ object Multimodal {
       if (dataOffset < 0) return null
       val rasterLen = width.toLong * height.toLong * 3L
       if (rasterLen > Int.MaxValue) return null
-      val stride = rowStride(width)
-      if (dataOffset.toLong + stride.toLong * height > b.length) return null
+      // stride must also be computed in Long: width*3 can reach Int.MaxValue-1
+      // (rasterLen check alone permits height=1), and the +3 would wrap an Int
+      val strideL = (width.toLong * 3L + 3L) / 4L * 4L
+      if (strideL > Int.MaxValue) return null
+      val stride = strideL.toInt
+      if (dataOffset.toLong + strideL * height > b.length) return null
       val raster = new Array[Byte](rasterLen.toInt)
       var y = 0
       while (y < height) {

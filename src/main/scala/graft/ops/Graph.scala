@@ -74,10 +74,14 @@ object Graph {
     * which is small on real graphs (each round removes every
     * currently-underqualified node at once, not one node at a time).
     *
-    * Returns the k-core's (node, deg_in_core). Not oracle-able — the
-    * fixpoint's round count is data-dependent — so the contract is
-    * spec-level: hand graphs with known cores, plus the invariant every
-    * returned degree ≥ k.
+    * Returns the k-core's (node, deg_in_core). Oracle-checked despite
+    * the data-dependent round count: a fixpoint unrolled past its
+    * convergence depth is stable, so the DuckDB oracle unrolls a
+    * generous fixed round count (LlmQueries.kcoreOracleSql) and the
+    * `require(converged)` below guarantees any under-unroll surfaces as
+    * a loud hash mismatch, never a silent wrong answer. Spec-level
+    * contract on top: hand graphs with known cores, plus the invariant
+    * every returned degree ≥ k.
     */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge

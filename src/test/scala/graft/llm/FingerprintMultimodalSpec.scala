@@ -46,6 +46,19 @@ class FingerprintMultimodalSpec extends AnyFunSuite {
     // total on junk: not a BMP → null, never a throw
     assert(Multimodal.BmpCodec.decode("not a bitmap".getBytes) == null)
     assert(Multimodal.BmpCodec.decode(Array[Byte]('B', 'M', 3)) == null)
+    // adversarial header: width*height*3 = Int.MaxValue-1 passes the raster
+    // bound but width*3+3 wraps an Int stride negative — must be null, not a
+    // ~2 GB allocation followed by an arraycopy throw
+    val evil = new Array[Byte](64)
+    def put32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      evil(off + i) = ((v >>> (8 * i)) & 0xFF).toByte)
+    evil(0) = 'B'; evil(1) = 'M'
+    put32(10, 54)          // dataOffset
+    put32(18, 715827882)   // width: *3 = Int.MaxValue-1
+    put32(22, 1)           // height
+    evil(28) = 24          // bpp (low byte)
+    put32(30, 0)           // compression
+    assert(Multimodal.BmpCodec.decode(evil) == null)
   }
 
   test("PPM codec parses concatenated multi-digit-dim frames in order") {
