@@ -44,38 +44,71 @@ class TestdataDriftSpec extends AnyFunSuite {
     assert(normalized.schema == viaTable.schema)
   }
 
-  test("remaining corpus tables keep their load-bearing columns") {
-    val mustHave = Map(
-      "lineitem" -> Seq("l_orderkey", "l_quantity", "l_returnflag"),
-      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderdate"),
-      "customer" -> Seq("c_custkey", "c_mktsegment", "c_acctbal"),
-      "documents" -> Seq("doc_id", "text", "source"),
-      "embeddings" -> Seq("vec_id", "embedding", "label"))
-    mustHave.foreach { case (t, cols) =>
-      val schema = Tables.table(spark, GraftTestSpark.sfDir, t).schema
-      val missing = cols.filterNot(schema.fieldNames.contains)
-      assert(missing.isEmpty, s"$t lost columns $missing — testdata drift")
+  test("all 10 corpus tables keep their FULL public schema, name and type " +
+      "(hash-compare safety: a silent float->double or NTZ->date drift " +
+      "would move oracle hashes, not throw)") {
+    // The complete (name, type) contract as Tables.table returns it —
+    // total on purpose: the r8 events break cost a full round because
+    // only must-have columns were pinned. Load-bearing hotspots:
+    //  - embeddings.embedding array<float>: the whole similarity family
+    //    (cosine, IVF, PQ, int8, SemDeDup) assumes float32 — float64
+    //    would change every dot product;
+    //  - money-like doubles feed the exact-decimal cast contract
+    //    (Tables.dec);
+    //  - the current vintage ships o_orderdate / l_shipdate as
+    //    timestamp[us]/NTZ (not DATE) and every date query is
+    //    oracle-green against THAT — a flip to DateType or LTZ would
+    //    shift date_trunc/year extractions;
+    //  - events is pinned POST-normalization (ts TimestampType), the
+    //    public form the engine guarantees across physical vintages.
+    val expected: Map[String, Seq[(String, DataType)]] = Map(
+      "region" -> Seq(
+        "r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Seq(
+        "n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Seq(
+        "c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Seq(
+        "s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Seq(
+        "p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Seq(
+        "o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        "o_orderdate" -> TimestampNTZType,
+        "o_orderpriority" -> StringType),
+      "lineitem" -> Seq(
+        "l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Seq(
+        "event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Seq(
+        "doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Seq(
+        "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+        "label" -> IntegerType))
+    val drifted = expected.toSeq.sortBy(_._1).flatMap { case (t, want) =>
+      val got = Tables.table(spark, GraftTestSpark.sfDir, t)
+        .schema.fields.map(f => f.name -> f.dataType).toSeq
+      if (got == want) None else Some(s"$t:\n  want $want\n  got  $got")
     }
-  }
-
-  test("type-sensitive columns keep their physical types (hash-compare " +
-      "safety: a silent float->double drift would move oracle hashes, " +
-      "not throw)") {
-    def tpe(t: String, c: String): DataType =
-      Tables.table(spark, GraftTestSpark.sfDir, t).schema(c).dataType
-    // the whole similarity family (cosine, IVF, PQ, int8, SemDeDup)
-    // assumes float32 embeddings — float64 would change every dot product
-    assert(tpe("embeddings", "embedding") == ArrayType(FloatType),
-      "embeddings.embedding drifted from array<float>")
-    assert(tpe("documents", "text") == StringType)
-    assert(tpe("documents", "doc_id") == LongType)
-    // money-like doubles feed the exact-decimal cast contract (Tables.dec)
-    assert(tpe("lineitem", "l_quantity") == DoubleType)
-    assert(tpe("customer", "c_acctbal") == DoubleType)
-    // the current vintage ships o_orderdate as timestamp[us]/NTZ (not a
-    // DATE) and every date query is oracle-green against it — pin THAT;
-    // a flip to DateType or LTZ would shift date_trunc/year extractions
-    assert(tpe("orders", "o_orderdate") == TimestampNTZType,
-      "orders.o_orderdate drifted — date arithmetic queries would shift")
+    assert(drifted.isEmpty,
+      s"\ntestdata schema drifted — the driver likely regenerated " +
+        s"/root/testdata; adapt Tables and re-pin:\n" +
+        drifted.mkString("\n"))
   }
 }
