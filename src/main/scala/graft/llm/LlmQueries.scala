@@ -42,16 +42,17 @@ object LlmQueries {
         minJaccard = 0.9, maxId = 200L)
       .orderBy("id_a", "id_b")
 
-  /** MinHash+LSH near-dup pairs (rows-only: xxhash64 signatures aren't
-    * SQL-reproducible in DuckDB; the exact-verify stage is covered by the
-    * oracle-checked q_jaccard_pairs instead).
+  /** MinHash+LSH near-dup pairs — oracle-checked since round 10: the
+    * full banded pipeline (signatures, chained band keys, exact verify)
+    * replays in DuckDB via [[DuckXxh]] ([[minhashOracleSql]]).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDupPairs(table(spark, dir, "documents"), minJaccard = 0.9)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs on a bounded block (rows-only; the all-pairs
-    * verification form — the baseline the banded query below must equal).
+  /** SimHash near-dup pairs on a bounded block (the all-pairs
+    * verification form — the baseline the banded query below must
+    * equal). Oracle-checked since round 10 ([[simhashPairsOracleSql]]).
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(table(spark, dir, "documents"),
@@ -71,8 +72,8 @@ object LlmQueries {
         maxHamming = 12)
       .orderBy("id_a", "id_b")
 
-  /** Winnowing local-overlap pairs (rows-only: xxhash64 fingerprints
-    * aren't DuckDB-reproducible): docs sharing ≥ 3 winnowed fingerprints
+  /** Winnowing local-overlap pairs (oracle-checked since round 10 via
+    * [[winnowPairsOracleSql]]): docs sharing ≥ 3 winnowed fingerprints
     * after the stop-gram frequency cap. The LOCAL-overlap complement to
     * the global-similarity minhash query. Bounded block for bench budget
     * only — the full-corpus form runs in ~8 s at sf0.1 (the plan is the
@@ -322,7 +323,8 @@ object LlmQueries {
   }
 
   /** Greedy near-dedup corpus: docs retained after dropping the higher id
-    * of every MinHash-detected near-dup pair (rows-only).
+    * of every MinHash-detected near-dup pair (oracle-checked since
+    * round 10 — the keepfirst tail of [[minhashOracleSql]]).
     */
   def nearDedupedDocs(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDedupKeepFirst(table(spark, dir, "documents"), minJaccard = 0.9)
@@ -365,9 +367,10 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Incremental near-dup pairs through the MinHash scale path (rows-only;
-    * pair-for-pair equality with the batch form's cross-split slice is
-    * asserted in DedupSpec).
+  /** Incremental near-dup pairs through the MinHash scale path
+    * (oracle-checked since round 10 — the bipartite candidate predicate
+    * of [[minhashOracleSql]]; pair-for-pair equality with the batch
+    * form's cross-split slice additionally asserted in DedupSpec).
     */
   def incrementalMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -773,9 +776,197 @@ object LlmQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** DuckDB replay of [[Dedup.simhashPairs]] (and of the banded scale
+    * path, which is proven set-equal to it): per-token XXH64 via
+    * [[DuckXxh.xxh64]], bit-majority vote by unnesting (doc, tokenhash)
+    * rows against a 64-bit range — `2·Σbit > n` is [[graft.functions
+    * .SimHash64]]'s strict majority — then all-pairs hamming on the
+    * id<200 block. NULL-text docs vanish at unnest and so produce no
+    * pairs, matching Spark's null-sig propagation. The bit values are
+    * HUGEINT shifts, NOT `2**b` — DuckDB's `**` returns DOUBLE and
+    * silently corrupts bits ≥ 53.
+    */
+  private def simhashPairsOracleSql(maxHamming: Int, maxId: Long): String = {
+    val xxh = DuckXxh.xxh64("t")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk
+       |  FROM documents WHERE doc_id < $maxId),
+       |hs AS MATERIALIZED (
+       |  SELECT doc_id, len(tk) AS n,
+       |    unnest(list_transform(tk, t -> $xxh)) AS h
+       |  FROM toks),
+       |bits AS MATERIALIZED (
+       |  SELECT doc_id, r.b,
+       |    CASE WHEN 2 * sum(CAST((h >> r.b) & 1 AS BIGINT)) > max(n)
+       |         THEN (CAST(1 AS HUGEINT) << CAST(r.b AS INTEGER))
+       |         ELSE CAST(0 AS HUGEINT) END AS bitval
+       |  FROM hs CROSS JOIN range(0, 64) r(b)
+       |  GROUP BY doc_id, r.b),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN sum(bitval) >= 9223372036854775808
+       |              THEN sum(bitval) - 18446744073709551616
+       |              ELSE sum(bitval) END AS BIGINT) AS s
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of [[Dedup.winnowingOverlapPairs]] /
+    * [[TextStats.winnowedDocs]]: 3-token shingles hashed with
+    * [[DuckXxh.xxh64]] converted to SIGNED longs (Spark's `array_min`
+    * compares signed — an unsigned min would pick different
+    * fingerprints), window-4 minima, per-doc distinct, stop-gram df cap,
+    * inverted-index pair count. Lambda vars are `wi`/`wj` to stay clear
+    * of the generator's own short names.
+    */
+  private def winnowPairsOracleSql(minShared: Int, maxDocFreq: Long,
+                                   maxId: Long): String = {
+    val shingle = "array_to_string(list_slice(tk, wi+1, wi+3), ' ')"
+    val sxxh = DuckXxh.toSigned(DuckXxh.xxh64(shingle))
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE doc_id < $maxId AND text IS NOT NULL),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(
+       |    range(0, greatest(n - 3, 0) + 1),
+       |    wi -> $sxxh) AS shl
+       |  FROM toks),
+       |wm AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(
+       |    range(0, greatest(len(shl) - 4, 0) + 1),
+       |    wj -> list_min(list_slice(shl, wj+1, wj+4))) AS wml
+       |  FROM sh),
+       |fp AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, unnest(wml) AS fp FROM wm),
+       |rare AS MATERIALIZED (
+       |  SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $maxDocFreq),
+       |idx AS MATERIALIZED (
+       |  SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM rare))
+       |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS shared_fp
+       |FROM idx x JOIN idx y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY id_a, id_b HAVING count(*) >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of the full MinHash+LSH pipeline ([[Dedup
+    * .minhashNearDupPairs]] and friends) — token hash sets, 24 per-seed
+    * signature minima, 3 banded keys, bucket-join candidates, exact
+    * Jaccard verify. Three exactness traps, all bit-level:
+    *
+    *  - signature minima and the hash-set sort compare SIGNED longs
+    *    (`Arrays.sort`/`v < sig(k)`), so every XXH64 result converts to
+    *    signed before `list_min`/`list_sort`;
+    *  - the band key is Spark's multi-child `xxhash64(lit(b), sig…)`,
+    *    which CHAINS: each child's hash becomes the next child's seed,
+    *    starting from `hashInt(b, 42)` (a compile-time constant here);
+    *  - per-seed minhash seeds are `XXH64.hashInt(k, 42)` — taken from
+    *    Spark's own implementation at generation time, not re-derived.
+    *
+    * Signatures are per-doc and split-independent, so the batch
+    * self-join, the bipartite incremental form, and keep-first all share
+    * one CTE chain — only the candidate predicate / final shape differ.
+    */
+  private def minhashOracleSql(kind: String, minJaccard: Double,
+                               numHashes: Int = 24, bands: Int = 3): String = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val sxxh = DuckXxh.toSigned(DuckXxh.xxh64("t"))
+    def unsigned(l: Long): BigInt = (BigInt(l) + (BigInt(1) << 64)).mod(BigInt(1) << 64)
+    // the 24 per-signature seeds, from Spark's own hashInt — embedded as
+    // a literal UBIGINT list indexed by the permutation number
+    val seedList = (0 until numHashes).map(k => unsigned(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(k, 42L)))
+      .mkString("[", ", ", "]")
+    def keyExpr(b: Int): String = {
+      val init = unsigned(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L))
+      (0 until r).foldLeft(s"CAST($init AS UBIGINT)") { (seedE, i) =>
+        DuckXxh.xxh64Long(DuckXxh.toUnsigned(s"sig[${b * r + i + 1}]"), seedE)
+      }
+    }
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS bi, k$b AS bk FROM keyed").mkString(
+      "\nUNION ALL ")
+    // Signatures are per-(vocab word, seed), and the corpus vocabulary is
+    // tiny next to the corpus — so hash the VOCABULARY once (|V| string
+    // hashes + |V|·24 long hashes) and make the per-doc minima a
+    // relational GROUP BY over the (doc, tokenhash) join, instead of
+    // re-evaluating the 20 KB hash expression per (doc, token, seed).
+    val ctes =
+      s"""WITH doctok AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |vh AS MATERIALIZED (
+         |  SELECT t, $sxxh AS h FROM (SELECT DISTINCT t FROM doctok)),
+         |dt AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, h FROM doctok JOIN vh USING (t)),
+         |hsets AS MATERIALIZED (
+         |  SELECT doc_id, list_sort(list(h)) AS hset FROM dt GROUP BY doc_id),
+         |vperm AS MATERIALIZED (
+         |  SELECT h, rk.k,
+         |    ${DuckXxh.toSigned(DuckXxh.xxh64Long(
+               DuckXxh.toUnsigned("h"),
+               s"CAST($seedList AS UBIGINT[])[CAST(rk.k AS INTEGER)+1]"))} AS ph
+         |  FROM (SELECT DISTINCT h FROM vh) CROSS JOIN range(0, $numHashes) rk(k)),
+         |sigt AS MATERIALIZED (
+         |  SELECT doc_id, k, min(ph) AS s
+         |  FROM dt JOIN vperm USING (h) GROUP BY doc_id, k),
+         |sigl AS MATERIALIZED (
+         |  SELECT doc_id, list(s ORDER BY k) AS sig FROM sigt GROUP BY doc_id),
+         |keyed AS MATERIALIZED (
+         |  SELECT doc_id, hset,
+         |    ${(0 until bands).map(b => s"${keyExpr(b)} AS k$b").mkString(",\n    ")}
+         |  FROM sigl JOIN hsets USING (doc_id)),
+         |bandrows AS MATERIALIZED (
+         |$bandRows),""".stripMargin
+    val candCond = kind match {
+      case "incremental" => "x.doc_id < 250 AND y.doc_id >= 250"
+      case _             => "x.doc_id < y.doc_id"
+    }
+    val verified =
+      s"""cand AS MATERIALIZED (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bandrows x JOIN bandrows y
+         |    ON x.bi = y.bi AND x.bk = y.bk AND $candCond),
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b, jaccard FROM (
+         |    SELECT c.id_a, c.id_b,
+         |      round(CAST(len(list_intersect(a.hset, b.hset)) AS DOUBLE) /
+         |        (len(a.hset) + len(b.hset) -
+         |         len(list_intersect(a.hset, b.hset))), 6) AS jaccard
+         |    FROM cand c
+         |    JOIN keyed a ON a.doc_id = c.id_a
+         |    JOIN keyed b ON b.doc_id = c.id_b)
+         |  WHERE jaccard >= $minJaccard)""".stripMargin
+    val tail = kind match {
+      case "keepfirst" =>
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+          |ORDER BY doc_id""".stripMargin
+      case _ =>
+        "SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"
+    }
+    s"$ctes\n$verified\n$tail"
+  }
+
   val oracle: Map[String, String] = Map(
     "q_mmr_diverse" -> mmrOracleSql(20, 10),
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_minhash_pairs" -> minhashOracleSql("pairs", 0.9),
+    "q_incremental_minhash" -> minhashOracleSql("incremental", 0.9),
+    "q_near_deduped_docs" -> minhashOracleSql("keepfirst", 0.9),
+    "q_winnow_pairs" -> winnowPairsOracleSql(minShared = 3,
+      maxDocFreq = 20L, maxId = 500L),
+    "q_simhash_pairs" -> simhashPairsOracleSql(maxHamming = 12, maxId = 200L),
+    // deliberately the SAME SQL: the banded plan must reproduce the
+    // all-pairs result set exactly (pigeonhole makes banding lossless)
+    "q_simhash_banded" -> simhashPairsOracleSql(maxHamming = 12, maxId = 200L),
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
         |FROM documents
@@ -991,7 +1182,7 @@ object LlmQueries {
         |      i -> CAST(qh[i] AS DOUBLE) * CAST(qh[i] AS DOUBLE))))), 6)
         |    AS head_score
         |  FROM c, q WHERE query_id <> neighbor_id),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY head_score DESC, neighbor_id ASC) AS cand_rk
         |  FROM head),
