@@ -962,10 +962,9 @@ object CorpusQueries {
   /** Sketch-based cardinality next to ground truth: per source, the
     * HLL++ estimate (`approx_count_distinct`, the mergeable sketch that
     * replaces exact distinct at 100 TB) beside the exact distinct token
-    * count. Rows-only (HLL internals aren't SQL-replayable in DuckDB);
-    * the ≤5% relative-error contract is spec-gated, and the estimate is
-    * deterministic for the driver's rows-only hash (HLL++ is unseeded —
-    * same data, same estimate).
+    * count. The ≤5% relative-error contract is spec-gated. Oracle-checked since
+    * round 10: in the linear-counting regime the HLL++ estimate replays
+    * exactly from the xxhash64 register indices (see the oracle entry).
     */
   def sketchCounts(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
@@ -991,10 +990,11 @@ object CorpusQueries {
     * with ONE shuffle-free pass (`stat.countMinSketch` runs a
     * treeAggregate of fixed-size mergeable sketches) and answers any
     * token's count in O(depth). Output: the exact top-20 with both
-    * counts side by side. Deterministic for the driver's rows-only hash:
-    * the sketch is seeded and its counters are order-independent sums.
-    * The 20-row collect is bounded output, not corpus data — the
-    * established index-build pattern.
+    * counts side by side. Oracle-checked since round 10
+    * ([[approxHeavyHittersOracleSql]] replays the sketch's double-hash
+    * bucketing); the counters are order-independent sums, so the merged
+    * sketch is layout-invariant. The 20-row collect is bounded output,
+    * not corpus data — the established index-build pattern.
     */
   def approxHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1060,6 +1060,53 @@ object CorpusQueries {
     "q_source_vocab" -> (sourceVocab _),
     "q_source_kl" -> (sourceKl _)
   )
+
+  /** DuckDB replay of [[approxHeavyHitters]]'s count-min sketch: Spark's
+    * `stat.countMinSketch` buckets a string item with the Guava
+    * double-hash scheme — h1 = Murmur3_x86_32(bytes, 0), h2 =
+    * Murmur3_x86_32(bytes, h1), bucket_i = bitflip-if-negative(h1 + i·h2)
+    * mod width for rows i = 1..depth — and estimates as the min of the
+    * depth bucket sums ([[graft.llm.DuckXxh.murmur32]] provides the hash;
+    * hypothesis confirmed value-for-value against the engine's output
+    * before landing). width = ceil(2/eps), depth =
+    * ceil(-ln(1-confidence)/ln 2), per CountMinSketch.create — the sketch
+    * table itself is a (row, bucket) GROUP BY, order-independent exactly
+    * like the mergeable sketch. The sketch seed does not enter the
+    * string/binary path.
+    */
+  private def approxHeavyHittersOracleSql(): String = {
+    val width = math.ceil(2 / cmsEps).toInt
+    val depth = math.ceil(-math.log(1 - cmsConfidence) / math.log(2)).toInt
+    val h1 = DuckXxh.murmur32("token", "CAST(0 AS UBIGINT)")
+    val h2 = DuckXxh.murmur32("token", "h1")
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |  GROUP BY t),
+       |t1 AS MATERIALIZED (
+       |  SELECT token, cnt, $h1 AS h1 FROM tok),
+       |t2 AS MATERIALIZED (
+       |  SELECT token, cnt, h1, $h2 AS h2 FROM t1),
+       |bkt AS MATERIALIZED (
+       |  SELECT token, cnt, i,
+       |    CAST((CASE WHEN c >= 2147483648 THEN 4294967295 - c ELSE c END)
+       |         % $width AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT token, cnt, r.i,
+       |      CAST((CAST(h1 AS HUGEINT) + r.i * CAST(h2 AS HUGEINT))
+       |           % 4294967296 AS UBIGINT) AS c
+       |    FROM t2 CROSS JOIN range(1, ${depth + 1}) r(i))),
+       |tbl AS MATERIALIZED (
+       |  SELECT i, bucket, sum(cnt) AS bsum FROM bkt GROUP BY i, bucket),
+       |est AS MATERIALIZED (
+       |  SELECT b.token, CAST(min(t.bsum) AS BIGINT) AS cnt_est
+       |  FROM bkt b JOIN tbl t ON t.i = b.i AND t.bucket = b.bucket
+       |  GROUP BY b.token)
+       |SELECT c.token, c.cnt, e.cnt_est
+       |FROM tok c JOIN est e USING (token)
+       |ORDER BY c.cnt DESC, c.token
+       |LIMIT 20""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q_char_entropy" ->
@@ -1197,6 +1244,36 @@ object CorpusQueries {
         |SELECT token, cnt FROM c
         |ORDER BY cnt DESC, token
         |LIMIT 20""".stripMargin,
+
+    "q_approx_heavy_hitters" -> approxHeavyHittersOracleSql(),
+
+    // HLL++ replay in the linear-counting regime: Spark's
+    // approx_count_distinct(rsd=0.02) is p=12 (m=4096 registers), register
+    // index = xxhash64(token, seed 42) >>> 52, and at this corpus's
+    // cardinality the estimator always takes the linear-counting branch
+    // H = round(m·ln(m/V)) with V = zero registers = m − |distinct idx|.
+    // Both the idx derivation and the ROUNDING (Math.round, not truncate)
+    // were confirmed against the engine, including a register-collision
+    // case (65 distinct values → 64 registers → estimate 65). A corpus
+    // drift past the LC regime fails loudly, never silently.
+    "q_sketch_counts" -> {
+      val xxh = graft.llm.DuckXxh.xxh64("t")
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT source, unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |d AS MATERIALIZED (SELECT DISTINCT source, t FROM tok),
+         |vh AS MATERIALIZED (
+         |  SELECT t, $xxh AS h FROM (SELECT DISTINCT t FROM d)),
+         |idxs AS MATERIALIZED (
+         |  SELECT DISTINCT source, (h >> 52) AS idx FROM d JOIN vh USING (t)),
+         |v AS (SELECT source, 4096 - count(*) AS zreg FROM idxs GROUP BY source),
+         |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact
+         |       FROM d GROUP BY source)
+         |SELECT ex.source, ex.exact,
+         |  CAST(round(4096 * ln(4096.0 / v.zreg)) AS BIGINT) AS estimate
+         |FROM ex JOIN v USING (source)
+         |ORDER BY source""".stripMargin
+    },
 
     "q_unigram_logprob" ->
       """WITH tok AS (

@@ -210,4 +210,64 @@ private[llm] object DuckXxh {
     h = h ^ (h >> 29); h = (h * P3).mod(M64)
     h ^ (h >> 32)
   }
+
+  // ---- Murmur3_x86_32, Spark's variant (`Murmur3_x86_32.hashUnsafeBytes`:
+  // 4-byte LE words, then each remaining TAIL byte mixed individually as a
+  // SIGNED int — not the standard murmur3 tail). Feeds the CountMinSketch
+  // oracle: Spark's CMS buckets strings with the Guava double-hash trick,
+  // h1 = murmur(b, 0), h2 = murmur(b, h1), bucket_i = (h1 + i*h2)
+  // bit-flipped-if-negative mod width. 32-bit lane: products of two
+  // sub-2^32 values fit HUGEINT directly, no limb split needed.
+
+  private val MC1 = BigInt("3432918353") // 0xcc9e2d51
+  private val MC2 = BigInt("461845907")  // 0x1b873593
+  private val B32Mod = "4294967296"
+
+  private def mul32(a: String, c: BigInt): String =
+    s"CAST((CAST($a AS HUGEINT) * $c) % $B32Mod AS UBIGINT)"
+
+  private def rotl32(x: String, r: Int): String =
+    s"CAST(((CAST($x AS HUGEINT) * ${BigInt(1) << r}) % $B32Mod + " +
+      s"($x >> ${32 - r})) AS UBIGINT)"
+
+  /** murmur3 k-mix for a cheap var: rotl15(k·C1)·C2. */
+  private def mixK1(k: String): String =
+    bind(mul32(k, MC1), "mk")(t => mul32(rotl32(t, 15), MC2))
+
+  /** murmur3 h-mix for cheap vars: rotl13(h^k)·5 + 0xe6546b64. */
+  private def mixH1(h: String, k: String): String =
+    bind(xor(h, k), "mh1")(t =>
+      bind(rotl32(t, 13), "mh1")(u =>
+        s"CAST((CAST($u AS HUGEINT) * 5 + 3864292196) % $B32Mod AS UBIGINT)"))
+
+  /** Spark's Murmur3_x86_32.hashUnsafeBytes over the UTF-8 bytes of a
+    * string expression, as an UNSIGNED 32-bit UBIGINT. `seedExpr` is any
+    * UBIGINT expr < 2^32 (referenced once). */
+  def murmur32(tokenExpr: String, seedExpr: String): String =
+    bind(s"hex(encode($tokenExpr))", "mx") { hx =>
+      bind(s"CAST(length($hx)//2 AS BIGINT)", "mn") { n =>
+        val words = s"list_transform(range(0, $n//4), wq -> " +
+          s"${wordAt(hx, "4*wq + 1", 4)})"
+        val hWords =
+          s"list_reduce(list_prepend($seedExpr, $words), " +
+            s"(acc, w) -> ${bind(mixK1("w"), "kw")(kk => mixH1("acc", kk))})"
+        // tail bytes enter SIGNED, masked to 32 bits: b >= 128 becomes
+        // 2^32 - 256 + b (Java sign extension of a negative byte)
+        val tailVals = s"list_transform(range(4*($n//4), $n), tq -> " +
+          bind(byteAt(hx, "tq + 1"), "tb")(bv =>
+            s"CASE WHEN $bv >= 128 THEN $bv + 4294967040 ELSE $bv END") + ")"
+        val hTail = bind(hWords, "mw")(hw =>
+          s"list_reduce(list_prepend($hw, $tailVals), " +
+            s"(acc, b) -> ${bind(mixK1("b"), "kb")(kk => mixH1("acc", kk))})")
+        // fmix(h, len)
+        bind(hTail, "mf") { h0 =>
+          bind(xor(h0, s"CAST($n AS UBIGINT)"), "mf") { a =>
+          bind(xor(a, s"$a >> 16"), "mf") { b =>
+          bind(mul32(b, BigInt("2246822507")), "mf") { c =>  // 0x85ebca6b
+          bind(xor(c, s"$c >> 13"), "mf") { d =>
+          bind(mul32(d, BigInt("3266489909")), "mf") { e =>  // 0xc2b2ae35
+            xor(e, s"$e >> 16") } } } } }
+        }
+      }
+    }
 }

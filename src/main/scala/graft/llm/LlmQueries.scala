@@ -143,8 +143,9 @@ object LlmQueries {
         minCosine = 0.3, maxId = 1000L)
       .orderBy("id_a", "id_b")
 
-  /** LSH-bucketed cosine near-neighbor pairs (rows-only scale path;
-    * exact-verified so precision is 1.0, recall is the banding tradeoff).
+  /** LSH-bucketed cosine near-neighbor pairs (exact-verified so
+    * precision is 1.0, recall is the banding tradeoff). Oracle-checked
+    * since round 10 ([[lshCosineOracleSql]]).
     */
   def lshCosinePairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshCosinePairs(table(spark, dir, "embeddings"), minCosine = 0.3,
@@ -955,9 +956,80 @@ object LlmQueries {
     s"$ctes\n$verified\n$tail"
   }
 
+  /** DuckDB replay of [[Similarity.lshCosinePairs]]: the seeded Gaussian
+    * hyperplanes are generated HERE with the same `Random(42)` stream the
+    * operator uses and embedded as double literals (shortest-round-trip
+    * repr, so DuckDB parses back the identical bits); unit-normalization
+    * and projections replay the sequential-left-fold convention
+    * (`list_sum` is bit-identical to the codegen'd DotProduct — the
+    * q_knn_cosine precedent); band keys are Spark's chained multi-child
+    * `xxhash64` over the floor-bucket longs via [[DuckXxh]]. Embedding
+    * dim is baked at generation time (64) — a testdata drift would fail
+    * loudly at the `len(embedding) = 64` guard, not silently.
+    */
+  private def lshCosineOracleSql(minCosine: Double, bucketLength: Double,
+                                 bands: Int = 4, rowsPerBand: Int = 2,
+                                 dim: Int = 64): String = {
+    val rng = new scala.util.Random(42L)
+    val projections = Array.fill(bands * rowsPerBand, dim)(rng.nextGaussian())
+    def unsigned(l: Long): BigInt =
+      (BigInt(l) + (BigInt(1) << 64)).mod(BigInt(1) << 64)
+    val bCols = projections.zipWithIndex.map { case (g, i) =>
+      val lit = g.map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"CAST(floor(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"li -> u[li] * CAST($lit AS DOUBLE[])[li])) / $bucketLength) " +
+        s"AS BIGINT) AS pb$i"
+    }
+    def keyExpr(b: Int): String = {
+      val init = unsigned(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, 42L))
+      (0 until rowsPerBand).foldLeft(s"CAST($init AS UBIGINT)") { (seedE, i) =>
+        DuckXxh.xxh64Long(DuckXxh.toUnsigned(s"pb${b * rowsPerBand + i}"), seedE)
+      }
+    }
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT id, $b AS bi, k$b AS bk FROM keyed").mkString("\nUNION ALL ")
+    s"""WITH ue AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xe
+       |  FROM embeddings
+       |  WHERE len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |un AS MATERIALIZED (
+       |  SELECT id, list_transform(xe, x -> x / nrm) AS u
+       |  FROM (SELECT id, xe,
+       |          CASE WHEN s = 0 THEN 1.0 ELSE sqrt(s) END AS nrm
+       |        FROM (SELECT id, xe,
+       |                list_sum(list_transform(xe, x -> x*x)) AS s
+       |              FROM ue))),
+       |proj AS MATERIALIZED (
+       |  SELECT id, u, ${bCols.mkString(",\n    ")}
+       |  FROM un),
+       |keyed AS MATERIALIZED (
+       |  SELECT id, u,
+       |    ${(0 until bands).map(b => s"${keyExpr(b)} AS k$b").mkString(",\n    ")}
+       |  FROM proj),
+       |bandrows AS MATERIALIZED (
+       |$bandRows),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.bi = y.bi AND x.bk = y.bk AND x.id < y.id)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_sum(list_transform(range(1, ${dim + 1}),
+       |      li -> a.u[li] * b.u[li])), 6) AS cosine
+       |  FROM cand c JOIN keyed a ON a.id = c.id_a
+       |               JOIN keyed b ON b.id = c.id_b)
+       |WHERE cosine >= $minCosine
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_mmr_diverse" -> mmrOracleSql(20, 10),
     "q_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
+    "q_lsh_cosine_pairs" -> lshCosineOracleSql(minCosine = 0.3,
+      bucketLength = 1.0),
     "q_minhash_pairs" -> minhashOracleSql("pairs", 0.9),
     "q_incremental_minhash" -> minhashOracleSql("incremental", 0.9),
     "q_near_deduped_docs" -> minhashOracleSql("keepfirst", 0.9),
