@@ -11,12 +11,17 @@ object Explain {
     * them unless the user names one explicitly.
     */
   val eagerQueries: Set[String] = Set(
-    "q_ml_pipeline", "q_ml_cluster_sizes", "q_dup_clusters",
+    "q_ml_pipeline", "q_ml_cluster_sizes", "q_ml_confusion",
+    "q_dup_clusters",
     "q_stream_windowed", "q_csv_roundtrip", "q_json_roundtrip",
-    "q_stream_dedup", "q_stream_enrich", "q_orc_roundtrip",
-    "q_pq_topk", "q_pagerank", "q_ivf_topk",
+    "q_stream_dedup", "q_stream_enrich", "q_stream_hll",
+    "q_orc_roundtrip",
+    "q_pq_topk", "q_pagerank", "q_ivf_topk", "q_semantic_dedup",
     "q_stream_interval_join", "q_approx_heavy_hitters", "q_source_kl",
-    "q_dedup_keep_best", "q_leakage_safe_split", "q_kcore")
+    "q_dedup_keep_best", "q_leakage_safe_split", "q_kcore",
+    "q_bpe_learn", "q_bpe_vocab", "q_importance_weights",
+    "q_budget_waterfill", "q_temperature_mix", "q_curriculum_order",
+    "q_class_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

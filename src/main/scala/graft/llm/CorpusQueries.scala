@@ -329,8 +329,9 @@ object CorpusQueries {
     * construction, not data-bounded), so the within-doc pair explode is
     * ≤F² per document at any corpus size — the apriori prune that makes
     * basket mining tractable; the pair aggregate shuffles on the pair
-    * key. Lift divides exact integer products cast to double once —
-    * engine-exact parity.
+    * key. Lift multiplies counts as DOUBLES (each operand < 2⁵³ is
+    * exact, so both engines compute identical products at any tested
+    * scale) — the Long product form overflows past ~3e9 documents.
     */
   def cooccurPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -351,10 +352,15 @@ object CorpusQueries {
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         max(col("df_a")).as("df_a"), max(col("df_b")).as("df_b"))
     val tot = docs.agg(count(lit(1)).as("n"))
+    // operands cast to double BEFORE the multiply: each count is exact in
+    // a double (< 2⁵³), but the Long PRODUCT N·n_docs overflows 2⁶³ once
+    // the corpus passes ~3e9 documents — ANSI ARITHMETIC_OVERFLOW at
+    // exactly the scale this operator targets (the skewReport lesson)
     pairs.crossJoin(broadcast(tot))
       .select(col("tok_a"), col("tok_b"), col("n_docs"),
-        round((col("n_docs") * col("n")).cast("double") /
-          (col("df_a") * col("df_b")).cast("double"), 6).as("lift"))
+        round((col("n_docs").cast("double") * col("n").cast("double")) /
+          (col("df_a").cast("double") * col("df_b").cast("double")), 6)
+          .as("lift"))
       .orderBy(desc("n_docs"), col("tok_a"), col("tok_b"))
       .limit(20)
   }
@@ -1354,9 +1360,11 @@ object CorpusQueries {
         |w AS (
         |  SELECT source, n,
         |    CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS wm FROM n),
-        |t AS (SELECT CAST(sum(wm) AS BIGINT) AS tw FROM w),
+        |t AS (SELECT CAST(sum(wm) AS HUGEINT) AS tw FROM w),
         |a AS (
-        |  SELECT source, least(n, (2000 * wm) // tw) AS alloc
+        |  SELECT source,
+        |    least(n, CAST((CAST(2000 AS HUGEINT) * wm) // tw AS BIGINT))
+        |      AS alloc
         |  FROM w, t),
         |r AS (
         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
@@ -1518,8 +1526,8 @@ object CorpusQueries {
         |  GROUP BY tok_a, tok_b),
         |tot AS (SELECT count(*) AS n FROM documents)
         |SELECT tok_a, tok_b, n_docs,
-        |  round(CAST(n_docs * n AS DOUBLE) /
-        |        CAST(df_a * df_b AS DOUBLE), 6) AS lift
+        |  round((CAST(n_docs AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |        (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE)), 6) AS lift
         |FROM p CROSS JOIN tot
         |ORDER BY n_docs DESC, tok_a, tok_b
         |LIMIT 20""".stripMargin,

@@ -37,8 +37,16 @@ object Layout {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(path)
-      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    // RECURSIVE listing: partitioned layouts (hive key=value dirs, the
+    // streaming sinks' batch_id=N subdirs) keep their data files below
+    // the top level, where a flat listStatus measures 0 bytes and the
+    // size target silently degrades to one giant output file
+    val files = fs.listFiles(path, true)
+    var total = 0L
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(dir).coalesce(n)
       .write.mode("overwrite").parquet(out)

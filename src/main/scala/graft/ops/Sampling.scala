@@ -96,7 +96,11 @@ object Sampling {
                      budgetFrac: Double): DataFrame = {
     val counts = perGroup.select(col(groupCol).as("g"),
       col(cCol).cast("long").as("c")).cache()
-    val head = counts.agg(sum(col("c")), max(col("c"))).head()
+    // coalesce: on an empty frame both aggregates are NULL — degrade to
+    // total 0 so the B < Σc contract require below fires with its own
+    // message instead of a driver NPE
+    val head = counts.agg(coalesce(sum(col("c")), lit(0L)),
+      coalesce(max(col("c")), lit(0L))).head()
     val (total, maxC) = (head.getLong(0), head.getLong(1))
     val budget = math.floor(total * budgetFrac).toLong
     require(budget < total, s"budget $budget must be < total $total")
@@ -192,15 +196,32 @@ object Sampling {
       .cache()
     // one aggregate pass for both scalars: the integer weight mass and
     // the null-group guard (a null group has no defensible allocation —
-    // fail with the contract, not a downstream NPE)
+    // fail with the contract, not a downstream NPE). ΣW and the
+    // budget·w_micro product run in DECIMAL(38,0): at domain-cardinality
+    // groups over corpus-sized counts both pass 2⁶³ (1e7 groups ×
+    // √(1e12)·1e6 weight ≈ 1e19 mass; budget 1e9 × weight 1e12 ≈ 1e21),
+    // where a Long product is an ANSI ARITHMETIC_OVERFLOW — the same
+    // product-overflow class skewReport routes through DECIMAL. Each
+    // __wm itself fits a Long for any per-group count below ~9e12 even
+    // at T=1 (and far beyond at the T≥2 flattening this mix exists for).
+    val dec = "DECIMAL(38,0)"
     val head = weighted.agg(
-      coalesce(sum(col("__wm")), lit(0L)),
+      coalesce(sum(col("__wm").cast(dec)), lit(0L).cast(dec)),
       coalesce(sum(col(groupCol).isNull.cast("long")), lit(0L))).head()
-    val (wSum, nNull) = (head.getLong(0), head.getLong(1))
+    val (wSum, nNull) = (head.getDecimal(0), head.getLong(1))
     require(nNull == 0L, s"$groupCol keys must be non-null")
+    // wSum = 0 iff df is empty (every non-empty group has __wm ≥ 1e6):
+    // the alloc frame is empty then, so the divisor is never read — any
+    // non-zero value keeps the expression total instead of div-by-zero
+    val divisor = if (wSum.signum == 0) "1" else wSum.toPlainString
     val alloc = weighted.select(col(groupCol),
-      least(col("__n"), expr(s"${budget}L * __wm DIV ${wSum}L")).as("__alloc"))
-    val maxAlloc = alloc.agg(max(col("__alloc"))).head().getLong(0)
+      least(col("__n"),
+        expr(s"CAST($budget AS $dec) * CAST(__wm AS $dec) " +
+          s"DIV CAST($divisor AS $dec)")).as("__alloc"))
+    // max over an empty alloc frame is NULL, not a row-less result:
+    // degrade to cutoff 0 (empty output with the contract schema)
+    val maxRow = alloc.agg(max(col("__alloc"))).head()
+    val maxAlloc = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     // the returned plan depends only on the alloc FRAME SHAPE and the
     // scalar cutoff; release the cache now (waterfillAlloc pattern) and
     // let the final query recompute the one cheap map-side-combine agg
@@ -282,8 +303,12 @@ object Sampling {
     */
   def classBalance(df: DataFrame, classCol: String,
                    idCol: String): DataFrame = {
-    val nMin = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n"))).head().getLong(0)
+    // min over zero classes is NULL (empty input, e.g. an upstream
+    // filter removed everything): cutoff 0 keeps the operator total —
+    // an empty result with the contract schema, not a driver NPE
+    val minRow = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).head()
+    val nMin = if (minRow.isNullAt(0)) 0L else minRow.getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(classCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))

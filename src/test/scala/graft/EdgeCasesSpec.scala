@@ -377,4 +377,10 @@ class EdgeCasesSpec extends AnyFunSuite {
     val r = graft.ops.StatsQueries.funnelTime(spark, dir).head()
     assert(r.getAs[Long]("n_converted") == 0L)
   }
+
+  test("Explain.eagerQueries names real queries (typo canary for the " +
+      "construction-eager exclusion list)") {
+    assert(graft.Explain.eagerQueries.subsetOf(
+      graft.SparkEntry.queries.keySet))
+  }
 }

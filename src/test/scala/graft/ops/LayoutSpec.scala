@@ -94,4 +94,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.count() == 10000L)
     assert(got.agg(sum(col("id"))).head().getLong(0) == 10000L * 10001L / 2)
   }
+
+  test("compactDir measures PARTITIONED layouts recursively (the " +
+      "streaming-sink batch_id=N shape), not just flat directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_p").toString
+    (1L to 10000L).toDF("id").withColumn("p", col("id") % 4)
+      .repartition(8)
+      .write.partitionBy("p").mode("overwrite").parquet(s"$dir/part")
+    // data files all live BELOW the top level here; a flat listing
+    // measures 0 bytes and collapses everything to one file
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(bytes).sum
+      else if (f.getName.endsWith(".parquet")) f.length() else 0L
+    val total = bytes(new java.io.File(s"$dir/part"))
+    assert(total > 0L)
+    val n = Layout.compactDir(spark, s"$dir/part", s"$dir/out",
+      (total + 2) / 3)
+    assert(n == 3)
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() == 10000L)
+    assert(got.agg(sum(col("id"))).head().getLong(0) == 10000L * 10001L / 2)
+  }
 }

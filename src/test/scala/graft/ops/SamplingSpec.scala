@@ -177,4 +177,26 @@ class SamplingSpec extends AnyFunSuite {
     // arithmetic position keeping the global order gap-free-sortable
     assert(out.drop(9).map(_._2).forall(_ == "a"))
   }
+
+  test("samplers are total on empty input: empty result or the contract " +
+      "error, never a driver NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "src")
+    // temperatureMix: zero weight mass → cutoff 0, contract schema kept
+    val tm = Sampling.temperatureMix(empty, "src", "id",
+      budget = 100L, temperature = 2.0)
+    assert(tm.count() == 0L)
+    assert(tm.columns.toSet == Set("src", "id", "rk"))
+    // classBalance: NULL minority size → cutoff 0
+    val cb = Sampling.classBalance(
+      empty.withColumnRenamed("src", "cls"), "cls", "id")
+    assert(cb.count() == 0L)
+    assert(cb.columns.contains("rk"))
+    // waterfillAlloc documents B < Σc: an empty frame must fail THAT
+    // require (total 0), not blow up collecting a null aggregate
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.waterfillAlloc(Seq.empty[(String, Long)].toDF("g", "c"),
+        "g", "c", budgetFrac = 0.5)
+    }
+    assert(ex.getMessage.contains("budget"))
+  }
 }
