@@ -176,8 +176,10 @@ object EventQueries {
       .agg(count(lit(1)).as("cnt"))
     val tot = cnt.groupBy("prev_type").agg(sum(col("cnt")).as("tot"))
     cnt.join(tot, Seq("prev_type"))
+      // Dec variant: cnt is EVENT-sized (one dominant transition pair can
+      // pass Long.MaxValue/1e6 ≈ 9.2e12 at the 1e13-event target scale)
       .withColumn("p_micro",
-        graft.llm.TextStats.microRatio(col("cnt"), col("tot")))
+        graft.llm.TextStats.microRatioDec(col("cnt"), col("tot")))
       .select("prev_type", "next_type", "cnt", "p_micro")
       .orderBy("prev_type", "next_type")
   }

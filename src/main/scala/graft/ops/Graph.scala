@@ -202,8 +202,10 @@ object Graph {
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         // integral div, not `/`: double division loses exactness once
-        // deg² passes 2⁵³ (the Tables.eventsLayout nanos lesson)
-        graft.llm.TextStats.microRatio(coalesce(col("n_tri"), lit(0L)),
+        // deg² passes 2⁵³ (the Tables.eventsLayout nanos lesson); Dec
+        // variant because n_tri ≤ C(deg,2) crosses Long.MaxValue/1e6 at
+        // hub degree ~4.3e6 — routine in a near-dup clique graph
+        graft.llm.TextStats.microRatioDec(coalesce(col("n_tri"), lit(0L)),
           expr("deg * (deg - 1) div 2")).as("lcc_micro"))
   }
 }

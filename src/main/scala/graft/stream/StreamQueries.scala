@@ -326,7 +326,9 @@ object StreamQueries {
         sum(col("n_events")).cast("bigint").as("total_events"),
         sum(col("duration_us")).cast("bigint").as("total_duration_us"))
       .select(col("entry_type"), col("n_sessions"), col("bounces"),
-        graft.llm.TextStats.microRatio(col("bounces"), col("n_sessions"))
+        // Dec variant: bounces is SESSION-sized (~1e12 sessions at the
+        // event target scale sits near the Long micro-ratio ceiling)
+        graft.llm.TextStats.microRatioDec(col("bounces"), col("n_sessions"))
           .as("bounce_micro"),
         col("total_events"), col("total_duration_us"))
       .orderBy("entry_type")
