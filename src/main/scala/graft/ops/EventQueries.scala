@@ -141,9 +141,13 @@ object EventQueries {
     val mu = daily.groupBy("event_type")
       .agg(sum(col("n")).as("sn"), count(lit(1)).as("cn"))
       // integer `div`, not `/`+floor: the double quotient can round up
-      // across an integer boundary before the floor
+      // across an integer boundary before the floor; the 1e6·Σn product
+      // runs in DECIMAL(38,0) — Σn is EVENT-sized and the Long form
+      // crosses 2^63 past ~9.2e12 events per type. The result (1e6 ×
+      // mean daily volume) and the downstream cum/s arithmetic stay in
+      // Long range for any per-type-day volume below ~9.2e12.
       .select(col("event_type"),
-        expr("1000000L * sn div cn").as("mu_micro"))
+        expr("CAST(1000000 AS DECIMAL(38,0)) * sn DIV cn").as("mu_micro"))
     daily.join(broadcast(mu), Seq("event_type"))
       .withColumn("d", col("n") * 1000000L - col("mu_micro") - slackMicro)
       .withColumn("cum", sum(col("d")).over(w))

@@ -135,7 +135,10 @@ object StatsQueries {
     val grand = n.agg(sum(col("cnt")).as("tot"))
     n.crossJoin(broadcast(grand))
       .select(col("digit"), col("cnt").cast("bigint").as("cnt"),
-        expr("1000000L * cnt div tot").as("share_micro"),
+        // Dec variant: cnt is ROW-sized; the Long product 1e6*cnt crosses
+        // 2^63 past ~9.2e12 rows (the microRatio ceiling)
+        graft.llm.TextStats.microRatioDec(col("cnt"), col("tot"))
+          .as("share_micro"),
         floor(lit(1000000.0) * log(10.0, lit(1.0) + lit(1.0) / col("digit")))
           .cast("bigint").as("benford_micro"))
       .orderBy("digit")
