@@ -155,7 +155,11 @@ object CorpusQueries {
       .join(broadcast(tot.select(col("source").as("src_b"),
         col("tot").as("tb"))), Seq("src_b"))
       .select(col("src_a"), col("src_b"), col("shared"),
-        TextStats.microRatio(col("shared"), least(col("ta"), col("tb")))
+        // Dec variant: `shared` is DISTINCT-3-GRAM-sized, and 3-gram
+        // vocabulary grows near-linearly with the corpus (no Heaps
+        // comfort at n=3) — the 1e6 product crosses 2^63 past ~9.2e12
+        // shared grams, inside the 100 TB shingle budget
+        TextStats.microRatioDec(col("shared"), least(col("ta"), col("tb")))
           .as("overlap_micro"))
       .orderBy("src_a", "src_b")
   }

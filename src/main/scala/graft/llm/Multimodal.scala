@@ -352,9 +352,18 @@ object Multimodal {
             var j = 0
             while (j < samples.length) { sabs += math.abs(samples(j).toLong); j += 1 }
             val nFrames = samples.length / ch
+            // mean_abs via split division: sabs ≤ 32767·len can reach
+            // ~3.3e13 at the 2 GB payload cap, so the direct 1e6·sabs
+            // product wraps Long (silently — JVM, not ANSI). The identity
+            // floor(1e6·s/n) = 1e6·(s div n) + (1e6·(s mod n)) div n keeps
+            // every intermediate ≤ ~1e15 and is exact for non-negatives.
+            val len = samples.length.toLong
+            val meanAbsMicro =
+              if (len == 0L) 0L
+              else 1000000L * (sabs / len) + 1000000L * (sabs % len) / len
             AudioFeatures(id, rate.toLong, ch.toLong, nFrames.toLong,
               1000000L * nFrames / rate,
-              if (samples.length == 0) 0L else 1000000L * sabs / samples.length)
+              meanAbsMicro)
           }
         }
       }

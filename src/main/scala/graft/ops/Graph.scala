@@ -204,8 +204,13 @@ object Graph {
         // integral div, not `/`: double division loses exactness once
         // deg² passes 2⁵³ (the Tables.eventsLayout nanos lesson); Dec
         // variant because n_tri ≤ C(deg,2) crosses Long.MaxValue/1e6 at
-        // hub degree ~4.3e6 — routine in a near-dup clique graph
+        // hub degree ~4.3e6 — routine in a near-dup clique graph. The
+        // C(deg,2) DENOMINATOR is decimal too: the Long product
+        // deg·(deg−1) wraps past hub degree ~3.04e9, and a plain DIV 2
+        // would collapse back to Long before microRatioDec re-widens.
+        // deg·(deg−1) is even, so the decimal /2 is exact.
         graft.llm.TextStats.microRatioDec(coalesce(col("n_tri"), lit(0L)),
-          expr("deg * (deg - 1) div 2")).as("lcc_micro"))
+          expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) / 2"))
+          .as("lcc_micro"))
   }
 }
