@@ -333,6 +333,19 @@ object Multimodal {
                            n_frames: Long, duration_micro: Long,
                            mean_abs_micro: Long)
 
+  /** floor(1e6·sum/n) without the 1e6·sum product: sum ≤ 32767·n can
+    * reach ~3.3e13 at the 2 GB payload cap, so the direct product wraps
+    * Long (silently — JVM two's-complement, not an ANSI error). The split
+    * identity 1e6·(s div n) + (1e6·(s mod n)) div n keeps every
+    * intermediate ≤ ~1e15 and is exact for non-negative operands (s =
+    * n·(s div n) + s mod n, and the first term's scaled quotient is an
+    * integer). n = 0 degrades to 0, the microRatio convention.
+    */
+  private[graft] def microMean(sum: Long, n: Long): Long = {
+    require(sum >= 0L && n >= 0L, s"microMean needs non-negatives: $sum, $n")
+    if (n == 0L) 0L else 1000000L * (sum / n) + 1000000L * (sum % n) / n
+  }
+
   /** Partition-parallel WAV decode: header fields (sample rate, channels,
     * frame count), duration, and mean absolute amplitude — the
     * feature-extract stage of an audio pipeline, same repartition +
@@ -352,18 +365,9 @@ object Multimodal {
             var j = 0
             while (j < samples.length) { sabs += math.abs(samples(j).toLong); j += 1 }
             val nFrames = samples.length / ch
-            // mean_abs via split division: sabs ≤ 32767·len can reach
-            // ~3.3e13 at the 2 GB payload cap, so the direct 1e6·sabs
-            // product wraps Long (silently — JVM, not ANSI). The identity
-            // floor(1e6·s/n) = 1e6·(s div n) + (1e6·(s mod n)) div n keeps
-            // every intermediate ≤ ~1e15 and is exact for non-negatives.
-            val len = samples.length.toLong
-            val meanAbsMicro =
-              if (len == 0L) 0L
-              else 1000000L * (sabs / len) + 1000000L * (sabs % len) / len
             AudioFeatures(id, rate.toLong, ch.toLong, nFrames.toLong,
               1000000L * nFrames / rate,
-              meanAbsMicro)
+              microMean(sabs, samples.length.toLong))
           }
         }
       }

@@ -383,4 +383,41 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.Explain.eagerQueries.subsetOf(
       graft.SparkEntry.queries.keySet))
   }
+
+  test("decimal-routed micro ratios stay exact past the Long product " +
+      "ceiling (triangle lcc denominator + microRatioDec vs BigInt)") {
+    // deg values where deg*(deg-1) or 1e6*num wrap Long: the decimal
+    // route must keep producing the exact floor the BigInt reference does
+    val cases = Seq(
+      (3L, 1L),                       // tiny sanity: lcc = 1/3 in micro
+      (4300000L, 9000000000000L),     // n_tri near the old 1e6·num ceiling
+      (3100000000L, 4000000000000000000L), // deg·(deg−1) past 2^63
+      (5000000000L, 9000000000000000000L)) // both far past Long products
+    val df = cases.toDF("deg", "n_tri")
+    val got = df.select($"deg",
+        graft.llm.TextStats.microRatioDec($"n_tri",
+          expr("CAST(deg AS DECIMAL(38,0)) * (deg - 1) / 2")).as("lcc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (deg, tri) =>
+      val den = (BigInt(deg) * (deg - 1)) / 2
+      val want = (BigInt(tri) * 1000000 / den).toLong
+      assert(got(deg) == want, s"deg=$deg: got ${got(deg)}, want $want")
+    }
+  }
+
+  test("Multimodal.microMean: exact floor mean past the 1e6·sum Long " +
+      "ceiling, 0 on empty") {
+    import graft.llm.Multimodal
+    assert(Multimodal.microMean(0L, 0L) == 0L)
+    assert(Multimodal.microMean(7L, 2L) == 3500000L)
+    // the 2 GB-payload worst case: ~1e9 samples all at int16 max — the
+    // direct product 1e6·sum wraps negative; the split identity must not
+    val sum = 32767L * 1000000000L
+    val n = 1000000000L
+    assert(Multimodal.microMean(sum, n) ==
+      (BigInt(sum) * 1000000 / n).toLong)
+    // a non-divisible case exercising the remainder term at scale
+    assert(Multimodal.microMean(9223372036854775L, 333333333L) ==
+      (BigInt(9223372036854775L) * 1000000 / 333333333L).toLong)
+  }
 }
