@@ -298,15 +298,33 @@ object CorpusQueries {
     val dupg = pos.select("doc_id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > 1L).select("g")
-    val cov = pos.join(dupg, Seq("g"))
-      .select(col("doc_id"),
-        explode(sequence(col("sp"), col("sp") + lit(2L))).as("p"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("p")
-    val runs = cov
-      .withColumn("isl", col("p") - row_number().over(w))
-      .groupBy("doc_id", "isl").agg(count(lit(1)).as("run_len"))
+    // interval merge, not a covered-position explode: each dup-shingle
+    // occurrence covers the contiguous token range [sp, sp+2], and (doc,
+    // sp) is unique by construction, so merging overlapping/adjacent
+    // intervals per doc in one window sort gives the identical runs —
+    // an island's covered-token count is max(end) − min(sp) + 1 because
+    // its interval union is a single contiguous range (a new island needs
+    // sp > prev_max_end + 1: at sp == prev_max_end + 1 the COVERAGE is
+    // still contiguous — adjacent shared shingles merge into one run,
+    // the doc-B case in the spec). This replaces the
+    // former 3×-row `sequence` explode + DISTINCT shuffle + window over
+    // covered positions with one window over the occurrence rows (⅓ the
+    // volume, one less shuffle) — same answer, gate-verified.
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("sp")
+    val wPrev = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val runs = pos.join(dupg, Seq("g"))
+      .select(col("doc_id"), col("sp"), (col("sp") + 2L).as("ep"))
+      .withColumn("pmax", max(col("ep")).over(wPrev))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("sp") > col("pmax") + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg((max(col("ep")) - min(col("sp")) + 1L).as("run_len"))
     val agg = runs.groupBy("doc_id")
       .agg(count(lit(1)).cast("bigint").as("n_runs"),
         sum(col("run_len")).cast("bigint").as("dup_tokens"),
