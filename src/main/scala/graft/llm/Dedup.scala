@@ -346,8 +346,10 @@ object Dedup {
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
     try {
-      var labels = nodes.select(col("id"), col("id").as("component"))
+      var cur = nodes.select(col("id"), col("id").as("component"),
+          col("id").as("__prev"))
         .localCheckpoint()
+      var labels = cur.select("id", "component")
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -355,19 +357,26 @@ object Dedup {
           .join(labels.withColumnRenamed("id", "v"), "v")
           .groupBy(col("u").as("id"))
           .agg(min(col("component")).as("n_min"))
+        // the new label rides the checkpoint NEXT TO the label it
+        // replaces, so convergence is a scan of the freshly cached
+        // blocks — not the join-plus-shuffle of next against labels
+        // the previous form paid every round (one |V|-row exchange per
+        // round saved; at full-corpus CC that join was the same size
+        // as the propagation step itself)
         val next = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"),
             least(col("component"), coalesce(col("n_min"), col("component")))
-              .as("component"))
+              .as("component"),
+            col("component").as("__prev"))
           .localCheckpoint()
-        converged = next.join(labels.withColumnRenamed("component", "prev"), "id")
-          .filter(col("component") =!= col("prev")).isEmpty
+        converged = next.filter(col("component") =!= col("__prev")).isEmpty
         // round N only ever reads round N-1: drop the superseded round's
         // checkpoint blocks NOW (after the convergence check, its last
         // reader) — at corpus scale maxIter retained label frames would
         // otherwise sit in executor storage until driver GC
-        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(labels)
-        labels = next
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(cur)
+        cur = next
+        labels = cur.select("id", "component")
         iter += 1
       }
       // a silent non-converged return would hand back split clusters with
@@ -377,7 +386,7 @@ object Dedup {
       // its blocks (a throw here would otherwise strand them until GC,
       // the exact accumulation the in-loop release exists to prevent)
       if (!converged)
-        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(labels)
+        org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(cur)
       require(converged,
         s"connected components did not converge within $maxIter rounds " +
           "(cluster diameter exceeds maxIter)")
