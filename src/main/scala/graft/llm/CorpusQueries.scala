@@ -255,6 +255,15 @@ object CorpusQueries {
       .select(col("doc_id"), array_distinct(col("__raw")).as("__sh"))
     val ex = sh.select(col("doc_id"), explode_outer(col("__sh")).as("g"))
       .filter(col("g").isNotNull)
+    // Measured adjudication (this corpus, sf0.1): the df>1 semi-join
+    // prune that pays off in dup_spans LOSES here — tot needs every
+    // posting row anyway, so the "pruned" variant adds a second
+    // doc-keyed aggregate (and a re-tokenize, in its naive form) while
+    // the prune removes almost nothing on a high-duplication corpus
+    // (BenchOne: 6.2 s pruned vs 3.6-4.1 s single-join). The single
+    // gram-keyed join below is linear in the posting list — the same
+    // scale class as the tfidf join — and stays the cheaper plan
+    // wherever the dup fraction (this query's own output) is high.
     val dfreq = ex.groupBy("g").agg(count(lit(1)).as("df"))
     val agg = ex.join(dfreq, Seq("g"))
       .groupBy("doc_id")
