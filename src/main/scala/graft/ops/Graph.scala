@@ -27,15 +27,23 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85): DataFrame = {
     val bridge = org.apache.spark.sql.graftbridge.Bridge
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // materialize the INPUT edge pipeline once: nodes and norm each
+    // checkpoint independently, and without this the caller's (often
+    // expensive) edge derivation — for q_pagerank, a full per-user
+    // window over the events table — executes once per consumer
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count().toDouble
-    val outStrength = edges.groupBy("src").agg(sum(col("weight")).as("wout"))
-    val norm = edges.join(outStrength, Seq("src"))
+    val outStrength = e.groupBy("src").agg(sum(col("weight")).as("wout"))
+    val norm = e.join(outStrength, Seq("src"))
       .select(col("src"), col("dst"),
         (col("weight").cast("double") / col("wout")).as("p"))
       .localCheckpoint()
+    // nodes and norm are themselves checkpointed; the raw edge blocks
+    // have no further reader
+    bridge.releaseLocalCheckpoint(e)
     // nodes with no out-edges: their whole rank is dangling mass
     val dangling = nodes
       .join(norm.select(col("src").as("node")), Seq("node"), "left_anti")
