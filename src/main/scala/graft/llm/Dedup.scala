@@ -341,7 +341,13 @@ object Dedup {
                           maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE: every round joins it, and without
     // the checkpoint each round would re-run the (expensive) pair
-    // detection that produced it
+    // detection that produced it. The symmetrizing union DOES evaluate
+    // `pairs` twice inside this one job — measured adjudication: a
+    // pre-checkpoint of the pair list serializes two jobs and benched
+    // SLOWER at sf0.1 (q_dup_clusters 3.1 -> 3.85 s steady; the two
+    // branches run concurrently on idle cores here). On a saturated
+    // cluster where 2x pair-detection work is real, checkpoint the pair
+    // frame at the CALL SITE and pass the materialized frame in.
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint()
