@@ -10,9 +10,14 @@ import graft.Tables.table
   *
   * Oracle-checked where SQL-expressible — including the multimodal
   * decode/frame queries (the fixture's closed-form pixel functions let
-  * DuckDB predict decoded statistics without parsing binary); the
-  * MinHash/SimHash/LSH paths are rows-only (driver's weaker check) and
-  * covered by ScalaTest instead.
+  * DuckDB predict decoded statistics without parsing binary) and, since
+  * round 10, the MinHash/SimHash/LSH/winnowing fingerprint family
+  * (DuckXxh replays Spark's xxhash64/Murmur3 bit-exactly in DuckDB SQL,
+  * so q_minhash_pairs, q_simhash_pairs/banded, q_winnow_pairs and
+  * q_lsh_cosine_pairs are full hash oracles). The only rows-only
+  * queries left are the nine adjudicated in SURVEY §8 (MLlib RNG/LBFGS,
+  * Lloyd float iteration, DataSketches dense-HLL4, GK percentile
+  * internals), each gated by an error-bound or stability spec instead.
   */
 object LlmQueries {
 

@@ -333,17 +333,33 @@ object Multimodal {
                            n_frames: Long, duration_micro: Long,
                            mean_abs_micro: Long)
 
-  /** floor(1e6·sum/n) without the 1e6·sum product: sum ≤ 32767·n can
-    * reach ~3.3e13 at the 2 GB payload cap, so the direct product wraps
-    * Long (silently — JVM two's-complement, not an ANSI error). The split
-    * identity 1e6·(s div n) + (1e6·(s mod n)) div n keeps every
-    * intermediate ≤ ~1e15 and is exact for non-negative operands (s =
-    * n·(s div n) + s mod n, and the first term's scaled quotient is an
-    * integer). n = 0 degrades to 0, the microRatio convention.
+  /** floor(1e6·sum/n) without the 1e6·sum product: sum ≤ 32768·n
+    * (abs(Short.MinValue) = 32768) can reach ~3.3e13 at the 2 GB payload
+    * cap, so the direct product wraps Long (silently — JVM
+    * two's-complement, not an ANSI error). The split identity
+    * 1e6·(s div n) + (1e6·(s mod n)) div n keeps every intermediate
+    * ≤ ~1e15 for amplitude-scale means and is exact for non-negative
+    * operands (s = n·(s div n) + s mod n, and the first term's scaled
+    * quotient is an integer). Both terms are overflow-guarded, not
+    * assumed: the quotient term requires 1e6·(s div n) representable
+    * (loud failure beats silent wrap — no in-range caller trips it), and
+    * the remainder term falls back to BigInt off the hot path in the
+    * astronomically-large-n case where 1e6·(s mod n) itself could wrap.
+    * n = 0 degrades to 0, the microRatio convention.
     */
   private[graft] def microMean(sum: Long, n: Long): Long = {
     require(sum >= 0L && n >= 0L, s"microMean needs non-negatives: $sum, $n")
-    if (n == 0L) 0L else 1000000L * (sum / n) + 1000000L * (sum % n) / n
+    if (n == 0L) 0L
+    else {
+      val q = sum / n
+      val r = sum % n
+      require(q <= (Long.MaxValue - 999999L) / 1000000L,
+        s"microMean: mean $q too large to micro-scale without overflow ($sum / $n)")
+      val lo =
+        if (r <= Long.MaxValue / 1000000L) 1000000L * r / n
+        else (BigInt(r) * 1000000L / BigInt(n)).toLong // r < n, so lo < 1e6
+      1000000L * q + lo // hi ≤ MaxValue − 999999 and lo ≤ 999999: no wrap
+    }
   }
 
   /** Partition-parallel WAV decode: header fields (sample rate, channels,

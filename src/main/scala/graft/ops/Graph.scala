@@ -32,18 +32,25 @@ object Graph {
     // expensive) edge derivation — for q_pagerank, a full per-user
     // window over the events table — executes once per consumer
     val e = edges.localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val n = nodes.count().toDouble
-    val outStrength = e.groupBy("src").agg(sum(col("weight")).as("wout"))
-    val norm = e.join(outStrength, Seq("src"))
-      .select(col("src"), col("dst"),
-        (col("weight").cast("double") / col("wout")).as("p"))
-      .localCheckpoint()
-    // nodes and norm are themselves checkpointed; the raw edge blocks
-    // have no further reader
-    bridge.releaseLocalCheckpoint(e)
+    // try/finally (the connectedComponents discipline): a failure in the
+    // nodes count or norm checkpoint must not strand e's blocks until
+    // driver GC; release is a no-op once the blocks are gone
+    val (nodes, n, norm) = try {
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct().localCheckpoint()
+      val n = nodes.count().toDouble
+      val outStrength = e.groupBy("src").agg(sum(col("weight")).as("wout"))
+      val norm = e.join(outStrength, Seq("src"))
+        .select(col("src"), col("dst"),
+          (col("weight").cast("double") / col("wout")).as("p"))
+        .localCheckpoint()
+      (nodes, n, norm)
+    } finally {
+      // nodes and norm are themselves checkpointed; the raw edge blocks
+      // have no further reader
+      bridge.releaseLocalCheckpoint(e)
+    }
     // nodes with no out-edges: their whole rank is dangling mass
     val dangling = nodes
       .join(norm.select(col("src").as("node")), Seq("node"), "left_anti")

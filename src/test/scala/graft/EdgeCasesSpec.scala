@@ -419,5 +419,16 @@ class EdgeCasesSpec extends AnyFunSuite {
     // a non-divisible case exercising the remainder term at scale
     assert(Multimodal.microMean(9223372036854775L, 333333333L) ==
       (BigInt(9223372036854775L) * 1000000 / 333333333L).toLong)
+    // the quotient guard: a mean too large to micro-scale must fail
+    // loudly (this is where the pre-guard code wrapped silently)
+    intercept[IllegalArgumentException] {
+      Multimodal.microMean(Long.MaxValue, 1L)
+    }
+    // the astronomically-large-n branch: r > Long.MaxValue/1e6, where
+    // 1e6·r itself would wrap — the BigInt fallback must stay exact
+    val bigN = 10000000000000L
+    val bigSum = bigN + 9900000000000L // q = 1, r = 9.9e12
+    assert(Multimodal.microMean(bigSum, bigN) ==
+      (BigInt(bigSum) * 1000000 / bigN).toLong)
   }
 }
