@@ -69,7 +69,8 @@ object LlmQueries {
     * hamming (never N² — the plan that runs at corpus scale). Pigeonhole
     * makes banding lossless here (bands > maxHamming), so the result is
     * set-equal to the all-pairs form above — asserted in DedupSpec, and
-    * both queries hash identically under the driver's rows-only check.
+    * both queries are full hash oracles since round 10 (DuckXxh XXH64
+    * replay predicts the signatures in DuckDB SQL).
     */
   def simhashBanded(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(
@@ -338,10 +339,12 @@ object LlmQueries {
       .orderBy("doc_id")
 
   /** Oracle-checked form of keep-first near-dedup: the pair source is the
-    * EXACT Jaccard join on the bounded block (DuckDB can replicate it), so
-    * the keep-first semantics — drop the higher id of every near-dup pair —
-    * get a hash-level proof instead of the rows-only trust the MinHash
-    * variant gets. Same downstream anti-join shape as the scale path.
+    * EXACT Jaccard join on the bounded block (DuckDB can replicate it
+    * without the XXH64 replay machinery), so the keep-first semantics —
+    * drop the higher id of every near-dup pair — get a hash-level proof
+    * on a second, independent pair source (the MinHash variant has its
+    * own full hash oracle since round 10). Same downstream anti-join
+    * shape as the scale path.
     */
   def nearDedupExact(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
