@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleCheck [srcSfDir] [outDir] [replicas] [tier]
   * where tier is `full` (default, the whole battery at sf1) or `heavy`
-  * (the sf10 decade: minhash/CC/dup-spans/inverted-index only — one more
-  * order of magnitude of the linearity evidence on the operators whose
-  * cost actually grows with pair volume).
+  * (the sf10 decade: minhash/CC/dup-spans/inverted-index/ewma only — one
+  * more order of magnitude of the linearity evidence on the operators
+  * whose cost actually grows with pair volume, plus the span-frame
+  * window family's replica-0 bit-identity at 100M events).
   */
 object ScaleCheck {
 
@@ -778,6 +779,26 @@ object ScaleCheck {
       check(s"inverted index: df/tf x$replicas, postings + order identical")(
         iiSrc == iiBig,
         s"first diff: ${iiSrc.zip(iiBig).find(p => p._1 != p._2)}")
+    }
+
+    // EWMA span-frame invariant at the decade: per-user bounded frame +
+    // id-shifted replicas means replica-0 rows are bit-identical to the
+    // source and the row volume is exactly xR — if the window frame ever
+    // leaked across users (or the frame bound drifted with scale), the
+    // suffix replicas' values would contaminate replica 0 here first
+    timed("ewma (sfN + compare)") {
+      val ewSrc = ops.StatsQueries.ewmaValues(spark, src).localCheckpoint()
+      val ewBig = ops.StatsQueries.ewmaValues(spark, out).localCheckpoint()
+      val ewBad = ewBig.filter(col("event_id") < Stride).unionByName(ewSrc)
+        .groupBy("event_id", "ewma").count()
+        .filter(col("count") =!= 2).count()
+      check("replica-0 ewma == src bit-for-bit")(ewBad == 0,
+        s"$ewBad odd rows")
+      val (eb, es) = (ewBig.count(), ewSrc.count())
+      check(s"ewma rows scale x$replicas")(eb == es * replicas,
+        s"$eb vs $es x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ewBig)
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ewSrc)
     }
 
     spark.stop()
