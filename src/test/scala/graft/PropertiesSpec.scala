@@ -186,4 +186,24 @@ class PropertiesSpec extends AnyFunSuite {
     val truncated = good.take(40)
     assert(graft.llm.Multimodal.WavCodec.decode(truncated) == null)
   }
+
+  test("microMean == floor(1e6·sum/n) exactly across the Long range") {
+    import graft.llm.Multimodal.microMean
+    // amplitude-scale means (the real caller range) and adversarial
+    // near-Long sums: both branches of the guarded split identity must
+    // agree with unbounded integer arithmetic bit-for-bit
+    val genPair = for {
+      n <- Gen.oneOf(Gen.chooseNum(1L, 1000000000L),
+        Gen.chooseNum(9223372036854000L, Long.MaxValue - 1))
+      // keep the mean inside the guard so the property tests values,
+      // not the (separately tested) loud failure — and keep mean·n
+      // representable so the GENERATOR itself can't wrap
+      mean <- Gen.chooseNum(0L, math.min(32768L, Long.MaxValue / n))
+      extra <- Gen.chooseNum(0L, math.min(n - 1, Long.MaxValue - mean * n))
+    } yield (mean * n + extra, n)
+    forSamples(genPair, n = 200) { case (sum, n) =>
+      assert(microMean(sum, n) == (BigInt(sum) * 1000000 / n).toLong,
+        s"sum=$sum n=$n")
+    }
+  }
 }
