@@ -694,11 +694,13 @@ object ScaleCheck {
   }
 
   /** The sf10 decade for the heavy family only: pair discovery, the CC
-    * graph, span duplication, and the inverted index — the operators whose
+    * graph, span duplication, the inverted index — the operators whose
     * cost is pair- or posting-shaped and therefore the ones a 10× corpus
-    * actually stresses. Same invariant style as the full battery: replica
-    * bit-equality pins correctness, ×R linearity pins the scaling law, no
-    * cross-replica labels pins isolation.
+    * actually stresses — plus the EWMA span-frame window at 100 M events
+    * (a frame that leaked across users or drifted with scale would break
+    * replica-0 bit-identity here first). Same invariant style as the
+    * full battery: replica bit-equality pins correctness, ×R linearity
+    * pins the scaling law, no cross-replica labels pins isolation.
     */
   private def heavyTier(spark: SparkSession, src: String, out: String,
                         replicas: Int): Unit = {

@@ -341,11 +341,12 @@ object Multimodal {
     * ≤ ~1e15 for amplitude-scale means and is exact for non-negative
     * operands (s = n·(s div n) + s mod n, and the first term's scaled
     * quotient is an integer). Both terms are overflow-guarded, not
-    * assumed: the quotient term requires 1e6·(s div n) representable
-    * (loud failure beats silent wrap — no in-range caller trips it), and
-    * the remainder term falls back to BigInt off the hot path in the
-    * astronomically-large-n case where 1e6·(s mod n) itself could wrap.
-    * n = 0 degrades to 0, the microRatio convention.
+    * assumed: the sum 1e6·(s div n) + lo must be representable — the
+    * require rejects exactly the inputs whose RESULT wraps, nothing
+    * narrower (loud failure beats silent wrap — no in-range caller
+    * trips it) — and the remainder term falls back to BigInt off the
+    * hot path in the astronomically-large-n case where 1e6·(s mod n)
+    * itself could wrap. n = 0 degrades to 0, the microRatio convention.
     */
   private[graft] def microMean(sum: Long, n: Long): Long = {
     require(sum >= 0L && n >= 0L, s"microMean needs non-negatives: $sum, $n")
@@ -353,12 +354,14 @@ object Multimodal {
     else {
       val q = sum / n
       val r = sum % n
-      require(q <= (Long.MaxValue - 999999L) / 1000000L,
-        s"microMean: mean $q too large to micro-scale without overflow ($sum / $n)")
       val lo =
         if (r <= Long.MaxValue / 1000000L) 1000000L * r / n
         else (BigInt(r) * 1000000L / BigInt(n)).toLong // r < n, so lo < 1e6
-      1000000L * q + lo // hi ≤ MaxValue − 999999 and lo ≤ 999999: no wrap
+      // exact representability bound (not a conservative one): the
+      // result is 1e6·q + lo, so reject precisely when THAT wraps
+      require(q <= (Long.MaxValue - lo) / 1000000L,
+        s"microMean: mean $q too large to micro-scale without overflow ($sum / $n)")
+      1000000L * q + lo
     }
   }
 

@@ -39,13 +39,19 @@ object Graph {
       val nodes = e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .distinct().localCheckpoint()
-      val n = nodes.count().toDouble
-      val outStrength = e.groupBy("src").agg(sum(col("weight")).as("wout"))
-      val norm = e.join(outStrength, Seq("src"))
-        .select(col("src"), col("dst"),
-          (col("weight").cast("double") / col("wout")).as("p"))
-        .localCheckpoint()
-      (nodes, n, norm)
+      try {
+        val n = nodes.count().toDouble
+        val outStrength = e.groupBy("src").agg(sum(col("weight")).as("wout"))
+        val norm = e.join(outStrength, Seq("src"))
+          .select(col("src"), col("dst"),
+            (col("weight").cast("double") / col("wout")).as("p"))
+          .localCheckpoint()
+        (nodes, n, norm)
+      } catch { case t: Throwable =>
+        // the count or the norm checkpoint failed: nodes' |V|-row blocks
+        // must not outlive the call either
+        bridge.releaseLocalCheckpoint(nodes); throw t
+      }
     } finally {
       // nodes and norm are themselves checkpointed; the raw edge blocks
       // have no further reader

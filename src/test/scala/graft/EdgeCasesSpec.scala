@@ -419,10 +419,17 @@ class EdgeCasesSpec extends AnyFunSuite {
     // a non-divisible case exercising the remainder term at scale
     assert(Multimodal.microMean(9223372036854775L, 333333333L) ==
       (BigInt(9223372036854775L) * 1000000 / 333333333L).toLong)
-    // the quotient guard: a mean too large to micro-scale must fail
-    // loudly (this is where the pre-guard code wrapped silently)
+    // the overflow guard: a mean too large to micro-scale must fail
+    // loudly (this is where the pre-guard code wrapped silently)...
     intercept[IllegalArgumentException] {
       Multimodal.microMean(Long.MaxValue, 1L)
+    }
+    // ...but the guard is EXACT, not conservative: the largest mean
+    // whose scaled result still fits must compute, not throw
+    assert(Multimodal.microMean(9223372036854L, 1L) ==
+      9223372036854000000L)
+    intercept[IllegalArgumentException] {
+      Multimodal.microMean(9223372036855L, 1L) // one past: result wraps
     }
     // the astronomically-large-n branch: r > Long.MaxValue/1e6, where
     // 1e6·r itself would wrap — the BigInt fallback must stay exact
