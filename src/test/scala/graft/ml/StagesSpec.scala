@@ -158,11 +158,19 @@ class StagesSpec extends AnyFunSuite {
     // seed 0 is restart 0, so the winner can never be worse
     assert(best.summary.trainingCost <= single.summary.trainingCost + 1e-9,
       s"best=${best.summary.trainingCost} single=${single.summary.trainingCost}")
-    // deterministic: a second run picks the same winner
+    // deterministic: a second run picks the same winner. Compare the
+    // centroid SET, not the index order — MLlib assigns cluster indices
+    // from distributed aggregation order, which can permute between
+    // otherwise bit-identical same-seed fits (observed in-session: same
+    // six centroids, shuffled), so index order is not part of the
+    // determinism contract
     val again = new BestOfKMeans().setK(6).setNInit(10).setBaseSeed(0L)
       .setFeaturesCol("f").fit(feats)
-    assert(best.clusterCenters.map(_.toArray.toSeq).toSeq ==
-      again.clusterCenters.map(_.toArray.toSeq).toSeq)
+    def canon(m: org.apache.spark.ml.clustering.KMeansModel) =
+      m.clusterCenters.map(_.toArray.toSeq).toSeq.sortBy(c => (c(0), c(1)))
+    assert(canon(best) == canon(again))
+    assert(math.abs(best.summary.trainingCost - again.summary.trainingCost)
+      <= 1e-9)
   }
 
   test("bestOfKMeans plugs into the crime pipeline as the clustering stage") {
