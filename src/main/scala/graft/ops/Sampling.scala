@@ -355,6 +355,10 @@ object Sampling {
     * the shard/source key, so no global sort exists anywhere). A row
     * larger than the remaining slack spills into the next bin — standard
     * greedy packing slack, bounded by one max-doc per bin.
+    *
+    * Like [[budgetedPrefix]], `orderCol` must be unique per group: the
+    * running total uses a ROWS frame, and tied order keys would make the
+    * tie group's internal order — hence bin membership — run-dependent.
     */
   def packBins(df: DataFrame, groupCol: String, orderCol: String,
                weightCol: String, binBudget: Long): DataFrame = {
