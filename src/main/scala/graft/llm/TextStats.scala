@@ -57,7 +57,7 @@ object TextStats {
     val d = size(array_distinct(sh)).cast("bigint")
     val num = lit(1000000L) * (t - d)
     when(t === 0L, lit(0L))
-      .otherwise(((num - pmod(num, t)) / t).cast("bigint"))
+      .otherwise(longDiv(num, t))
   }
 
   /** PII patterns, deliberately in the regex subset that Java regex and
@@ -81,17 +81,34 @@ object TextStats {
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
 
+  /** Exact integer division num div den as a codegen'd IntegralDivide —
+    * pure 64-bit arithmetic, exact at ANY magnitude. The previous form
+    * floored via `(num − pmod(num, den)) / den`, whose `/` is DOUBLE
+    * division: exact only while the dividend stays ≤ 2^53 (~9.0e15),
+    * beyond which the quotient can truncate ±1 off DuckDB's exact
+    * integer `//` — invisible at test SFs (dividends ~1e12), a silent
+    * hash divergence on billion-count ratios at corpus scale. Operands
+    * are non-negative by the family contract, so truncation == floor.
+    */
+  private def longDiv(num: Column, den: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.Bridge.expression(num),
+        org.apache.spark.sql.graftbridge.Bridge.expression(den)))
+
   /** Exact micro-unit ratio `num / den` as a BIGINT floor division —
     * the engine-portable score contract shared by the quality /
     * repetition / contamination family: integer micro-units can't hit
     * the .5e-6 rounding ties that make a rounded double diverge between
     * Spark and DuckDB. Both operands must be non-negative counts;
     * den = 0 degrades to 0 (the "too short to score" convention).
+    * Exact for num ≤ ~9.2e12 (the 1e6·num Long ceiling — ANSI errors
+    * loudly past it; use [[microRatioDec]] there).
     */
   def microRatio(num: Column, den: Column): Column = {
     val scaled = lit(1000000L) * num
     when(den === 0L, lit(0L))
-      .otherwise(((scaled - pmod(scaled, den)) / den).cast("bigint"))
+      .otherwise(longDiv(scaled, den))
   }
 
   /** [[microRatio]] in DecimalType(38,0): for ratios whose numerator can
@@ -201,13 +218,14 @@ object TextStats {
     val m = least(nChars.cast("bigint"), lit(500L))
     val num = lit(1000000L) * (lit(10L) * m * t + lit(3750L) * (h + d))
     val den = lit(12500L) * t
-    // exact integer floor-division: num - (num mod den) is an exact
-    // multiple of den, and both fit in double's 2^53 integer range.
-    // t=0 (empty token array) would pmod-by-zero under ANSI — score 0,
-    // the same "too short to score" convention as microRatio and
-    // repetitionMicroFromShingles
+    // exact integer floor-division via longDiv (pure 64-bit DIV): the
+    // earlier double-division form was only exact while num ≤ 2^53,
+    // i.e. documents under ~7.2e5 tokens — past that it could truncate
+    // one micro-unit off DuckDB's exact `//`. t=0 (empty token array)
+    // would divide-by-zero under ANSI — score 0, the same "too short to
+    // score" convention as microRatio and repetitionMicroFromShingles
     when(t === 0L, lit(0L))
-      .otherwise(((num - pmod(num, den)) / den).cast("bigint"))
+      .otherwise(longDiv(num, den))
   }
 
   /** Float view of [[qualityScoreMicro]] for human-facing use (not the
@@ -255,7 +273,7 @@ object TextStats {
       .select(col(idCol), {
         val num = lit(1000000L) * coalesce(col("h"), lit(0L))
         when(col("t").isNull || col("t") === 0L, lit(0L))
-          .otherwise(((num - pmod(num, col("t"))) / col("t")).cast("bigint"))
+          .otherwise(longDiv(num, col("t")))
           .as("contam_micro")
       })
   }

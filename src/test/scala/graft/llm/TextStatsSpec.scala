@@ -164,4 +164,27 @@ class TextStatsSpec extends AnyFunSuite {
         TextStats.simhash64Hof(col("text")).as("ref")).collect()
     corpus.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("microRatio is exact past the 2^53 double ceiling (DuckDB // parity)") {
+    // counterexamples where the pre-fix double-division floor
+    // ((scaled - pmod) / den with long/long `/` = DOUBLE divide) truncated
+    // one micro-unit BELOW the exact integer quotient — trillion-scale
+    // counts, i.e. ordinary corpus-wide token ratios at 100 TB. DuckDB's
+    // `//` is exact there, so the old form was a latent hash divergence.
+    val cases = Seq(
+      (2969397699527L, 3342670099757L, 888331L),
+      (2847346357330L, 3496678956829L, 814300L),
+      (4690437760697L, 5822648222564L, 805550L),
+      // plus the small-range sanity row and a zero denominator
+      (7L, 2L, 3500000L), (5L, 0L, 0L))
+    val got = cases.map { case (n, d, _) => (n, d) }.toDF("n", "d")
+      .select(TextStats.microRatio(col("n"), col("d")).as("r"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(_._3),
+      s"got $got, want ${cases.map(_._3)}")
+    // cross-check against unbounded integer arithmetic
+    cases.filter(_._2 != 0L).foreach { case (n, d, want) =>
+      assert((BigInt(n) * 1000000 / d).toLong == want)
+    }
+  }
 }
