@@ -295,6 +295,16 @@ object ScaleCheck {
       val src0 = ops.StatsQueries.ewmaValues(spark, src)
       val big0 = ops.StatsQueries.ewmaValues(spark, out)
         .filter(col("event_id") < Stride)
+      // double-typed grouping normalizes -0.0→0.0 and treats NaN as equal
+      // — exactly the two cases where group-equality is weaker than bit
+      // identity (+0.0 groups bit-exactly). Non-negative inputs under
+      // positive weights can produce neither, so pinning their absence on
+      // both sides upgrades the group-equality below to true bit-identity
+      def degenerate(df: DataFrame): Long = df.filter(col("ewma").isNaN ||
+        (col("ewma") === 0.0 && lit(1.0) / col("ewma") < 0.0)).count()
+      val degen = degenerate(big0) + degenerate(src0)
+      check("ewma values free of NaN/-0.0 (bit-identity precondition)")(
+        degen == 0, s"$degen degenerate rows")
       val bad = big0.unionByName(src0).groupBy("event_id", "ewma").count()
         .filter(col("count") =!= 2).count()
       check("replica-0 ewma == sf0.1 bit-for-bit")(bad == 0, s"$bad odd rows")
@@ -791,6 +801,15 @@ object ScaleCheck {
     timed("ewma (sfN + compare)") {
       val ewSrc = ops.StatsQueries.ewmaValues(spark, src).localCheckpoint()
       val ewBig = ops.StatsQueries.ewmaValues(spark, out).localCheckpoint()
+      // same precondition as the full tier: double-typed grouping
+      // normalizes -0.0→0.0 / NaN==NaN (the only two gaps between group
+      // equality and bit identity), so "no NaN, no -0.0" on both sides
+      // upgrades the group-equality below to true bit-identity
+      def degenerate(df: DataFrame): Long = df.filter(col("ewma").isNaN ||
+        (col("ewma") === 0.0 && lit(1.0) / col("ewma") < 0.0)).count()
+      val degen = degenerate(ewBig) + degenerate(ewSrc)
+      check("ewma values free of NaN/-0.0 (bit-identity precondition)")(
+        degen == 0, s"$degen degenerate rows")
       val ewBad = ewBig.filter(col("event_id") < Stride).unionByName(ewSrc)
         .groupBy("event_id", "ewma").count()
         .filter(col("count") =!= 2).count()

@@ -80,20 +80,23 @@ class CrimePipelineSpec extends AnyFunSuite {
   }
 
   test("KMeans k=10 seed=0 is deterministic and covers all clusters") {
-    def run(): Map[Int, Long] = {
+    def run(): Set[Set[Long]] = {
       val assembled = new VectorAssembler().setInputCols(Array("X", "Y"))
-        .setOutputCol("f").transform(fixture.select("X", "Y"))
+        .setOutputCol("f").transform(fixture.select("event_id", "X", "Y"))
       new KMeans().setK(10).setSeed(0L).setFeaturesCol("f")
         .setPredictionCol("c").fit(assembled).transform(assembled)
-        .groupBy("c").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .select("event_id", "c").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
     }
+    // canonicalize each cluster by its MEMBER SET (not its index): MLlib
+    // can permute cluster indices between same-seed fits (distributed
+    // aggregation order — see the BestOfKMeans determinism spec), so the
+    // comparison must be permutation-invariant, but it must still fail if
+    // two runs partition the points differently — a sorted-sizes compare
+    // would accept a different partition with the same size distribution
     val a = run(); val b = run()
-    // compare the multiset of cluster SIZES, not index->size: MLlib can
-    // permute cluster indices between same-seed fits (distributed
-    // aggregation order — see the BestOfKMeans determinism spec), while
-    // the clustering itself stays identical
-    assert(a.values.toSeq.sorted == b.values.toSeq.sorted)
+    assert(a == b)
     assert(a.size == 10)
   }
 }
