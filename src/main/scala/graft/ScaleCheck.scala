@@ -299,9 +299,13 @@ object ScaleCheck {
       // — exactly the two cases where group-equality is weaker than bit
       // identity (+0.0 groups bit-exactly). Non-negative inputs under
       // positive weights can produce neither, so pinning their absence on
-      // both sides upgrades the group-equality below to true bit-identity
+      // both sides upgrades the group-equality below to true bit-identity.
+      // -0.0 is detected via cast-to-string (Double.toString keeps the
+      // sign); an `=== 0.0 && sign-test` conjunction would be broken by
+      // ConstantPropagation, which substitutes the 0.0 literal into the
+      // sign test (and under ANSI, 1.0/x even throws at plan time)
       def degenerate(df: DataFrame): Long = df.filter(col("ewma").isNaN ||
-        (col("ewma") === 0.0 && lit(1.0) / col("ewma") < 0.0)).count()
+        col("ewma").cast("string") === "-0.0").count()
       val degen = degenerate(big0) + degenerate(src0)
       check("ewma values free of NaN/-0.0 (bit-identity precondition)")(
         degen == 0, s"$degen degenerate rows")
@@ -804,9 +808,11 @@ object ScaleCheck {
       // same precondition as the full tier: double-typed grouping
       // normalizes -0.0→0.0 / NaN==NaN (the only two gaps between group
       // equality and bit identity), so "no NaN, no -0.0" on both sides
-      // upgrades the group-equality below to true bit-identity
+      // upgrades the group-equality below to true bit-identity (string
+      // cast keeps the -0.0 sign; see the full-tier note on why an
+      // equality-guarded sign test doesn't survive the optimizer)
       def degenerate(df: DataFrame): Long = df.filter(col("ewma").isNaN ||
-        (col("ewma") === 0.0 && lit(1.0) / col("ewma") < 0.0)).count()
+        col("ewma").cast("string") === "-0.0").count()
       val degen = degenerate(ewBig) + degenerate(ewSrc)
       check("ewma values free of NaN/-0.0 (bit-identity precondition)")(
         degen == 0, s"$degen degenerate rows")
