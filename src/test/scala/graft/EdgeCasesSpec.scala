@@ -167,25 +167,23 @@ class EdgeCasesSpec extends AnyFunSuite {
   }
 
   test("z-score on degenerate inputs yields NaN, not an ANSI crash") {
-    // all-equal balances: variance 0 -> every z is NaN
-    import org.apache.spark.sql.{functions => F}
-    val stats = Seq((10.0, 10.0)).toDF("a", "b") // dummy to build session
-    val cust = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0))
-      .toDF("c_custkey", "c_acctbal")
-    cust.createOrReplaceTempView("__zs_cust")
-    // reuse the query shape through a tiny local replica of the formula
-    val s = cust.agg(F.sum("c_acctbal").as("s"),
-      F.sum(F.col("c_acctbal") * F.col("c_acctbal")).as("ss"),
-      F.count(F.lit(1)).cast("double").as("n"))
-    val sd = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) /
-      (F.col("n") - 1))
-    val z = cust.crossJoin(F.broadcast(s))
-      .select(F.when(F.col("n") <= 1.0, F.lit(Double.NaN))
-        .otherwise(F.when(sd === 0.0, F.lit(Double.NaN))
-          .otherwise((F.col("c_acctbal") - F.col("s") / F.col("n")) / sd))
-        .as("z"))
-      .collect().map(_.getDouble(0))
-    assert(z.forall(_.isNaN))
+    // all-equal balances: variance 0 → every z is NaN. Drives the
+    // PRODUCTION query over a temp customer dir (the real corpus is never
+    // degenerate, so this fixture is the NaN branch's only coverage and a
+    // local formula replica would bind nothing)
+    val dir = java.nio.file.Files.createTempDirectory("graft_zs_edge").toString
+    Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val z = graft.ops.RelationalQueries.zscoreAcctbal(spark, dir)
+      .collect().map(_.getAs[Double]("z"))
+    assert(z.length == 3 && z.forall(_.isNaN))
+    // single row: the n <= 1 guard, not a DIVIDE_BY_ZERO
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_zs1").toString
+    Seq((1L, 5.0)).toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir1/customer.parquet")
+    val z1 = graft.ops.RelationalQueries.zscoreAcctbal(spark, dir1)
+      .collect().map(_.getAs[Double]("z"))
+    assert(z1.length == 1 && z1.head.isNaN)
   }
 
   test("waterfill: single group gets exactly the budget; equal groups split it") {
@@ -202,16 +200,21 @@ class EdgeCasesSpec extends AnyFunSuite {
   }
 
   test("source cap keeps everything when a source is under the cap") {
-    val docs = Seq((0L, "tiny", 5L), (1L, "tiny", 9L))
+    // drives the PRODUCTION query over a temp documents dir: "tiny" (2
+    // docs) survives whole, "big" (cap + 2 docs) keeps exactly the cap,
+    // largest-first with the id tie-break
+    val cap = graft.llm.Curation.capPerSource
+    val docs = (Seq((0L, "tiny", 5L), (1L, "tiny", 9L)) ++
+      (0 until cap + 2).map(i => (100L + i, "big", 50L - i)))
       .toDF("doc_id", "source", "n_chars")
-    docs.createOrReplaceTempView("cap_probe")
-    // drive through the same window shape the operator uses
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val kept = docs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= graft.llm.Curation.capPerSource)
-    assert(kept.count() == 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap_edge").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.llm.Curation.sourceCap(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(kept.filter(_._1 == "tiny").map(_._2).sorted.toSeq == Seq(0L, 1L))
+    // "big" keeps the cap largest docs = the lowest ids (n_chars desc)
+    assert(kept.filter(_._1 == "big").map(_._2).sorted.toSeq ==
+      (0 until cap).map(100L + _))
   }
 
   test("ewma of a single row is the row's value; empty frame stays empty") {

@@ -81,30 +81,32 @@ class EventQueriesSpec extends AnyFunSuite {
 
   test("anomaly days: zero-variance series degrade to NaN z / flag 0, " +
       "spikes flag") {
-    import java.sql.Timestamp
+    // drives the PRODUCTION query over a temp events dir (the cusum/scd2
+    // pattern) — the oracled corpus never exercises the zero-variance
+    // branch, so this fixture is its only coverage and must bind the real
+    // code path, not an inline re-implementation.
     // type "flat": 3 days × 2 events (sd = 0); type "spiky": 9 quiet days
     // + one 100-event day (z well above 2)
-    val rows =
-      (for (d <- 1 to 3; i <- 1 to 2) yield
-        ("flat", Timestamp.valueOf(f"2024-01-0$d 0$i:00:00"), d * 10L + i)) ++
-      (for (d <- 1 to 9) yield
-        ("spiky", Timestamp.valueOf(f"2024-01-0$d 01:00:00"), 100L + d)) ++
-      (for (i <- 0 until 100) yield
-        ("spiky", Timestamp.valueOf(f"2024-01-10 02:${i % 60}%02d:00"), 200L + i))
-    val df = rows.toDF("event_type", "ts", "event_id")
-    val daily = df.select($"event_type", to_date($"ts").as("day"))
-      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
-    val stats = daily.groupBy("event_type")
-      .agg(avg($"n").as("mu"), stddev_samp($"n").as("sd"))
-    val out = daily.join(stats, Seq("event_type"))
-      .withColumn("z", round(
-        when($"sd".isNull || $"sd" === 0.0, lit(Double.NaN))
-          .otherwise(($"n" - $"mu") / $"sd"), 6))
-      .withColumn("is_anomaly",
-        when(isnan($"z"), lit(0L)).otherwise((abs($"z") > 2.0).cast("bigint")))
-      .collect()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ns(day: Int, minute: Int): Long =
+      (base + ((day - 1).toLong * 1440 + minute) * 60000L) * 1000000L
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long, Double)]()
+    for (d <- 1 to 3; i <- 1 to 2) {
+      rows += ((id, 1L, "flat", ns(d, i), 1.0)); id += 1
+    }
+    for (d <- 1 to 9) {
+      rows += ((id, 1L, "spiky", ns(d, 60), 1.0)); id += 1
+    }
+    for (i <- 0 until 100) {
+      rows += ((id, 1L, "spiky", ns(10, 120 + i), 1.0)); id += 1
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    rows.toSeq.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.anomalyDays(spark, dir).collect()
     val flat = out.filter(_.getAs[String]("event_type") == "flat")
-    assert(flat.nonEmpty)
+    assert(flat.length == 3)
     flat.foreach { r =>
       assert(r.getAs[Double]("z").isNaN && r.getAs[Long]("is_anomaly") == 0L)
     }
@@ -115,31 +117,26 @@ class EventQueriesSpec extends AnyFunSuite {
 
   test("event transitions: exact conditional micro-probabilities per user " +
       "sequence") {
-    import java.sql.Timestamp
+    // drives the PRODUCTION query over a temp events dir so the lag
+    // window, the per-prefix totals, and the decimal micro-ratio are all
+    // the real code path (an inline re-implementation would bind nothing)
     // user 1: a→b→a→c (transitions ab, ba, ac); user 2: a→b (ab)
+    def ns(min: Long): Long = min * 60000000000L
     val rows = Seq(
-      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
-      (2L, 5L, "a"), (2L, 6L, "b"))
-      .map { case (u, i, t) =>
-        (u, i, t, Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00")) }
-      .toDF("user_id", "event_id", "event_type", "ts")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = rows.withColumn("prev_type", lag($"event_type", 1).over(w))
-      .filter($"prev_type".isNotNull)
-    val cnt = pairs.groupBy($"prev_type", $"event_type".as("next_type"))
-      .agg(count(lit(1)).as("cnt"))
-    val tot = cnt.groupBy("prev_type").agg(sum($"cnt").as("tot"))
-    val out = cnt.join(tot, Seq("prev_type"))
-      .withColumn("p_micro",
-        graft.llm.TextStats.microRatio($"cnt", $"tot"))
-      .collect()
+      (1L, 1L, "a", ns(1), 1.0), (2L, 1L, "b", ns(2), 1.0),
+      (3L, 1L, "a", ns(3), 1.0), (4L, 1L, "c", ns(4), 1.0),
+      (5L, 2L, "a", ns(5), 1.0), (6L, 2L, "b", ns(6), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = EventQueries.eventTransitions(spark, dir).collect()
       .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
         (r.getAs[Long]("cnt"), r.getAs[Long]("p_micro"))).toMap
     // from "a": ab×2, ac×1 → 666666 / 333333 micro; from "b": ba×1 → 1e6
-    assert(out(("a", "b")) == ((2L, 666666L)))
-    assert(out(("a", "c")) == ((1L, 333333L)))
-    assert(out(("b", "a")) == ((1L, 1000000L)))
+    assert(out == Map(
+      ("a", "b") -> ((2L, 666666L)),
+      ("a", "c") -> ((1L, 333333L)),
+      ("b", "a") -> ((1L, 1000000L))))
   }
 
   test("equi-depth histogram: buckets partition all values with ~equal mass " +
