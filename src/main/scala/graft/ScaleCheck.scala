@@ -698,6 +698,57 @@ object ScaleCheck {
         s"$keptCounts vs ${nMinSrc * replicas}")
     }
 
+    // --- round-12: similarity family (the one family without ×R
+    // coverage until now) --------------------------------------------
+    // Orthogonal-subspace replication: replica i's 64-dim vectors live in
+    // dims [64i, 64(i+1)) of a 640-dim space. Zero-padding adds exact
+    // +0.0 terms to the float dot/norm sums, so within-replica cosines
+    // are BIT-IDENTICAL to the source corpus, while every cross-replica
+    // dot product is a sum of ±0.0 terms — cosine exactly ±0.0, which
+    // can never outrank a strictly positive score. Brute-force kNN (the
+    // ANN family's oracle baseline, WindowGroupLimit-gated) must
+    // therefore return the identical top-k through the 10× corpus, and
+    // a non-zero replica's result must be the exact id-shift of the
+    // source result (ties break by id; a uniform shift preserves order).
+    timed("knn (sf1 orthogonal + compare)") {
+      val dim = 64
+      val srcEmb = Tables.table(spark, src, "embeddings")
+        .select("vec_id", "embedding")
+      def padded(i: Int) = {
+        val pre = lit(Array.fill(dim * i)(0.0f))
+        val post = lit(Array.fill(dim * (replicas - 1 - i))(0.0f))
+        concat(pre, col("embedding"), post).as("embedding")
+      }
+      val bigEmb = (0 until replicas).map { i =>
+        srcEmb.select((col("vec_id") + lit(i * Stride)).as("vec_id"), padded(i))
+      }.reduce(_ unionByName _).localCheckpoint()
+      def knn(emb: DataFrame, qs: DataFrame): Set[(Long, Long, Long, Double)] =
+        llm.Similarity.knnBruteForce(emb, qs, k = 10).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSet
+      val srcKnn = knn(srcEmb, srcEmb.filter(col("vec_id") < 10))
+      // precondition making the isolation argument total: with every
+      // source top-10 score strictly positive, a ±0.0 cross-replica
+      // cosine (or a -0.0 vs +0.0 boxing difference) can never appear
+      // in, or perturb, any compared row
+      val minScore = srcKnn.map(_._4).min
+      check("knn precondition: source top-10 scores strictly positive")(
+        minScore > 0.0, f"min score $minScore%.6f")
+      val bigR0 = knn(bigEmb, bigEmb.filter(col("vec_id") < 10))
+      check("replica-0 knn == sf0.1 bit-for-bit through the 10x corpus")(
+        bigR0 == srcKnn, s"missing ${(srcKnn -- bigR0).take(3)} " +
+          s"extra ${(bigR0 -- srcKnn).take(3)}")
+      val r = math.min(7, replicas - 1)
+      val shifted = srcKnn.map { case (q, rk, n, s) =>
+        (q + r * Stride, rk, n + r * Stride, s) }
+      val bigRk = knn(bigEmb, bigEmb.filter(
+        col("vec_id") >= r * Stride && col("vec_id") < r * Stride + 10))
+      check(s"replica-$r knn is the exact id-shift of the source result")(
+        bigRk == shifted, s"missing ${(shifted -- bigRk).take(3)} " +
+          s"extra ${(bigRk -- shifted).take(3)}")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigEmb)
+    }
+
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(pairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(comps)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)
