@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, TextStats}
+import graft.ops.Sampling
+import graft.stream.Sessionize
+
+/** Randomized differential testing of the hand-rolled ALGORITHMIC
+  * operators — the multi-step distributed algorithms whose unit specs
+  * pin hand-checked examples but whose input space (graph shapes, tie
+  * patterns, budget boundaries) is far larger than any hand example
+  * covers. Each test drives the production operator with seeded random
+  * inputs and compares against an independent driver-side reference
+  * written in plain Scala collections (union-find, sorted-scan
+  * water-filling, per-user fold sessionization, brute-force set
+  * algebra). Complements DifferentialFuzzSpec, which fuzzes the
+  * scalar/codegen EXPRESSIONS; here the targets are whole operators.
+  * Fixed seed — runs are deterministic.
+  */
+class AlgorithmicFuzzSpec extends AnyFunSuite {
+  lazy val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(0xA160F022L)
+
+  test("connectedComponents == union-find on 10 random graphs " +
+      "(disjoint id ranges, one batched CC call)") {
+    // 10 graphs in ONE connectedComponents invocation: id ranges are
+    // disjoint (offset g*1000), so per-graph components are exactly the
+    // components of the union — same trick ScaleCheck's replication
+    // tiers use, and it keeps this to one iterative CC run.
+    val allNodes = scala.collection.mutable.ArrayBuffer[Long]()
+    val allEdges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (g <- 0 until 10) {
+      val off = g * 1000L
+      val n = 10 + rng.nextInt(31)                    // 10..40 nodes
+      val ids = (1L to n).map(_ + off)
+      allNodes ++= ids
+      val m = rng.nextInt(2 * n)                      // 0..2n-1 edges
+      for (_ <- 0 until m) {
+        val a = ids(rng.nextInt(n))
+        val b = ids(rng.nextInt(n))
+        if (a < b) allEdges += ((a, b))
+        else if (b < a) allEdges += ((b, a))          // drop self-loops
+      }
+    }
+    // independent reference: union-find, component label = min member id
+    val parent = scala.collection.mutable.Map(
+      allNodes.toSeq.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    allEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = allNodes.map(i => i -> find(i)).toMap
+
+    val nodesDf = allNodes.toSeq.toDF("id")
+    val pairsDf = allEdges.toSeq.toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodesDf, pairsDf, maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == allNodes.size)
+    assert(got == want)
+  }
+
+  test("batch sessionize == per-user fold on random event streams " +
+      "(duplicate timestamps, random gaps)") {
+    for (trial <- 0 until 3) {
+      val gap = 1L + rng.nextInt(100)                 // seconds
+      val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var tie = 0L
+      for (u <- 1L to 20L) {
+        val nEv = rng.nextInt(31)                     // 0..30 events
+        var us = 1700000000000000L + rng.nextInt(1000000)
+        for (_ <- 0 until nEv) {
+          // step distribution straddles the gap boundary and lands ON it
+          // (gap*1e6 exactly => strictly-greater contract) plus exact
+          // duplicates (step 0) to exercise the tie-break ordering
+          val step = rng.nextInt(4) match {
+            case 0 => 0L
+            case 1 => rng.nextInt((gap * 1000000L).toInt).toLong
+            case 2 => gap * 1000000L
+            case _ => gap * 1000000L + 1L + rng.nextInt(1000000)
+          }
+          us += step
+          tie += 1L
+          rows += ((u, us, tie))
+        }
+      }
+      // independent reference: sort (us, tie) per user, fold session ids
+      val want = rows.groupBy(_._1).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        var sid = 0L
+        var prev = Long.MinValue
+        sorted.map { case (_, us, t) =>
+          if (sid == 0L || us - prev > gap * 1000000L) sid += 1L
+          prev = us
+          t -> sid
+        }
+      }
+      val shuffled = rng.shuffle(rows.toSeq)          // input order-free
+      val df = shuffled.toDF("user_id", "us", "tie")
+        .withColumn("ts", timestamp_micros($"us"))
+      val got = Sessionize.sessionize(df, "user_id", "ts", "tie", gap)
+        .select("tie", "session_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial gap $gap")
+    }
+  }
+
+  test("waterfillAlloc == textbook sorted-scan water level on random " +
+      "budgets (plus a crafted exact-hit level)") {
+    // crafted exact-hit first: counts {5,10,20}, budget 25 => f(10)=25
+    // exactly, level (25-5)/2 = 10.0 — the exactHit branch
+    val cases = Seq((Seq(5L, 10L, 20L), 0.715)) ++ Seq.fill(5) {
+      val n = 3 + rng.nextInt(28)
+      val counts = Seq.fill(n)(1L + ((rng.nextLong() & Long.MaxValue) %
+        (if (rng.nextBoolean()) 100L else 1000000L)))
+      (counts, 0.1 + rng.nextDouble() * 0.8)
+    }
+    for (((counts, frac), i) <- cases.zipWithIndex) {
+      val total = counts.sum
+      val budget = math.floor(total * frac).toLong
+      if (budget > 0 && budget < total) {
+        // independent reference: ascending scan for the real level T with
+        // sum(min(c, T)) == B; same integer operands as the oracle's form
+        val sorted = counts.sorted
+        var prefix = 0L
+        var level = 0.0
+        var done = false
+        for (k <- sorted.indices if !done) {
+          val m = sorted.length - k
+          if (prefix + sorted(k) * m >= budget) {
+            level = (budget - prefix).toDouble / m
+            done = true
+          } else prefix += sorted(k)
+        }
+        def r6(x: Double): Double =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        val want = counts.zipWithIndex.map { case (c, j) =>
+          (s"g$j", c, r6(math.min(c.toDouble, level)), if (c > level) 1L else 0L)
+        }.toSet
+        val perGroup = counts.zipWithIndex
+          .map { case (c, j) => (s"g$j", c) }.toDF("source", "c")
+        val got = Sampling.waterfillAlloc(perGroup, "source", "c", frac)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSet
+        assert(got == want, s"case $i counts=$counts budget=$budget")
+        // budget conservation: allocations sum back to the budget
+        val allocSum = got.toSeq.map(_._3).sum
+        assert(math.abs(allocSum - budget) < 1e-3,
+          s"case $i alloc sum $allocSum != budget $budget")
+      }
+    }
+  }
+
+  test("ngramJaccardPairs == brute-force shingle-set jaccard on random " +
+      "word docs") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (trial <- 0 until 3) {
+      val n = 1 + rng.nextInt(3)                      // shingle width 1..3
+      val minJ = Seq(0.1, 0.3, 0.5)(rng.nextInt(3))
+      val docs = (0L until 40L).map { id =>
+        // duplicates + shared prefixes force a dense pair space
+        val len = rng.nextInt(16)
+        val toks = Seq.fill(len)(vocab(rng.nextInt(vocab.length)))
+        (id, toks.mkString(" "))
+      }
+      def shingleSet(text: String): Set[String] = {
+        val toks = text.split(" ", -1)                // Spark split keeps
+        if (n == 1) toks.toSet                        // trailing empties
+        else if (toks.length < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      def r6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        shared = (sets(a) intersect sets(b)).size
+        if shared > 0
+        j = r6(shared.toDouble / (sets(a).size + sets(b).size - shared))
+        if j >= minJ
+      } yield (a, b, j)).toSet
+      val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"),
+          n, minJ, maxId = 1000000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want, s"trial $trial n=$n minJ=$minJ")
+    }
+  }
+
+  test("winnowingOverlapPairs == brute-force pair counting over the " +
+      "per-doc fingerprint sets (random docs, active df cap)") {
+    val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "pack", "my", "box", "with")
+    // a shared passage long enough to fingerprint (>= w+k-1 = 6 tokens),
+    // planted in some docs so minShared has real positives to find
+    val passage = Seq("five", "boxing", "wizards", "jump", "quickly",
+      "tonight", "indeed", "while", "seven", "sphinxes", "quartz", "judge")
+    val docs = (0L until 30L).map { id =>
+      val len = 6 + rng.nextInt(20)
+      val base = Seq.fill(len)(vocab(rng.nextInt(vocab.length)))
+      val toks = if (rng.nextInt(3) == 0) {
+        val cut = rng.nextInt(base.length)
+        base.take(cut) ++ passage ++ base.drop(cut)
+      } else base
+      (id, toks.mkString(" "))
+    }
+    val docsDf = docs.toDF("doc_id", "text")
+    // per-doc fingerprint sets come from the production winnowedDocs
+    // (xxhash64 chains are not replicable driver-side); the DIFFERENTIAL
+    // target is everything downstream — the df cap, the inverted-index
+    // self-join, and the minShared threshold
+    val fpSets = TextStats.winnowedDocs(docsDf)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    for ((minShared, maxDf) <- Seq((1, 1000L), (2, 1000L), (1, 3L))) {
+      val df = fpSets.values.toSeq.flatten.groupBy(identity)
+        .map { case (fp, occ) => fp -> occ.size.toLong }
+      val kept = df.filter(_._2 <= maxDf).keySet
+      val ids = docs.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        shared = (fpSets(a) intersect fpSets(b) intersect kept).size
+        if shared >= minShared
+      } yield (a, b, shared.toLong)).toSet
+      assert(want.nonEmpty, s"degenerate trial minShared=$minShared")
+      val got = Dedup.winnowingOverlapPairs(docsDf, minShared, maxDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"minShared=$minShared maxDf=$maxDf")
+    }
+  }
+}
