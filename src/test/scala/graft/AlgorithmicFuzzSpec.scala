@@ -200,6 +200,79 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sessionize == batch session set on a random stream " +
+      "delivered in global time order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.stream.Sessionize.{ClosedSession, SessionEvent}
+    val gap = 30L + rng.nextInt(300)                  // seconds
+    val gapUs = gap * 1000000L
+    val events = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    for (u <- 1L to 10L) {
+      var us = 1700000000000000L + rng.nextInt(1000000)
+      for (_ <- 0 until rng.nextInt(26)) {
+        us += (rng.nextInt(4) match {
+          case 0 => 0L
+          case 1 => rng.nextInt(gapUs.toInt).toLong
+          case 2 => gapUs                             // exactly ON the gap
+          case _ => gapUs + 1L + rng.nextInt(1000000)
+        })
+        events += ((u, us))
+      }
+    }
+    // independent reference: per-user fold over sorted times into
+    // (n_events, duration_s) closed sessions — the batch semantics
+    val want = events.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val times = evs.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = times.head
+      var last = times.head
+      var n = 1L
+      for (t <- times.tail) {
+        if (t - last > gapUs) {
+          sessions += ((n, (last - start) / 1000000L))
+          start = t; n = 0L
+        }
+        last = t; n += 1L
+      }
+      sessions += ((n, (last - start) / 1000000L))
+      sessions.map { case (ne, d) => (u, ne, d) }
+    }.sorted
+
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val withWm = mem.toDS()
+      .withWatermark("ts", "0 seconds").as[SessionEvent]
+    val q = graft.stream.Sessionize.sessionizeStream(withWm, gap)
+      .writeStream.format("memory").queryName("sess_fuzz")
+      .outputMode("append").start()
+    try {
+      // deliver in global event-time order (the parity precondition) in
+      // 5 chunks, then two far-future sentinel batches: the first
+      // advances the watermark past every open session's timeout, the
+      // second triggers the timed-out state sweep
+      val ordered = events.sortBy(_._2).toSeq
+      val chunk = math.max(1, ordered.size / 5)
+      ordered.grouped(chunk).foreach { batch =>
+        mem.addData(batch.map { case (u, us) => SessionEvent(u, tsOf(us)) })
+        q.processAllAvailable()
+      }
+      val far = ordered.last._2 + gapUs * 100
+      mem.addData(SessionEvent(999L, tsOf(far)))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(999L, tsOf(far + gapUs * 100)))
+      q.processAllAvailable()
+      val got = spark.table("sess_fuzz").as[ClosedSession].collect()
+        .filter(_.user_id != 999L)
+        .map(s => (s.user_id, s.n_events.toLong, s.duration_s)).toSeq.sorted
+      assert(got == want, s"gap $gap")
+    } finally q.stop()
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
