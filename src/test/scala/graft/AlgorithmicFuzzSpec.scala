@@ -273,6 +273,128 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Canonical undirected edge set the graph ops define: u < v, self
+    * loops dropped, duplicates collapsed — replicated driver-side so the
+    * references see exactly the graph the operators do.
+    */
+  private def canonEdges(raw: Seq[(Long, Long)]): Set[(Long, Long)] =
+    raw.collect {
+      case (a, b) if a < b => (a, b)
+      case (a, b) if b < a => (b, a)
+    }.toSet
+
+  private def randomGraph(off: Long, n: Int, m: Int): Seq[(Long, Long)] =
+    Seq.fill(m)((off + 1 + rng.nextInt(n).toLong,
+      off + 1 + rng.nextInt(n).toLong))
+
+  test("kCore == reference peeling fixpoint on 6 random graphs " +
+      "(batched via disjoint id ranges)") {
+    for (k <- Seq(2, 3)) {
+      // 3 graphs per k in one kCore call — peeling is component-local,
+      // so disjoint id ranges make the batched result the per-graph union
+      val raw = (0 until 3).flatMap(g =>
+        randomGraph(g * 1000L, 8 + rng.nextInt(25), 5 + rng.nextInt(60)))
+      val edges = canonEdges(raw)
+      // reference: simultaneous-round peel to the (unique) k-core
+      var cur = edges
+      var changed = true
+      while (changed) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, o) => v -> o.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        changed = next != cur
+        cur = next
+      }
+      val wantDeg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+      val got = graft.ops.Graph.kCore(raw.toDF("id_a", "id_b"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == wantDeg, s"k=$k")
+    }
+  }
+
+  test("triangleStats == brute-force triple enumeration on random graphs") {
+    val raw = (0 until 3).flatMap(g =>
+      randomGraph(g * 1000L, 8 + rng.nextInt(18), 10 + rng.nextInt(70)))
+    val edges = canonEdges(raw)
+    val nodes = edges.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val deg = nodes.map(v => v ->
+      edges.count(e => e._1 == v || e._2 == v).toLong).toMap
+    def adj(a: Long, b: Long) = edges(if (a < b) (a, b) else (b, a))
+    val tri = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      l <- j + 1 until nodes.length
+      if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(l)) &&
+        adj(nodes(i), nodes(l))
+    } Seq(nodes(i), nodes(j), nodes(l)).foreach(v => tri(v) += 1L)
+    val want = nodes.map { v =>
+      val d = deg(v)
+      val pairs = d * (d - 1) / 2
+      val lcc = if (pairs == 0L) 0L else tri(v) * 1000000L / pairs
+      (v, d, tri(v), lcc)
+    }.toSet
+    val got = graft.ops.Graph.triangleStats(raw.toDF("id_a", "id_b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("pageRank == driver-side power iteration with dangling " +
+      "redistribution (weighted random digraph)") {
+    val n = 30
+    val raw = Seq.fill(120)((1L + rng.nextInt(n).toLong,
+        1L + rng.nextInt(n).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val weighted = raw.map { case (s, d) => (s, d, 1L + rng.nextInt(5)) }
+    val nodes = weighted.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val nn = nodes.length.toDouble
+    val outS = weighted.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(_._3).sum.toDouble }
+    val damping = 0.85
+    var rank = nodes.map(_ -> 1.0 / nn).toMap
+    for (_ <- 1 to 10) {
+      val dmass = nodes.filterNot(outS.contains).map(rank).sum
+      val inMass = weighted
+        .groupBy(_._2).map { case (d, es) =>
+          d -> es.map(e => rank(e._1) * (e._3 / outS(e._1))).sum
+        }
+      rank = nodes.map(v => v -> ((1.0 - damping) / nn +
+        damping * (inMass.getOrElse(v, 0.0) + dmass / nn))).toMap
+    }
+    val got = graft.ops.Graph.pageRank(
+        weighted.toDF("src", "dst", "weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == rank.keySet)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1")
+    rank.foreach { case (v, w) =>
+      assert(math.abs(got(v) - w) < 1e-9, s"node $v: ${got(v)} vs $w")
+    }
+  }
+
+  test("assortativity == naive symmetrized Pearson on a random graph") {
+    val raw = randomGraph(0L, 25, 80)
+    val edges = canonEdges(raw)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, o) => v -> o.size.toDouble }
+    val pairs = edges.toSeq.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+    val mx = xs.sum / xs.length
+    val my = ys.sum / ys.length
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum)
+    val sy = math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+    val want = cov / (sx * sy)
+    val row = graft.ops.Graph.assortativity(raw.toDF("id_a", "id_b"))
+      .collect().head
+    assert(row.getLong(0) == edges.size, "n_edges")
+    assert(math.abs(row.getDouble(1) - want) < 2e-6,
+      s"assortativity ${row.getDouble(1)} vs $want")
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
