@@ -395,6 +395,76 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
       s"assortativity ${row.getDouble(1)} vs $want")
   }
 
+  test("bpeLearn / bpeVocab == independent dict-based Sennrich BPE on " +
+      "random corpora (ties, repeated pairs, merge exhaustion)") {
+    import graft.llm.CorpusQueries
+    for (trial <- 0 until 3) {
+      // tiny alphabet forces dense pair collisions and real tie-breaks;
+      // words like "aaaa" exercise repeated-adjacent-pair counting and
+      // the left-to-right non-overlapping merge
+      val alphabet = "abc"
+      val words = Seq.fill(30)(
+        (0 until 2 + rng.nextInt(5))
+          .map(_ => alphabet(rng.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) =>
+          (i.toLong, Seq.fill(1 + rng.nextInt(3))(ws).flatten.mkString(" "))
+        }.toSeq
+      val k = 8
+      // independent reference: symbol-LIST segmentation dictionary
+      // (Sennrich learn_bpe shape), not a sentinel-string frame
+      val tokCounts = docs.flatMap(_._2.split(" ", -1))
+        .filter(_.length >= 2)
+        .groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+      var segm: Map[Vector[String], Long] =
+        tokCounts.groupBy { case (t, _) => t.map(_.toString).toVector }
+          .map { case (sy, m) => sy -> m.values.sum }
+      val wantMerges = scala.collection.mutable.ArrayBuffer[
+        (Long, String, String, Long)]()
+      var exhausted = false
+      for (r <- 1 to k if !exhausted) {
+        val pairCnt = scala.collection.mutable.Map[(String, String), Long]()
+        segm.foreach { case (sy, c) =>
+          sy.sliding(2).filter(_.length == 2).foreach { p =>
+            pairCnt((p(0), p(1))) = pairCnt.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (pairCnt.isEmpty) exhausted = true
+        else {
+          val ((l, rr), cnt) = pairCnt.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head
+          wantMerges += ((r.toLong, l, rr, cnt))
+          segm = segm.toSeq.map { case (sy, c) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < sy.length) {                    // LTR non-overlap
+              if (i + 1 < sy.length && sy(i) == l && sy(i + 1) == rr) {
+                out += l + rr; i += 2
+              } else { out += sy(i); i += 1 }
+            }
+            out.toVector -> c
+          }.groupBy(_._1).map { case (sy, m) => sy -> m.map(_._2).sum }
+        }
+      }
+      val docsDf = docs.toDF("doc_id", "text")
+      val gotMerges = CorpusQueries.bpeLearnFromDocs(docsDf, k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      assert(gotMerges == wantMerges.toSeq, s"trial $trial merges")
+
+      val symCnt = scala.collection.mutable.Map[String, Long]()
+      segm.foreach { case (sy, c) =>
+        sy.foreach(s => symCnt(s) = symCnt.getOrElse(s, 0L) + c)
+      }
+      val wantVocab = symCnt.toSeq
+        .sortBy { case (s, c) => (-c, s) }.take(5)
+      val gotVocab = CorpusQueries.bpeVocabFromDocs(docsDf, k, 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(gotVocab == wantVocab, s"trial $trial vocab")
+    }
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
