@@ -465,6 +465,75 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("approxPercentiles: returned values are group elements within " +
+      "GK rank error across adversarial distributions") {
+    val n = 3000
+    val groups: Seq[(String, Seq[Long])] = Seq(
+      "uniform" -> Seq.fill(n)((rng.nextLong() & Long.MaxValue) % 1000000L),
+      "zipf" -> Seq.fill(n)(math.min(1000L,
+        (1.0 / math.max(1e-6, rng.nextDouble())).toLong)),
+      "constant" -> Seq.fill(n)(42L),
+      "fewdist" -> Seq.fill(n)(rng.nextInt(10).toLong * 100L))
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val accuracy = 1000
+    val df = groups.flatMap { case (g, vs) => vs.map(v => (g, v)) }
+      .toDF("g", "v")
+    val got = graft.ops.Stats.approxPercentiles(df, "v", "g", ps, accuracy)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getLong(i + 1))).toMap
+    val slop = n / accuracy + 2                       // εn + convention slop
+    for ((g, vs) <- groups; (p, i) <- ps.zipWithIndex) {
+      val sorted = vs.sorted
+      val v = got(g)(i)
+      assert(sorted.contains(v), s"$g p$p: $v not an element")
+      val lo = sorted.indexOf(v)
+      val hi = sorted.lastIndexOf(v)
+      val target = p * (n - 1)
+      assert(lo - slop <= target && target <= hi + slop,
+        s"$g p$p: value $v spans ranks [$lo,$hi], target $target ± $slop")
+    }
+  }
+
+  test("hll_sketch_agg(lgK=12) estimates within 5% of exact distinct " +
+      "counts across cardinality magnitudes") {
+    val cards = Seq(10, 100, 2000, 20000)
+    val rows = cards.flatMap { k =>
+      // k distinct values, each repeated 1..3 times
+      (0 until k).flatMap(i => Seq.fill(1 + rng.nextInt(3))(
+        (s"k$k", k * 1000000L + i)))
+    }
+    val got = rows.toDF("g", "v").groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 12))
+        .cast("bigint").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (k <- cards) {
+      val est = got(s"k$k")
+      assert(math.abs(est - k) <= math.max(1L, (0.05 * k).toLong),
+        s"cardinality $k estimated $est")
+    }
+  }
+
+  test("countMinSketch never underestimates and overestimates heavy " +
+      "hitters by at most eps*N on a random zipf stream") {
+    import graft.llm.CorpusQueries
+    // zipf-ish stream over 200 distinct tokens
+    val stream = Seq.fill(20000)(
+      s"t${math.min(199L, (1.0 / math.max(5e-3, rng.nextDouble())).toLong)}")
+    val trueCnt = stream.groupBy(identity)
+      .map { case (t, o) => t -> o.size.toLong }
+    val df = stream.toDF("token")
+    val cms = df.stat.countMinSketch(col("token"),
+      eps = CorpusQueries.cmsEps, confidence = CorpusQueries.cmsConfidence,
+      seed = 42)
+    val epsN = math.max(2L, (CorpusQueries.cmsEps * stream.size).toLong)
+    trueCnt.foreach { case (t, c) =>
+      val est = cms.estimateCount(t)
+      assert(est >= c, s"$t underestimated: $est < $c")
+      assert(est <= c + epsN + 2,
+        s"$t overestimated beyond eps*N: $est vs $c + $epsN")
+    }
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
