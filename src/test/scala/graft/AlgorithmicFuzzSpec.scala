@@ -534,6 +534,63 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("mmrSelect == driver-side greedy MMR on random float embeddings " +
+      "(exact micro-unit scores)") {
+    import graft.llm.Similarity
+    val dim = 8
+    val corpus = (0L until 25L).map(id =>
+      (id, Array.fill(dim)(rng.nextFloat() * 2f - 1f)))
+    val queryIds = Seq(3L, 11L, 24L)
+    val (m, k, lam) = (10, 6, 0.7)
+    // reference cosine replicating the production op order exactly:
+    // dot/(sqrt(dot(a,a)) * sqrt(dot(b,b))), sequential fold over doubles
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      dot(a, b) / denom
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val vec = corpus.toMap
+    val want = queryIds.flatMap { qid =>
+      val rels = corpus.collect { case (cid, cv) if cid != qid =>
+        (cid, cos(cv, vec(qid)), r6(cos(cv, vec(qid))))
+      }
+      val cand = rels.sortBy { case (cid, _, rel6) => (-rel6, cid) }.take(m)
+      val relRaw = cand.map(c => c._1 -> c._2).toMap
+      val rel6 = cand.map(c => c._1 -> c._3).toMap
+      val remaining = scala.collection.mutable.SortedSet.empty[Long] ++
+        relRaw.keys
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to math.min(k, cand.size)).map { rk =>
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        remaining.foreach { cid =>
+          val score =
+            if (selected.isEmpty) lam * relRaw(cid)
+            else lam * relRaw(cid) - (1.0 - lam) *
+              selected.map(sid => cos(vec(cid), vec(sid))).max
+          if (score > bestScore) { bestScore = score; bestId = cid }
+        }
+        selected += bestId
+        remaining -= bestId
+        (qid, rk.toLong, bestId, rel6(bestId),
+          math.floor(bestScore * 1000000.0).toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queriesDf = corpus.filter(t => queryIds.contains(t._1))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpusDf, queriesDf, m, k, lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
