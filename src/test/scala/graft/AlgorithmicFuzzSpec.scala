@@ -591,6 +591,83 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rrfFuse == driver-side reciprocal-rank fusion on random " +
+      "partial rankings") {
+    import graft.llm.Similarity
+    val k = 8
+    val c = 60.0
+    val listA = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val listB = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for (q <- 1L to 4L) {
+      // partial, overlapping rankings: some docs in one list only
+      val docsA = rng.shuffle((1L to 30L).toList).take(5 + rng.nextInt(10))
+      val docsB = rng.shuffle((1L to 30L).toList).take(5 + rng.nextInt(10))
+      docsA.zipWithIndex.foreach { case (d, i) =>
+        listA += ((q, d, i + 1L)) }
+      docsB.zipWithIndex.foreach { case (d, i) =>
+        listB += ((q, d, i + 1L)) }
+    }
+    val want = (1L to 4L).flatMap { q =>
+      val ra = listA.filter(_._1 == q).map(t => t._2 -> t._3).toMap
+      val rb = listB.filter(_._1 == q).map(t => t._2 -> t._3).toMap
+      val fused = (ra.keySet ++ rb.keySet).toSeq.map { d =>
+        val s = ra.get(d).map(r => 1.0 / (c + r)).getOrElse(0.0) +
+          rb.get(d).map(r => 1.0 / (c + r)).getOrElse(0.0)
+        (d, s)
+      }.sortBy { case (d, s) => (-s, d) }.take(k)
+      fused.zipWithIndex.map { case ((d, s), i) =>
+        (q, i + 1L, d, math.floor(s * 1000000000.0).toLong)
+      }
+    }.sorted
+    val got = Similarity.rrfFuse(
+        listA.toSeq.toDF("query_id", "neighbor_id", "rk"),
+        listB.toSeq.toDF("query_id", "neighbor_id", "rk"), k, c)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == want)
+  }
+
+  test("temperatureMix == driver-side integer allocation + md5-rank " +
+      "draw at T=2 and T=3") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for (temperature <- Seq(2.0, 3.0)) {
+      val groups = (0 until 6).map(g => s"src$g" ->
+        (1 + rng.nextInt(120)))
+      val rows = groups.zipWithIndex.flatMap { case ((g, n), gi) =>
+        (0 until n).map(i => (g, gi * 10000L + i))
+      }
+      val budget = 50L + rng.nextInt(200)
+      // reference: floor(n^(1/T) * 1e6) micro weights, decimal-exact
+      // budget*w DIV sumW allocation capped at the population, then the
+      // k smallest (md5(id), id) per group
+      val wm = groups.map { case (g, n) =>
+        g -> math.floor((if (temperature == 2.0) math.sqrt(n.toDouble)
+          else math.pow(n.toDouble, 1.0 / temperature)) * 1e6).toLong
+      }.toMap
+      val wSum = wm.values.sum
+      val alloc = groups.map { case (g, n) =>
+        g -> math.min(n.toLong,
+          (BigInt(budget) * BigInt(wm(g)) / BigInt(wSum)).toLong)
+      }.toMap
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.map(_._2).sortBy(id => (md5hex(id.toString), id))
+          .take(alloc(g).toInt)
+          .zipWithIndex.map { case (id, i) => (g, id, i + 1L) }
+      }.sorted
+      val got = graft.ops.Sampling.temperatureMix(
+          rows.toDF("source", "doc_id"), "source", "doc_id",
+          budget, temperature)
+        .select("source", "doc_id", "rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(got == want, s"T=$temperature budget=$budget")
+    }
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
