@@ -668,6 +668,105 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2Intervals and attribution == driver-side folds on a random " +
+      "event fixture (duplicate timestamps, shuffled event ids)") {
+    // random event table: event ids assigned in random order so id order
+    // never accidentally equals time order; duplicate (user, ts) rows
+    // force the event_id tie-break in both windows
+    val types = Vector("click", "view", "purchase")
+    val evs = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+    for (u <- 1L to 8L) {
+      var us = 1700000000000000L + rng.nextInt(1000000)
+      for (_ <- 0 until rng.nextInt(31)) {
+        // steps span micro-dups to multi-day gaps, so the date-bucketed
+        // queries (cohort, new-vs-returning) see real day structure
+        us += (rng.nextInt(3) match {
+          case 0 => 0L
+          case 1 => 1L + rng.nextInt(5000000)
+          case _ => 1L + (rng.nextLong() & Long.MaxValue) % (2L * 86400000000L)
+        })
+        evs += ((u, us, types(rng.nextInt(3)), 0L))
+      }
+    }
+    val withIds = rng.shuffle(evs.toSeq).zipWithIndex
+      .map { case ((u, us, t, _), i) => (i + 1L, u, t, us) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_evfuzz").toString
+    withIds.map { case (id, u, t, us) => (id, u, t, us * 1000L, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val byUser = withIds.groupBy(_._2).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._4, r._1))             // (ts, event_id)
+    }
+
+    // scd2 reference: islands of consecutive equal state per user
+    val wantScd2 = byUser.toSeq.flatMap { case (u, rows) =>
+      val islands = scala.collection.mutable.ArrayBuffer[
+        (String, Long, Long)]()                       // state, from, n
+      rows.foreach { case (_, _, t, us) =>
+        if (islands.nonEmpty && islands.last._1 == t) {
+          val (s, f, n) = islands.last
+          islands(islands.size - 1) = (s, f, n + 1)
+        } else islands += ((t, us, 1L))
+      }
+      islands.zipWithIndex.map { case ((s, f, n), i) =>
+        val to = if (i + 1 < islands.size) Some(islands(i + 1)._2) else None
+        (u, i + 1L, s, f, to, n)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val gotScd2 = graft.ops.EventQueries.scd2Intervals(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toSeq
+    assert(gotScd2 == wantScd2)
+
+    // attribution reference: prior-click fold per user
+    val wantAttr = byUser.toSeq.flatMap { case (u, rows) =>
+      val priorClicks = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val out = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Option[Long], Option[Long], Option[Long])]()
+      rows.foreach { case (id, _, t, us) =>
+        if (t == "purchase")
+          out += ((id, u, priorClicks.headOption.map(_._1),
+            priorClicks.lastOption.map(_._1),
+            priorClicks.lastOption.map(c => us - c._2)))
+        if (t == "click") priorClicks += ((id, us))
+      }
+      out
+    }.sortBy(_._1)
+    val gotAttr = graft.ops.EventQueries.attribution(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(gotAttr == wantAttr)
+
+    // cohort retention + new-vs-returning references over UTC epoch days
+    val userDays = withIds.map { case (_, u, _, us) =>
+      (u, us / 86400000000L)
+    }.distinct
+    val cohortOf = userDays.groupBy(_._1)
+      .map { case (u, ds) => u -> ds.map(_._2).min }
+    val wantCohort = userDays
+      .groupBy { case (u, d) => (cohortOf(u), d - cohortOf(u)) }
+      .map { case ((cd, off), rows) => (cd, off, rows.size.toLong) }
+      .toSeq.sorted
+    val gotCohort = graft.ops.EventQueries.cohortRetention(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1), r.getLong(2))).toSeq
+    assert(gotCohort == wantCohort)
+
+    val wantNvr = userDays.groupBy(_._2).toSeq.map { case (d, rows) =>
+      val nNew = rows.count { case (u, _) => cohortOf(u) == d }.toLong
+      (java.time.LocalDate.ofEpochDay(d).toString,
+        nNew, rows.size - nNew)
+    }.sorted
+    val gotNvr = graft.ops.EventQueries.newVsReturning(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(gotNvr == wantNvr)
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
