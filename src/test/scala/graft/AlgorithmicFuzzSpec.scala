@@ -765,6 +765,45 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq
     assert(gotNvr == wantNvr)
+
+    // ordered-funnel reference: t0 = first view; tk = first step-k event
+    // STRICTLY after t(k-1) — re-orderings must not count
+    val steps = Seq("view", "click", "purchase")
+    val wantFunnel = byUser.toSeq.flatMap { case (u, rows) =>
+      def firstAfter(tpe: String, after: Option[Long]): Option[Long] =
+        rows.collect { case (_, _, t, us)
+          if t == tpe && after.forall(us > _) => us }
+          .minOption
+      val t0 = firstAfter(steps.head, None)
+      t0.map { start =>
+        val t1 = firstAfter(steps(1), Some(start))
+        val t2 = t1.flatMap(m => firstAfter(steps(2), Some(m)))
+        (u, start, t1, t2)
+      }
+    }.sortBy(_._1)
+    val gotFunnel = graft.ops.Funnel.userSteps(
+        graft.Tables.table(spark, dir, "events"), steps)
+      .select(col("user_id"), unix_micros(col("t0")).as("u0"),
+        unix_micros(col("t1")).as("u1"), unix_micros(col("t2")).as("u2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq.sortBy(_._1)
+    assert(gotFunnel == wantFunnel)
+
+    val wantCounts = steps.zipWithIndex.map { case (s, k) =>
+      val n = k match {
+        case 0 => wantFunnel.size.toLong
+        case 1 => wantFunnel.count(_._3.isDefined).toLong
+        case _ => wantFunnel.count(_._4.isDefined).toLong
+      }
+      (k + 1L, s, n)
+    }
+    val gotCounts = graft.ops.Funnel.conversionCounts(
+        graft.Tables.table(spark, dir, "events"), steps)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(gotCounts == wantCounts)
   }
 
   test("winnowingOverlapPairs == brute-force pair counting over the " +
