@@ -806,6 +806,79 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     assert(gotCounts == wantCounts)
   }
 
+  test("contaminationMicro == brute-force distinct-trigram overlap on " +
+      "random docs (short docs, bench self-overlap)") {
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val n = 3
+    val docs = (0L until 40L).map { id =>
+      val len = rng.nextInt(12)                       // includes < n tokens
+      (id, Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val benchMaxId = 10L
+    def grams(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 < benchMaxId).flatMap(d => grams(d._2)).toSet
+    val want = docs.map { case (id, text) =>
+      val g = grams(text)
+      val contam = if (g.isEmpty) 0L
+        else 1000000L * g.count(bench) / g.size
+      (id, contam)
+    }.toSet
+    val got = graft.llm.TextStats.contaminationMicro(
+        docs.toDF("doc_id", "text"), benchMaxId, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("asofJoin == most-recent-matching-row fold (duplicate right " +
+      "timestamps, null values in the newest match)") {
+    val leftRows = (1L to 40L).map(id =>
+      (id, 1L + rng.nextInt(5), rng.nextInt(50).toLong))
+    val rightRows = (1L to 30L).map(tie =>
+      (1L + rng.nextInt(5), rng.nextInt(50).toLong, tie,
+        if (rng.nextInt(10) == 0) None else Some(rng.nextInt(1000).toLong)))
+    val want = leftRows.map { case (id, k, lts) =>
+      val candidates = rightRows.filter(r => r._1 == k && r._2 <= lts)
+      // order (ts asc, tie asc), running last() wins => max (ts, tie)
+      val chosen = candidates.sortBy(r => (r._2, r._3)).lastOption
+      (id, chosen.flatMap(_._4))
+    }.toSet
+    val got = graft.ops.TimeSeries.asofJoin(
+        leftRows.toDF("id", "k", "lts"),
+        rightRows.toDF("k", "rts", "tie", "v"),
+        "k", "lts", "rts", Seq("v"), Some("tie"))
+      .select("id", "v")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got == want)
+  }
+
+  test("bandedIntervalJoin == brute-force interval containment " +
+      "(exact bin-edge hits, negative values)") {
+    val maxWidth = 10.0
+    // integer-valued doubles force exact lo/hi boundary hits and values
+    // sitting exactly on bin edges; negatives exercise floor semantics
+    val points = (1L to 60L).map(id =>
+      (id, (rng.nextInt(201) - 100).toDouble))
+    val intervals = (1L to 25L).map { id =>
+      val lo = (rng.nextInt(201) - 100).toDouble
+      (id, lo, lo + rng.nextInt(11).toDouble)         // width 0..10
+    }
+    val want = (for {
+      (pid, v) <- points; (iid, lo, hi) <- intervals
+      if v >= lo && v <= hi
+    } yield (pid, iid)).toSet
+    val got = graft.ops.RangeJoin.bandedIntervalJoin(
+        points.toDF("pid", "v"), intervals.toDF("iid", "lo", "hi"),
+        "v", "lo", "hi", maxWidth)
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
