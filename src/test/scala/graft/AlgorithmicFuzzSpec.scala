@@ -16,13 +16,19 @@ import graft.stream.Sessionize
   * water-filling, per-user fold sessionization, brute-force set
   * algebra). Complements DifferentialFuzzSpec, which fuzzes the
   * scalar/codegen EXPRESSIONS; here the targets are whole operators.
-  * Fixed seed — runs are deterministic.
+  * Fixed default seed — CI runs are deterministic; set GRAFT_FUZZ_SEED
+  * (decimal or 0x-hex) to sweep other seeds (the round-12 close ran
+  * seeds 1, 2, and 31337 green on top of the default).
   */
 class AlgorithmicFuzzSpec extends AnyFunSuite {
   lazy val spark = GraftTestSpark.spark
   import spark.implicits._
 
-  private val rng = new scala.util.Random(0xA160F022L)
+  private val rng = new scala.util.Random(
+    sys.env.getOrElse("GRAFT_FUZZ_SEED", "0xA160F022").toLowerCase match {
+      case s if s.startsWith("0x") => java.lang.Long.parseLong(s.drop(2), 16)
+      case s => s.toLong
+    })
 
   test("connectedComponents == union-find on 10 random graphs " +
       "(disjoint id ranges, one batched CC call)") {
