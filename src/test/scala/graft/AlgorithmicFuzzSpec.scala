@@ -885,6 +885,140 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("knnBruteForce / cosinePairsExact == brute force; lshCosinePairs " +
+      "is an exactly-verified subset that always finds duplicates") {
+    import graft.llm.Similarity
+    val dim = 6
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+    // knn corpus: no zero vectors (cosine NaN ordering is a separate
+    // EdgeCases concern); planted duplicates of id 5 at 27/28
+    val base = (0L until 27L).map(id =>
+      (id, Array.fill(dim)(rng.nextFloat() * 2f - 1f)))
+    val knnCorpus = base ++ Seq((27L, base(5)._2.clone),
+      (28L, base(5)._2.clone))
+    val vec = knnCorpus.toMap
+    val queryIds = Seq(2L, 9L, 17L)
+    val k = 5
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      val denom = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      dot(a, b) / denom
+    }
+    val wantKnn = queryIds.flatMap { qid =>
+      knnCorpus.collect { case (cid, cv) if cid != qid =>
+        (cid, r6(cosF(cv, vec(qid)))) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(k)
+        .zipWithIndex.map { case ((cid, s), i) => (qid, i + 1L, cid, s) }
+    }.sorted
+    val knnDf = knnCorpus.toDF("vec_id", "embedding")
+    val gotKnn = Similarity.knnBruteForce(knnDf,
+        knnCorpus.filter(t => queryIds.contains(t._1))
+          .toDF("vec_id", "embedding"), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    assert(gotKnn == wantKnn)
+
+    // pairs corpus adds a zero vector (unitNormalize maps it to zeros)
+    val pairsCorpus = knnCorpus :+ ((29L, Array.fill(dim)(0f)))
+    def unit(a: Array[Float]): Array[Double] = {
+      val n = math.sqrt(dot(a, a))
+      val safe = if (n == 0.0) 1.0 else n
+      a.map(_.toDouble / safe)
+    }
+    val minCos = 0.3
+    val wantPairs = (for {
+      (ia, va) <- pairsCorpus; (ib, vb) <- pairsCorpus if ia < ib
+      c = r6(dotD(unit(va), unit(vb)))
+      if c >= minCos
+    } yield (ia, ib, c)).toSet
+    val pairsDf = pairsCorpus.toDF("vec_id", "embedding")
+    val gotPairs = Similarity.cosinePairsExact(pairsDf, minCos,
+        maxId = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(gotPairs == wantPairs)
+
+    // LSH: every emitted pair must appear in the exact set with the
+    // identical cosine (the verify step removes all false positives),
+    // and identical vectors share every bucket so duplicate pairs are
+    // always found
+    val gotLsh = Similarity.lshCosinePairs(pairsDf, minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(gotLsh.subsetOf(wantPairs),
+      s"LSH false positives: ${gotLsh.diff(wantPairs)}")
+    for (p <- Seq((5L, 27L), (5L, 28L), (27L, 28L)))
+      assert(gotLsh.exists(t => (t._1, t._2) == p), s"duplicate pair $p missed")
+  }
+
+  test("packBins / budgetedPrefix / roundRobinInterleave == prefix-sum " +
+      "and interleave references") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    var order = 0L
+    val rows = (0 until 4).flatMap { g =>
+      (0 until 5 + rng.nextInt(21)).map { _ =>
+        order += 1L
+        (s"s$g", order, 1L + rng.nextInt(500))
+      }
+    }
+    val df = rows.toDF("source", "ord", "w")
+
+    val binBudget = 1000L
+    val wantBins = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var before = 0L
+      sorted.map { case (g, o, w) =>
+        val bin = before / binBudget
+        before += w
+        (o, bin)
+      }
+    }.toMap
+    val gotBins = Sampling.packBins(df, "source", "ord", "w", binBudget)
+      .select("ord", "bin_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBins == wantBins)
+
+    val budget = 2000L
+    val wantPrefix = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      sorted.flatMap { case (_, o, w) =>
+        cum += w
+        if (cum <= budget) Some(o -> cum) else None
+      }
+    }.toMap
+    val gotPrefix = Sampling.budgetedPrefix(df, "source", "ord", "w", budget)
+      .select("ord", "cum_weight")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPrefix == wantPrefix)
+
+    val buckets = rows.map(_._1).distinct.sorted
+    val bi = buckets.zipWithIndex.toMap
+    val nB = buckets.size.toLong
+    val wantPos = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.map(_._2).sortBy(o => (md5hex(o.toString), o))
+        .zipWithIndex.map { case (o, i) => o -> (i.toLong * nB + bi(g)) }
+    }.toMap
+    val gotPos = Sampling.roundRobinInterleave(df, "source", "ord")
+      .select("ord", "pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPos == wantPos)
+  }
+
   test("winnowingOverlapPairs == brute-force pair counting over the " +
       "per-doc fingerprint sets (random docs, active df cap)") {
     val vocab = Vector("the", "quick", "brown", "fox", "jumps", "over",
