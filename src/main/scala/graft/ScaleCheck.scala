@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleCheck [srcSfDir] [outDir] [replicas] [tier]
   * where tier is `full` (default, the whole battery at sf1) or `heavy`
-  * (the sf10 decade: minhash/CC/dup-spans/inverted-index/ewma only — one
+  * (the sf10 decade: minhash/CC/dup-spans/inverted-index only — one
   * more order of magnitude of the linearity evidence on the operators
-  * whose cost actually grows with pair volume, plus the span-frame
-  * window family's replica-0 bit-identity at 100M events).
+  * whose cost actually grows with pair volume — plus the window-family
+  * decade at 100M events: EWMA's bounded span frame, the as-of join's
+  * running-last frame, and sessionize's lag + running-sum pair, each
+  * pinned by replica-0 bit-identity).
   */
 object ScaleCheck {
 
@@ -761,11 +763,13 @@ object ScaleCheck {
   /** The sf10 decade for the heavy family only: pair discovery, the CC
     * graph, span duplication, the inverted index — the operators whose
     * cost is pair- or posting-shaped and therefore the ones a 10× corpus
-    * actually stresses — plus the EWMA span-frame window at 100 M events
-    * (a frame that leaked across users or drifted with scale would break
-    * replica-0 bit-identity here first). Same invariant style as the
-    * full battery: replica bit-equality pins correctness, ×R linearity
-    * pins the scaling law, no cross-replica labels pins isolation.
+    * actually stresses — plus the per-user window families at 100 M
+    * events: EWMA's bounded span frame, the as-of join's running-last
+    * frame, and sessionize's lag + running-sum pair (a frame that leaked
+    * across users or drifted with scale would break replica-0
+    * bit-identity here first). Same invariant style as the full battery:
+    * replica bit-equality pins correctness, ×R linearity pins the
+    * scaling law, no cross-replica labels pins isolation.
     */
   private def heavyTier(spark: SparkSession, src: String, out: String,
                         replicas: Int): Unit = {
@@ -877,6 +881,61 @@ object ScaleCheck {
         s"$eb vs $es x$replicas")
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ewBig)
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(ewSrc)
+    }
+
+    // as-of join at the decade — the one temporal operator with no
+    // replication-tier coverage below this (scd2/attribution/session
+    // AGGREGATES are pinned at ×10 in the full tier; the as-of union →
+    // running-last window shape is not). Per-user matching + id-shifted
+    // replicas ⇒ replica-0 enrichments are bit-identical to the source
+    // and the row volume (one row per error event) is exactly ×R.
+    timed("asof_clicks (sfN + compare)") {
+      val aBig = ops.StatsQueries.asofClicks(spark, out).localCheckpoint()
+      val aSrc = ops.StatsQueries.asofClicks(spark, src)
+      // click_value travels as its shortest-roundtrip string: double-typed
+      // grouping would normalize -0.0→0.0 / NaN==NaN (the EWMA caveat),
+      // and unlike EWMA's derived values the raw value column carries no
+      // non-negativity argument — the cast is value-faithful for every
+      // double including those two, so no precondition is needed
+      def keyed(df: DataFrame) = df.select(col("event_id"),
+        col("click_value").cast("string").as("cv"))
+      val aBad = keyed(aBig).filter(col("event_id") < Stride)
+        .unionByName(keyed(aSrc))
+        .groupBy("event_id", "cv").count()
+        .filter(col("count") =!= 2).count()
+      check("replica-0 asof enrichment == src bit-for-bit")(aBad == 0,
+        s"$aBad odd rows")
+      val (ab, as) = (aBig.count(), aSrc.count())
+      check(s"asof rows scale x$replicas")(ab == as * replicas,
+        s"$ab vs $as x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(aBig)
+    }
+
+    // raw per-event session ASSIGNMENT at the decade: the full tier pins
+    // sessionStats' per-entry-type aggregates at ×10, which would mask a
+    // compensating mis-assignment (events swapped between two sessions of
+    // the same entry type). The lag + running-sum window pair is also a
+    // different frame family from EWMA's bounded span frame — this is its
+    // 100 M-event stress. Same production parameters as the queries
+    // (gap 6 h, event_id tie-break).
+    timed("sessionize (sfN + compare)") {
+      def sess(dir: String) = stream.Sessionize.sessionize(
+          Tables.table(spark, dir, "events"),
+          userCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+          gapSeconds = 6 * 3600L)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+      val sBig = sess(out).localCheckpoint()
+      val sSrc = sess(src)
+      val sBad = sBig.filter(col("user_id") < Stride).unionByName(sSrc)
+        .groupBy("event_id", "user_id", "session_id").count()
+        .filter(col("count") =!= 2).count()
+      check("replica-0 session ids == src bit-for-bit")(sBad == 0,
+        s"$sBad odd rows")
+      val nb = sBig.select("user_id", "session_id").distinct().count()
+      val ns = sSrc.select("user_id", "session_id").distinct().count()
+      check(s"session count scales x$replicas")(nb == ns * replicas,
+        s"$nb vs $ns x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(sBig)
     }
 
     spark.stop()
