@@ -938,6 +938,26 @@ object ScaleCheck {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(sBig)
     }
 
+    // streaming windowed aggregation at the decade: 100 M events through
+    // the REAL file-stream path (same invariant the full tier pins at
+    // ×10). State cardinality (window × event_type) is fixed by
+    // construction — what the decade grows is the stateful shuffle's
+    // input volume, the dimension a micro-batch engine must absorb.
+    timed("stream_windowed (sfN + compare)") {
+      val wBig = stream.StreamQueries.streamWindowedCounts(spark, out)
+        .localCheckpoint()
+      val wSrc = stream.StreamQueries.streamWindowedCounts(spark, src)
+      val wBad = wSrc
+        .join(wBig.withColumnRenamed("n", "n_big"),
+          Seq("win_start", "event_type"), "full")
+        .filter(coalesce(col("n_big"), lit(-1L))
+          =!= coalesce(col("n"), lit(-1L)) * replicas)
+        .count()
+      check(s"streaming windowed counts exactly x$replicas")(wBad == 0,
+        s"$wBad windows off")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(wBig)
+    }
+
     spark.stop()
     if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
     println(s"[scale] heavy tier: all invariants hold at x$replicas")
