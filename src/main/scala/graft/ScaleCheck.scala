@@ -958,6 +958,37 @@ object ScaleCheck {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(wBig)
     }
 
+    // scd2 + attribution at the decade — the remaining two per-user
+    // temporal folds (the full tier pins both at ×10; same compare shape
+    // reused so the two tiers stay directly comparable). With these,
+    // EVERY per-user temporal operator — ewma, as-of, sessionize, scd2
+    // islands, last-touch attribution — holds replica-0 bit-identity and
+    // exact ×R volume at 100 M events.
+    timed("scd2 + attribution (sfN + compare)") {
+      val bigS = ops.EventQueries.scd2Intervals(spark, out).localCheckpoint()
+      val smallS = ops.EventQueries.scd2Intervals(spark, src)
+      val sBad = bigS.filter(col("user_id") < Stride).unionByName(smallS)
+        .groupBy(smallS.columns.map(col): _*)
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 scd2 == src bit-for-bit")(sBad == 0,
+        s"$sBad odd rows")
+      val (scb, scs) = (bigS.count(), smallS.count())
+      check(s"scd2 islands scale x$replicas")(scb == scs * replicas,
+        s"$scb vs $scs x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigS)
+      val bigA = ops.EventQueries.attribution(spark, out).localCheckpoint()
+      val smallA = ops.EventQueries.attribution(spark, src)
+      val atBad = bigA.filter(col("user_id") < Stride).unionByName(smallA)
+        .groupBy(smallA.columns.map(col): _*)
+        .count().filter(col("count") =!= 2).count()
+      check("replica-0 attribution == src bit-for-bit")(atBad == 0,
+        s"$atBad odd rows")
+      val (atb, ats) = (bigA.count(), smallA.count())
+      check(s"attribution rows scale x$replicas")(atb == ats * replicas,
+        s"$atb vs $ats x$replicas")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigA)
+    }
+
     spark.stop()
     if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
     println(s"[scale] heavy tier: all invariants hold at x$replicas")
