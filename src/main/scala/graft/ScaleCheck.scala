@@ -628,6 +628,29 @@ object ScaleCheck {
         ssOk, s"src $smallS2\nbig $bigS2")
     }
 
+    // funnel family (the one event query pair without replication-tier
+    // coverage): the strictly-after per-user fold sees identical per-user
+    // streams in every replica, so step counts and conversions scale
+    // exactly ×R while the discrete latency percentiles are INVARIANT —
+    // percentile_disc over an R-fold replicated multiset picks the same
+    // value (position ⌈q·RN⌉ lands in original value ⌈qN⌉'s block).
+    timed("funnel steps/time (sf1 + compare)") {
+      def fs(dir: String) = ops.RelationalQueries.funnelSteps(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))
+          -> r.getLong(2)).toMap
+      val (bigF, smallF) = (fs(out), fs(src))
+      val fOk = bigF.keySet == smallF.keySet &&
+        smallF.forall { case (k, n) => bigF(k) == n * replicas }
+      check(s"funnel step counts scale x$replicas")(fOk,
+        s"src $smallF\nbig $bigF")
+      def ft(dir: String) = ops.StatsQueries.funnelTime(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+      val (bigT, smallT) = (ft(out), ft(src))
+      check(s"conversions x$replicas, latency percentiles invariant")(
+        bigT == ((smallT._1 * replicas, smallT._2, smallT._3)),
+        s"src $smallT big $bigT")
+    }
+
     // suffixed replication renames tokens but preserves token COUNTS, so
     // chunk structure (offsets, sizes, row counts) replicates exactly and
     // replica-0 — unsuffixed — is bit-identical down to the chunk md5s
