@@ -11,12 +11,23 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev-only perturbation knob (mirrors BenchOne's): SPARK_GRAFT_CONF=
+    // "k=v;k=v" lets physical-execution sweeps (codegen off, AQE flipped,
+    // odd shuffle-partition counts) re-run the FULL oracle gate without a
+    // code edit — results must hash-match DuckDB under any physical plan.
+    // The driver never sets it, so the standing gate is unchanged.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+        System.err.println(s"[verify] conf $k=$v")
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     def deleteRecursively(f: java.io.File): Unit = {
