@@ -1044,7 +1044,11 @@ object ScaleCheck {
     }.mkString(" ")
     val wanted = s"src=$src replicas=$replicas $srcPrint"
     val current = if (marker.exists())
-      new String(java.nio.file.Files.readAllBytes(marker.toPath)) else ""
+      // UTF-8 explicitly: the marker is written UTF-8 below, and a
+      // platform-default-charset read would mismatch it (and spuriously
+      // regenerate the corpus) on a non-UTF-8 host
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) else ""
     if (current != wanted) {
       new java.io.File(s"$out/documents.parquet").delete()
       new java.io.File(s"$out/events.parquet").delete()
