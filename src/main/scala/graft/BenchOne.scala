@@ -34,9 +34,13 @@ object BenchOne {
     // overhead attribution)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-        println(s"[prof] conf $k=$v")
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            spark.conf.set(k, v)
+            println(s"[prof] conf $k=$v")
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
       })
 
     spark.streams.addListener(new StreamingQueryListener {

@@ -23,9 +23,13 @@ object Verify {
     // The driver never sets it, so the standing gate is unchanged.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k, v)
-        System.err.println(s"[verify] conf $k=$v")
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            builder.config(k, v)
+            System.err.println(s"[verify] conf $k=$v")
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

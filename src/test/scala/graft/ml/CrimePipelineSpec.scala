@@ -80,23 +80,32 @@ class CrimePipelineSpec extends AnyFunSuite {
   }
 
   test("KMeans k=10 seed=0 is deterministic and covers all clusters") {
-    def run(): Set[Set[Long]] = {
+    // returns (centroid set, member-set partition) for one same-seed fit
+    def run(): (Set[Seq[Double]], Set[Set[Long]]) = {
       val assembled = new VectorAssembler().setInputCols(Array("X", "Y"))
         .setOutputCol("f").transform(fixture.select("event_id", "X", "Y"))
-      new KMeans().setK(10).setSeed(0L).setFeaturesCol("f")
-        .setPredictionCol("c").fit(assembled).transform(assembled)
+      val model = new KMeans().setK(10).setSeed(0L).setFeaturesCol("f")
+        .setPredictionCol("c").fit(assembled)
+      val parts = model.transform(assembled)
         .select("event_id", "c").collect()
         .map(r => (r.getLong(0), r.getInt(1)))
         .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      (model.clusterCenters.map(_.toArray.toSeq).toSet, parts)
     }
-    // canonicalize each cluster by its MEMBER SET (not its index): MLlib
-    // can permute cluster indices between same-seed fits (distributed
-    // aggregation order — see the BestOfKMeans determinism spec), so the
-    // comparison must be permutation-invariant, but it must still fail if
-    // two runs partition the points differently — a sorted-sizes compare
-    // would accept a different partition with the same size distribution
-    val a = run(); val b = run()
-    assert(a == b)
-    assert(a.size == 10)
+    // canonicalize clusters by CENTROID SET and MEMBER SET (never by
+    // index): MLlib can permute cluster indices between same-seed fits
+    // (distributed aggregation order — see the BestOfKMeans determinism
+    // spec). Centroids must agree to 1e-6 unconditionally; the exact
+    // member-set partition is compared only when the centroid sets are
+    // bit-identical, because low-order centroid drift can legitimately
+    // flip a near-boundary point between clusters — asserting partition
+    // equality under drifted centroids would make this test flaky
+    // (ADVICE r12). A sorted-sizes compare is still too weak: it would
+    // accept a different partition with the same size distribution.
+    val (ca, pa) = run(); val (cb, pb) = run()
+    assert(ca.size == 10 && pa.size == 10)
+    def key(c: Seq[Double]): Seq[Long] = c.map(x => math.round(x * 1e6))
+    assert(ca.map(key) == cb.map(key), "centroid sets differ beyond 1e-6")
+    if (ca == cb) assert(pa == pb, "identical centroids, different partition")
   }
 }
