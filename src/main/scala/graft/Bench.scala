@@ -32,6 +32,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // host-load telemetry: sampled before and after the run and stamped
+    // into the JSON, so a noisy capture is self-documenting (two judging
+    // rounds were spent adjudicating "is it host contention or a
+    // regression?" from timings alone — see BASELINE.md's medians rule)
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    // cumulative steal ticks (8th field of the cpu line); visible only on
+    // some hypervisors — empty when unreadable
+    def stealTicks(): String =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        cpu.trim.split("\\s+").drop(1).lift(7).getOrElse("")
+      } catch { case _: Throwable => "" }
+    val (load0, steal0) = (loadavg(), stealTicks())
+
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -66,7 +84,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val (load1, steal1) = (loadavg(), stealTicks())
+    val host = s""""host":{"loadavg_before":"$load0","loadavg_after":"$load1","steal_before":"$steal0","steal_after":"$steal1"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$host,"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture truncates the stdout line, so cross-round
     // per-query comparison saw only a ~50-query tail — persist the FULL
