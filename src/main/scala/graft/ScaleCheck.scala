@@ -54,7 +54,7 @@ object ScaleCheck {
       .appName("graft-scalecheck").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    generate(spark, src, out, replicas)
+    generate(spark, src, out, replicas, streamFiles = tier == "heavy")
 
     if (tier == "heavy") {
       heavyTier(spark, src, out, replicas)
@@ -771,6 +771,36 @@ object ScaleCheck {
       check(s"replica-$r knn is the exact id-shift of the source result")(
         bigRk == shifted, s"missing ${(shifted -- bigRk).take(3)} " +
           s"extra ${(bigRk -- shifted).take(3)}")
+
+      // ANN recall at the 10× corpus (the SimilaritySpec gates run only
+      // at bench SF): replica-0 queries against the full big corpus,
+      // recall measured vs the brute-force result above. The orthogonal
+      // construction keeps this meaningful at scale: a cross-replica
+      // candidate's score is exactly ±0.0, so recall lost here would mean
+      // the INDEX (cells / codebooks / shortlist) degraded with corpus
+      // size — the one ANN property a 10× replication can probe. PQ keeps
+      // the spec's 4-dim subvectors (m grows with the padded dim);
+      // everything else runs the production defaults.
+      val exactNbrs = bigR0.groupBy(_._1)
+        .map { case (q, rows) => q -> rows.map(_._3).toSet }
+      def meanRecall(df: DataFrame): Double = {
+        val got = df.collect().groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+        val rs = exactNbrs.map { case (q, nbrs) =>
+          got.getOrElse(q, Set.empty[Long]).count(nbrs.contains).toDouble /
+            nbrs.size }
+        rs.sum / rs.size
+      }
+      val qs0 = bigEmb.filter(col("vec_id") < 10)
+      val ivfR = timed("  ivf recall (10x corpus)") {
+        meanRecall(llm.Similarity.ivfTopK(bigEmb, qs0, k = 10)) }
+      check(f"ivf recall holds at 10x corpus ($ivfR%.3f)")(ivfR >= 0.3,
+        f"mean recall $ivfR%.3f < 0.3 (the spec gate at bench SF)")
+      val pqR = timed("  pq recall (10x corpus)") {
+        meanRecall(llm.Similarity.pqTopK(bigEmb, qs0, k = 10,
+          m = 16 * replicas)) }
+      check(f"pq recall holds at 10x corpus ($pqR%.3f)")(pqR >= 0.7,
+        f"mean recall $pqR%.3f < 0.7 (the spec gate at bench SF)")
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(bigEmb)
     }
 
@@ -961,6 +991,54 @@ object ScaleCheck {
       org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(sBig)
     }
 
+    // streaming sessionize at the decade — closes the one documented
+    // replication-tier hole (SURVEY §8: the single-file corpus was one
+    // micro-batch, so no watermark ever closed a session). The
+    // events_stream corpus (generate(): k time-ordered files + sentinel
+    // tail) makes AvailableNow produce real micro-batches, the watermark
+    // advances batch-to-batch, and event-time timeouts close sessions on
+    // the REAL file-stream path. Contract: the streaming closed-session
+    // MULTISET equals a batch recompute exactly at 100 M events —
+    // multiset, not set, because one user can have two sessions with
+    // identical (n_events, duration_s) — and the replica-0 slice equals
+    // the src batch recompute (streaming-path bit-identity).
+    timed("stream_sessionize (sfN + parity)") {
+      val gap = 6 * 3600L
+      val streamed = stream.StreamQueries.streamSessionizeFiles(
+          spark, s"$out/events_stream", s"$out/__stream_sessions", gap)
+        .localCheckpoint()
+      def batchSessions(dir: String) = stream.Sessionize.sessionize(
+          Tables.table(spark, dir, "events"),
+          userCol = "user_id", tsCol = "ts", tieBreak = "event_id",
+          gapSeconds = gap)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("dur_us"))
+        // integer microsecond→second truncation, matching ClosedSession's
+        // (last - start) / 1000000L — col./ would be double division
+        .select(col("user_id"), col("n_events"),
+          expr("dur_us div 1000000").as("duration_s"))
+      def keyed(df: DataFrame, n: String) =
+        df.groupBy("user_id", "n_events", "duration_s")
+          .agg(count(lit(1)).as(n))
+      val bad = keyed(batchSessions(out), "n_b")
+        .join(keyed(streamed, "n_s"),
+          Seq("user_id", "n_events", "duration_s"), "full")
+        .filter(coalesce(col("n_b"), lit(-1L)) =!=
+          coalesce(col("n_s"), lit(-2L))).count()
+      check(s"streaming sessions == batch sessions at x$replicas")(
+        bad == 0, s"$bad (user,n_events,duration) keys differ")
+      val bad0 = keyed(streamed.filter(col("user_id") < Stride), "n_s")
+        .join(keyed(batchSessions(src), "n_b"),
+          Seq("user_id", "n_events", "duration_s"), "full")
+        .filter(coalesce(col("n_b"), lit(-1L)) =!=
+          coalesce(col("n_s"), lit(-2L))).count()
+      check("replica-0 streamed sessions == src batch bit-for-bit")(
+        bad0 == 0, s"$bad0 keys differ")
+      org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(streamed)
+    }
+
     // streaming windowed aggregation at the decade: 100 M events through
     // the REAL file-stream path (same invariant the full tier pins at
     // ×10). State cardinality (window × event_type) is fixed by
@@ -1025,7 +1103,7 @@ object ScaleCheck {
     * misread as an engine scaling bug.
     */
   private def generate(spark: SparkSession, src: String, out: String,
-                       replicas: Int): Unit = {
+                       replicas: Int, streamFiles: Boolean = false): Unit = {
     new java.io.File(out).mkdirs()
     val marker = new java.io.File(out, "gen_args.txt")
     // fingerprint the SOURCE files (len+mtime), not just the arguments: the
@@ -1049,10 +1127,14 @@ object ScaleCheck {
       // regenerate the corpus) on a non-UTF-8 host
       new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8) else ""
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+    }
     if (current != wanted) {
       new java.io.File(s"$out/documents.parquet").delete()
       new java.io.File(s"$out/events.parquet").delete()
       new java.io.File(s"$out/shared/documents.parquet").delete()
+      rmTree(new java.io.File(s"$out/events_stream"))
       marker.delete()
     }
     if (!new java.io.File(s"$out/documents.parquet").exists()) {
@@ -1087,6 +1169,47 @@ object ScaleCheck {
         ev.withColumn("event_id", col("event_id") + lit(i * Stride))
           .withColumn("user_id", col("user_id") + lit(i * Stride))
       }.reduce(_ unionByName _), out, "events")
+    }
+    if (streamFiles && !new java.io.File(s"$out/events_stream").exists()) {
+      // time-ordered micro-batch corpus for the streaming-sessionize
+      // decade invariant (StreamQueries.streamSessionizeFiles): the
+      // replica events split into k files with DISJOINT, ASCENDING time
+      // ranges (repartitionByRange on ts — equal timestamps can never
+      // straddle a file boundary, so cross-batch arrival is strictly
+      // time-ordered, the streaming==batch parity precondition), plus two
+      // far-future sentinel files that drive the final watermark advance
+      // and the timed-out state sweep. File mod-times are stamped 2 s
+      // apart in range order because FileStreamSource picks pending files
+      // oldest-mod-time first — the file NAME order is not its contract.
+      val k = 24
+      val gapUs = 6 * 3600L * 1000000L // the production session gap
+      val dir = new java.io.File(s"$out/events_stream"); dir.mkdirs()
+      val ev = Tables.table(spark, out, "events")
+        .select(col("user_id"), col("ts"))
+      val tmp = new java.io.File(s"$out/__tmp_events_stream")
+      ev.repartitionByRange(k, col("ts"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName) // part-NNNNN ascends with the range index
+      val base = System.currentTimeMillis() - (k + 8) * 2000L
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val dst = new java.io.File(dir, f"ev_$i%04d.parquet")
+        java.nio.file.Files.move(p.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        require(dst.setLastModified(base + i * 2000L), s"mtime: $dst")
+      }
+      rmTree(tmp)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      Seq(maxUs + 100L * gapUs, maxUs + 200L * gapUs).zipWithIndex
+        .foreach { case (us, i) =>
+          // sentinel user −1: harness plumbing, filtered out of results
+          val one = spark.range(1)
+            .select(lit(-1L).as("user_id"),
+              timestamp_micros(lit(us)).as("ts"))
+          writeSingleFile(one, dir.toString, s"zz_sentinel_$i")
+          val f = new java.io.File(dir, s"zz_sentinel_$i.parquet")
+          require(f.setLastModified(base + (k + 1 + i) * 2000L), s"mtime: $f")
+        }
     }
     // marker LAST: a crash mid-generation leaves no marker, so the next
     // run regenerates instead of trusting partial output

@@ -334,6 +334,57 @@ object StreamQueries {
       .orderBy("entry_type")
   }
 
+  /** Streaming sessionization over a DIRECTORY OF TIME-ORDERED FILES,
+    * EXECUTED: the drivable heavy-tier form of [[Sessionize
+    * .sessionizeStream]]. `streamDir` must hold (user_id, ts) parquet
+    * files whose TIME RANGES ARE DISJOINT AND ASCEND WITH FILE
+    * MODIFICATION TIME (ScaleCheck writes them via repartitionByRange +
+    * per-file mod-time stamps), plus trailing far-future sentinel files:
+    * with `maxFilesPerTrigger=1` each file becomes one micro-batch under
+    * `Trigger.AvailableNow`, so the watermark genuinely advances
+    * batch-to-batch and event-time timeouts fire — unlike the
+    * single-file corpus, where the whole table is one micro-batch and no
+    * session ever closes. The first sentinel advances the watermark past
+    * every open session's timeout; the second triggers the timed-out
+    * state sweep (the MemoryStream fuzz spec's pattern, on the real
+    * file-stream path). Time-ordered arrival is the documented
+    * batch-parity precondition, so the result must equal a batch
+    * recompute exactly — the heavy tier pins that at 100 M events.
+    *
+    * Sink is parquet-with-checkpoint, not the memory sink: at the decade
+    * the closed-session output is tens of millions of rows, and a memory
+    * sink would be a driver-sized collect — the exact anti-pattern the
+    * harness bans. Caller owns `workDir` (wiped here before the run).
+    */
+  def streamSessionizeFiles(spark: SparkSession, streamDir: String,
+                            workDir: String,
+                            gapSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(workDir))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+      .withWatermark("ts", "0 seconds")
+      .as[Sessionize.SessionEvent]
+    val sessions = Sessionize.sessionizeStream(src, gapSeconds)
+    withStatePartitions(spark) {
+      val q = sessions.writeStream.format("parquet")
+        .option("path", s"$workDir/out")
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // sentinel sessions (negative user ids) are harness plumbing, not data
+    spark.read.parquet(s"$workDir/out").filter(col("user_id") >= 0L)
+  }
+
   val all: Map[String, Q] = Map(
     "q_stream_roundtrip" -> (streamRoundtrip _),
     "q_session_stats" -> (sessionStats _),
