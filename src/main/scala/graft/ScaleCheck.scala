@@ -39,10 +39,25 @@ object ScaleCheck {
     val out = if (args.length > 1) args(1) else "target/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
     val tier = if (args.length > 3) args(3) else "full"
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // dev-only perturbation knob, mirroring Verify's: SPARK_GRAFT_CONF=
+    // "k=v;k=v" lets the scale tiers run under physical-execution sweeps
+    // (e.g. the RocksDB state-store provider for the streaming decade)
+    // without a code edit. The invariants must hold under any of them.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            builder.config(k, v)
+            println(s"[scale] conf $k=$v")
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
+      })
+    val spark = builder
       // driver and executor share one JVM here: a long full-GC pause under
       // the x100 tier's heap pressure stalls heartbeat replies and the
       // executor kills itself after 60 misses ("unable to send heartbeats"),

@@ -83,6 +83,45 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamSessionizeFiles: file-per-micro-batch parity — sessions " +
+      "continue across batch boundaries and close via watermark timeouts") {
+    // the ScaleCheck heavy-tier harness shape at hand-fixture size: three
+    // time-ordered data files + two far-future sentinels, mod-times
+    // ascending (FileStreamSource picks pending files oldest-first)
+    val root = java.nio.file.Files.createTempDirectory("graft_ssf").toString
+    val streamDir = new java.io.File(s"$root/events_stream"); streamDir.mkdirs()
+    def writeFile(name: String, mtime: Long,
+                  rows: (Long, String)*): Unit = {
+      val tmp = new java.io.File(s"$root/__tmp_$name")
+      rows.toSeq.toDF("user_id", "s")
+        .select(col("user_id"), to_timestamp(col("s")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(streamDir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      assert(dst.setLastModified(mtime))
+    }
+    val base = System.currentTimeMillis() - 60000L
+    // u7: session spans files 1-2 (cross-batch continuation), then a
+    // beyond-gap event in file 3 opens a second session; u8 spans 1-2
+    writeFile("ev_0", base,
+      (7L, "2024-01-01 00:00:00"), (7L, "2024-01-01 00:01:00"),
+      (8L, "2024-01-01 00:20:00"))
+    writeFile("ev_1", base + 2000L,
+      (7L, "2024-01-01 00:40:00"), (8L, "2024-01-01 01:00:00"))
+    writeFile("ev_2", base + 4000L, (7L, "2024-01-01 05:00:00"))
+    writeFile("zz_sentinel_0", base + 6000L, (-1L, "2024-01-03 00:00:00"))
+    writeFile("zz_sentinel_1", base + 8000L, (-1L, "2024-01-05 00:00:00"))
+    val got = StreamQueries.streamSessionizeFiles(spark,
+        streamDir.toString, s"$root/work", gapSeconds = 3600L)
+      .as[ClosedSession].collect()
+      .map(s => (s.user_id, s.n_events, s.duration_s)).sorted.toSeq
+    // u7: 00:00-00:40 (3 events, 2400 s) + the 05:00 singleton;
+    // u8: 00:20-01:00 (2 events, 2400 s); sentinels filtered
+    assert(got == Seq((7L, 1, 0L), (7L, 3, 2400L), (8L, 2, 2400L)),
+      s"got $got")
+  }
+
   test("sessionStats: entry types, bounces, and dwell — hand fixture") {
     // user 1: A@0h B@1h (entry A, 2 events, 3600 s) then C@10h (new
     // session after the 6 h gap, a bounce); user 2: D@0h alone (bounce)
