@@ -1198,7 +1198,12 @@ object ScaleCheck {
       // oldest-mod-time first — the file NAME order is not its contract.
       val k = 24
       val gapUs = 6 * 3600L * 1000000L // the production session gap
-      val dir = new java.io.File(s"$out/events_stream"); dir.mkdirs()
+      // build under a scratch name, rename LAST: the main gen marker is
+      // already valid when this block runs after a cache hit, so a crash
+      // mid-build must not leave a partial events_stream a later run
+      // would trust
+      val dir = new java.io.File(s"$out/__build_events_stream")
+      rmTree(dir); dir.mkdirs()
       val ev = Tables.table(spark, out, "events")
         .select(col("user_id"), col("ts"))
       val tmp = new java.io.File(s"$out/__tmp_events_stream")
@@ -1225,6 +1230,8 @@ object ScaleCheck {
           val f = new java.io.File(dir, s"zz_sentinel_$i.parquet")
           require(f.setLastModified(base + (k + 1 + i) * 2000L), s"mtime: $f")
         }
+      require(dir.renameTo(new java.io.File(s"$out/events_stream")),
+        s"rename $dir -> $out/events_stream failed")
     }
     // marker LAST: a crash mid-generation leaves no marker, so the next
     // run regenerates instead of trusting partial output
