@@ -36,19 +36,7 @@ object Bench {
     // into the JSON, so a noisy capture is self-documenting (two judging
     // rounds were spent adjudicating "is it host contention or a
     // regression?" from timings alone — see BASELINE.md's medians rule)
-    def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split("\\s+").take(3).mkString(",")
-      catch { case _: Throwable => "" }
-    // cumulative steal ticks (8th field of the cpu line); visible only on
-    // some hypervisors — empty when unreadable
-    def stealTicks(): String =
-      try {
-        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-          .find(_.startsWith("cpu ")).getOrElse("")
-        cpu.trim.split("\\s+").drop(1).lift(7).getOrElse("")
-      } catch { case _: Throwable => "" }
-    val (load0, steal0) = (loadavg(), stealTicks())
+    val before = HostTelemetry.sample()
 
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -84,8 +72,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val (load1, steal1) = (loadavg(), stealTicks())
-    val host = s""""host":{"loadavg_before":"$load0","loadavg_after":"$load1","steal_before":"$steal0","steal_after":"$steal1"}"""
+    val host = HostTelemetry.hostJson(before, HostTelemetry.sample())
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,$host,"sf":"$sfDir"}"""
     println(line)
     // the driver's log capture truncates the stdout line, so cross-round

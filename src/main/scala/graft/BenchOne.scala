@@ -62,11 +62,15 @@ object BenchOne {
 
     try run("q_counts_by_type") catch { case _: Throwable => () }
 
+    // the same host stamps Bench's JSON carries, so a single-query
+    // adjudication run documents its own contention window
+    println(HostTelemetry.stampLine("prof"))
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       run(name)
       println(f"[prof] run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    println(HostTelemetry.stampLine("prof"))
     spark.stop()
   }
 }

@@ -68,6 +68,10 @@ object ScaleCheck {
       .config("spark.executor.heartbeatInterval", "60s")
       .appName("graft-scalecheck").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // host stamp at tier entry and exit: the 14–22 min tiers span many
+    // contention windows, so their OK/FAIL log carries the same
+    // loadavg+steal evidence Bench's JSON does
+    println(HostTelemetry.stampLine("scale"))
 
     generate(spark, src, out, replicas, streamFiles = tier == "heavy")
 
@@ -824,6 +828,7 @@ object ScaleCheck {
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(srcPairs)
     org.apache.spark.sql.graftbridge.Bridge.releaseLocalCheckpoint(winScaled)
     spark.stop()
+    println(HostTelemetry.stampLine("scale"))
     if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
     println("[scale] all invariants hold")
   }
@@ -1106,6 +1111,7 @@ object ScaleCheck {
     }
 
     spark.stop()
+    println(HostTelemetry.stampLine("scale"))
     if (failures.nonEmpty) { println(s"[scale] FAILED: $failures"); sys.exit(1) }
     println(s"[scale] heavy tier: all invariants hold at x$replicas")
   }
@@ -1185,7 +1191,21 @@ object ScaleCheck {
           .withColumn("user_id", col("user_id") + lit(i * Stride))
       }.reduce(_ unionByName _), out, "events")
     }
-    if (streamFiles && !new java.io.File(s"$out/events_stream").exists()) {
+    val esDir = new java.io.File(s"$out/events_stream")
+    if (streamFiles && esDir.exists()) {
+      // sentinel-vintage check: pre-r14 corpora stamped sentinel rows with
+      // user_id -1; the reserved id is now StreamQueries.SentinelUserId
+      // (exact-match filtered by the reader). A cached corpus of the old
+      // vintage would leak its sentinels into the parity check — rebuild it.
+      val sent = spark.read
+        .parquet(s"$out/events_stream/zz_sentinel_0.parquet")
+        .agg(min(col("user_id"))).collect()(0).getLong(0)
+      if (sent != stream.StreamQueries.SentinelUserId) {
+        println(s"[scale] events_stream sentinel vintage $sent — rebuilding")
+        rmTree(esDir)
+      }
+    }
+    if (streamFiles && !esDir.exists()) {
       // time-ordered micro-batch corpus for the streaming-sessionize
       // decade invariant (StreamQueries.streamSessionizeFiles): the
       // replica events split into k files with DISJOINT, ASCENDING time
@@ -1209,8 +1229,20 @@ object ScaleCheck {
       val tmp = new java.io.File(s"$out/__tmp_events_stream")
       ev.repartitionByRange(k, col("ts"))
         .write.mode("overwrite").parquet(tmp.toString)
-      val parts = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+      // a failed/partial write must be loud, not an NPE or a silently
+      // short corpus whose micro-batch count drifts (ADVICE r13);
+      // repartitionByRange may legitimately emit fewer than k files when
+      // its range sampling collapses ties, so short-of-k is logged, and
+      // only an EMPTY corpus is an error
+      val parts = Option(tmp.listFiles())
+        .getOrElse(sys.error(s"events_stream build: cannot list $tmp"))
+        .filter(_.getName.endsWith(".parquet"))
         .sortBy(_.getName) // part-NNNNN ascends with the range index
+      require(parts.nonEmpty,
+        s"events_stream build: no parquet parts under $tmp")
+      if (parts.length != k)
+        println(s"[scale] events_stream: ${parts.length} range files " +
+          s"(requested $k) — micro-batch count follows the actual files")
       val base = System.currentTimeMillis() - (k + 8) * 2000L
       parts.zipWithIndex.foreach { case (p, i) =>
         val dst = new java.io.File(dir, f"ev_$i%04d.parquet")
@@ -1219,12 +1251,22 @@ object ScaleCheck {
         require(dst.setLastModified(base + i * 2000L), s"mtime: $dst")
       }
       rmTree(tmp)
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      // one pass for the sentinel timestamps AND the sentinel-collision
+      // guard: the reader drops EXACTLY SentinelUserId, so real data must
+      // never carry it — refuse to build a corpus where it does (ADVICE
+      // r13: a range filter like "all negative ids" would instead drop
+      // legitimate rows silently). min()==Long.MinValue iff present.
+      val bounds = ev.agg(max(unix_micros(col("ts"))), min(col("user_id")))
+        .collect()(0)
+      val (maxUs, minUid) = (bounds.getLong(0), bounds.getLong(1))
+      require(minUid != stream.StreamQueries.SentinelUserId,
+        s"events_stream build: real data contains the reserved sentinel " +
+          s"user_id ${stream.StreamQueries.SentinelUserId}")
       Seq(maxUs + 100L * gapUs, maxUs + 200L * gapUs).zipWithIndex
         .foreach { case (us, i) =>
-          // sentinel user −1: harness plumbing, filtered out of results
+          // sentinel rows: harness plumbing, exact-filtered out of results
           val one = spark.range(1)
-            .select(lit(-1L).as("user_id"),
+            .select(lit(stream.StreamQueries.SentinelUserId).as("user_id"),
               timestamp_micros(lit(us)).as("ts"))
           writeSingleFile(one, dir.toString, s"zz_sentinel_$i")
           val f = new java.io.File(dir, s"zz_sentinel_$i.parquet")

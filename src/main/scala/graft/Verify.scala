@@ -33,6 +33,9 @@ object Verify {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // host stamp (stderr, like the per-query failure lines): a Verify
+    // sweep that straddled a hypervisor dip is self-documenting
+    System.err.println(HostTelemetry.stampLine("verify"))
     new java.io.File(outDir).mkdirs()
     def deleteRecursively(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(deleteRecursively))
@@ -66,6 +69,7 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    System.err.println(HostTelemetry.stampLine("verify"))
     spark.stop()
   }
 }

@@ -355,6 +355,13 @@ object StreamQueries {
     * the closed-session output is tens of millions of rows, and a memory
     * sink would be a driver-sized collect — the exact anti-pattern the
     * harness bans. Caller owns `workDir` (wiped here before the run).
+    *
+    * Sentinel contract: the watermark-driver rows carry exactly
+    * [[SentinelUserId]], and ONLY that id is dropped from the result —
+    * never a range like "all negative ids", which would silently exclude
+    * legitimately negative ids from the parity check (ADVICE r13). The
+    * corpus generator enforces the other half: it refuses to build a
+    * stream corpus whose REAL data contains the sentinel id.
     */
   def streamSessionizeFiles(spark: SparkSession, streamDir: String,
                             workDir: String,
@@ -381,9 +388,16 @@ object StreamQueries {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    // sentinel sessions (negative user ids) are harness plumbing, not data
-    spark.read.parquet(s"$workDir/out").filter(col("user_id") >= 0L)
+    // drop exactly the sentinel sessions — harness plumbing, not data
+    spark.read.parquet(s"$workDir/out")
+      .filter(col("user_id") =!= SentinelUserId)
   }
+
+  /** The reserved watermark-driver user id for file-stream corpora
+    * (see [[streamSessionizeFiles]]'s sentinel contract). Long.MinValue:
+    * unreachable by the replica id-striding arithmetic, and visually
+    * unmistakable as plumbing in any debug dump. */
+  val SentinelUserId: Long = Long.MinValue
 
   val all: Map[String, Q] = Map(
     "q_stream_roundtrip" -> (streamRoundtrip _),

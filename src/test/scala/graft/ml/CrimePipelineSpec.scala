@@ -80,32 +80,49 @@ class CrimePipelineSpec extends AnyFunSuite {
   }
 
   test("KMeans k=10 seed=0 is deterministic and covers all clusters") {
-    // returns (centroid set, member-set partition) for one same-seed fit
-    def run(): (Set[Seq[Double]], Set[Set[Long]]) = {
+    // returns (centroids by index, member set per cluster index) for one
+    // same-seed fit
+    def run(): (Array[Array[Double]], Array[Set[Long]]) = {
       val assembled = new VectorAssembler().setInputCols(Array("X", "Y"))
         .setOutputCol("f").transform(fixture.select("event_id", "X", "Y"))
       val model = new KMeans().setK(10).setSeed(0L).setFeaturesCol("f")
         .setPredictionCol("c").fit(assembled)
-      val parts = model.transform(assembled)
+      val byCluster = model.transform(assembled)
         .select("event_id", "c").collect()
         .map(r => (r.getLong(0), r.getInt(1)))
-        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
-      (model.clusterCenters.map(_.toArray.toSeq).toSet, parts)
+        .groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1).toSet }
+      (model.clusterCenters.map(_.toArray),
+        Array.tabulate(10)(i => byCluster.getOrElse(i, Set.empty[Long])))
     }
-    // canonicalize clusters by CENTROID SET and MEMBER SET (never by
-    // index): MLlib can permute cluster indices between same-seed fits
+    // MLlib can permute cluster INDICES between same-seed fits
     // (distributed aggregation order — see the BestOfKMeans determinism
-    // spec). Centroids must agree to 1e-6 unconditionally; the exact
-    // member-set partition is compared only when the centroid sets are
-    // bit-identical, because low-order centroid drift can legitimately
-    // flip a near-boundary point between clusters — asserting partition
-    // equality under drifted centroids would make this test flaky
-    // (ADVICE r12). A sorted-sizes compare is still too weak: it would
-    // accept a different partition with the same size distribution.
-    val (ca, pa) = run(); val (cb, pb) = run()
-    assert(ca.size == 10 && pa.size == 10)
-    def key(c: Seq[Double]): Seq[Long] = c.map(x => math.round(x * 1e6))
-    assert(ca.map(key) == cb.map(key), "centroid sets differ beyond 1e-6")
-    if (ca == cb) assert(pa == pb, "identical centroids, different partition")
+    // spec), so clusters are canonicalized by pairing each run-A centroid
+    // with its NEAREST run-B centroid (ADVICE r13: pair under a
+    // tolerance, then compare the member-set partition THROUGH the
+    // pairing, always — the old conditional compare went near-dead under
+    // drift, and its rounded-key Set could collapse two close centroids
+    // to one key or flake at a rounding boundary). The pairing must be a
+    // bijection within a RELATIVE epsilon; member sets must then agree
+    // exactly through it. A sorted-sizes compare would be too weak: it
+    // would accept a different partition with the same size distribution.
+    val (ca, ma) = run(); val (cb, mb) = run()
+    assert(ca.length == 10 && ma.forall(_.nonEmpty), "empty cluster")
+    def relDist(a: Array[Double], b: Array[Double]): Double = {
+      val num = math.sqrt(a.zip(b).map { case (x, y) =>
+        (x - y) * (x - y) }.sum)
+      val den = math.max(math.sqrt(a.map(x => x * x).sum),
+        math.sqrt(b.map(x => x * x).sum)).max(java.lang.Double.MIN_NORMAL)
+      num / den
+    }
+    val pairing = ca.indices.map(i =>
+      i -> cb.indices.minBy(j => relDist(ca(i), cb(j))))
+    assert(pairing.map(_._2).distinct.length == 10,
+      s"centroid nearest-match pairing is not a bijection: $pairing")
+    pairing.foreach { case (i, j) =>
+      val d = relDist(ca(i), cb(j))
+      assert(d <= 1e-6, f"paired centroids $i->$j differ: rel dist $d%.3g")
+      assert(ma(i) == mb(j),
+        s"clusters $i->$j: paired centroids, different member sets")
+    }
   }
 }

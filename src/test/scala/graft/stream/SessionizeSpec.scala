@@ -104,22 +104,28 @@ class SessionizeSpec extends AnyFunSuite {
     val base = System.currentTimeMillis() - 60000L
     // u7: session spans files 1-2 (cross-batch continuation), then a
     // beyond-gap event in file 3 opens a second session; u8 spans 1-2
+    // user -5: a LEGITIMATELY negative id — must come through; only the
+    // exact reserved sentinel id is plumbing (ADVICE r13: the old
+    // `>= 0` filter would have silently dropped it)
     writeFile("ev_0", base,
       (7L, "2024-01-01 00:00:00"), (7L, "2024-01-01 00:01:00"),
-      (8L, "2024-01-01 00:20:00"))
+      (8L, "2024-01-01 00:20:00"), (-5L, "2024-01-01 00:05:00"))
     writeFile("ev_1", base + 2000L,
       (7L, "2024-01-01 00:40:00"), (8L, "2024-01-01 01:00:00"))
     writeFile("ev_2", base + 4000L, (7L, "2024-01-01 05:00:00"))
-    writeFile("zz_sentinel_0", base + 6000L, (-1L, "2024-01-03 00:00:00"))
-    writeFile("zz_sentinel_1", base + 8000L, (-1L, "2024-01-05 00:00:00"))
+    writeFile("zz_sentinel_0", base + 6000L,
+      (StreamQueries.SentinelUserId, "2024-01-03 00:00:00"))
+    writeFile("zz_sentinel_1", base + 8000L,
+      (StreamQueries.SentinelUserId, "2024-01-05 00:00:00"))
     val got = StreamQueries.streamSessionizeFiles(spark,
         streamDir.toString, s"$root/work", gapSeconds = 3600L)
       .as[ClosedSession].collect()
       .map(s => (s.user_id, s.n_events, s.duration_s)).sorted.toSeq
-    // u7: 00:00-00:40 (3 events, 2400 s) + the 05:00 singleton;
-    // u8: 00:20-01:00 (2 events, 2400 s); sentinels filtered
-    assert(got == Seq((7L, 1, 0L), (7L, 3, 2400L), (8L, 2, 2400L)),
-      s"got $got")
+    // u-5: the 00:05 singleton (negative id kept); u7: 00:00-00:40
+    // (3 events, 2400 s) + the 05:00 singleton; u8: 00:20-01:00
+    // (2 events, 2400 s); exactly the sentinel sessions filtered
+    assert(got == Seq((-5L, 1, 0L), (7L, 1, 0L), (7L, 3, 2400L),
+      (8L, 2, 2400L)), s"got $got")
   }
 
   test("sessionStats: entry types, bounces, and dwell — hand fixture") {

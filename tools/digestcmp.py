@@ -11,10 +11,33 @@ Used for cross-config invariance evidence (BASELINE round-12
 session-6): a query whose digest is identical across perturbed
 physical/JVM configs is pinned even without a SQL oracle.
 
+Two evidence classes (BASELINE round-13: the q_hll_cube adjudication
+event):
+
+  * bit-identity — the default, and the only class without
+    --partition-changing: every compared query must digest identically.
+    This is the standing gate for same-partitioning perturbations
+    (codegen off, Kryo, locale/timezone/charset, RocksDB, ...), where
+    even the sketch queries are bit-stable.
+
+  * error-bound only — sketch estimates (SKETCH_BOUNDED below) are
+    partitioning-DEPENDENT in general: AQE's post-shuffle coalescing or
+    a shuffle-partition sweep changes the partial-merge tree, and past
+    the exact-coupon regime the estimate legitimately moves within its
+    error contract (observed: q_hll_cube at sf0.1 under AQE-off, 1.58%
+    vs the 5% gate). Under --partition-changing, a digest mismatch on
+    one of these queries is NOT a failure: the tool instead checks the
+    query's error bound and reports BOUNDED-EST (in-bounds) or DIVERGE
+    (bound exceeded). A mismatch on any OTHER query stays DIVERGE —
+    a real ML/relational divergence must never be misread as sketch
+    noise, and an expected sketch move must never red the gate.
+
 Usage:
   python3 tools/digestcmp.py DIR1 DIR2 [DIR3 ...] [--only q_a,q_b]
+      [--partition-changing]
 
-Exit 0 iff every compared query is identical in all dirs.
+Exit 0 iff every compared query is identical (or, with
+--partition-changing, bounded) in all dirs.
 """
 import argparse
 import hashlib
@@ -22,6 +45,21 @@ import os
 import sys
 
 import pyarrow.parquet as pq
+
+# The sketch queries whose estimates may move under partition-changing
+# configs, with the bound the tool enforces in --partition-changing mode:
+#   q_hll_cube          — self-check: every row carries its exact sibling;
+#                         |est-exact| <= 5% of exact (the HllSketchSpec
+#                         gate; lgK=12 ~ 1.6% RSE, 5% is 3 sigma).
+#   q_stream_hll        — no exact sibling in-row; cross-dir check: per
+#                         day, the est spread across dirs <= 10% of the
+#                         largest (two estimates each within 5% of the
+#                         same truth differ by at most ~10%).
+#   q_winsorized_approx — GK percentile bounds; `n` is exact and must be
+#                         bit-equal; lo/hi/wmean cross-dir spread <= 5%
+#                         (coarse sanity bound — CurationSpec holds the
+#                         tight rank-error gate vs the exact twin).
+SKETCH_BOUNDED = {"q_hll_cube", "q_stream_hll", "q_winsorized_approx"}
 
 
 def digest(dirpath: str, q: str) -> str:
@@ -37,10 +75,71 @@ def digest(dirpath: str, q: str) -> str:
     return h.hexdigest()[:16]
 
 
+def _keyed(dirpath: str, q: str, key: str) -> dict:
+    t = pq.read_table(os.path.join(dirpath, q))
+    cols = t.column_names
+    rows = list(zip(*[t.column(c).to_pylist() for c in cols]))
+    ki = cols.index(key)
+    out = {}
+    for r in rows:
+        out[r[ki]] = {c: r[i] for i, c in enumerate(cols)}
+    return out
+
+
+def bounded_check(dirs, q):
+    """Return (ok, detail) enforcing q's error bound across dirs."""
+    if q == "q_hll_cube":
+        worst = 0.0
+        for d in dirs:
+            for key, r in _keyed(d, q, "key").items():
+                exact = max(r["exact_users"], 1)
+                rel = abs(r["est_users"] - r["exact_users"]) / exact
+                worst = max(worst, rel)
+                if rel > 0.05:
+                    return False, f"{d} {key}: rel err {rel:.4f} > 5%"
+        return True, f"est within 5% of in-row exact (max {worst:.4f})"
+    if q == "q_stream_hll":
+        per = [_keyed(d, q, "day") for d in dirs]
+        days = set(per[0])
+        if any(set(p) != days for p in per):
+            return False, "day sets differ across dirs"
+        worst = 0.0
+        for day in days:
+            ests = [p[day]["est_users"] for p in per]
+            spread = (max(ests) - min(ests)) / max(max(ests), 1)
+            worst = max(worst, spread)
+            if spread > 0.10:
+                return False, f"{day}: est spread {spread:.4f} > 10%"
+        return True, f"per-day est spread <= 10% (max {worst:.4f})"
+    if q == "q_winsorized_approx":
+        per = [_keyed(d, q, "event_type") for d in dirs]
+        keys = set(per[0])
+        if any(set(p) != keys for p in per):
+            return False, "event_type sets differ across dirs"
+        worst = 0.0
+        for k in keys:
+            if len({p[k]["n"] for p in per}) != 1:
+                return False, f"{k}: exact column n differs across dirs"
+            for c in ("lo", "hi", "wmean"):
+                vs = [p[k][c] for p in per]
+                den = max(abs(v) for v in vs) or 1.0
+                spread = (max(vs) - min(vs)) / den
+                worst = max(worst, spread)
+                if spread > 0.05:
+                    return False, f"{k}.{c}: spread {spread:.4f} > 5%"
+        return True, f"n exact; lo/hi/wmean spread <= 5% (max {worst:.4f})"
+    return False, f"no bounded check defined for {q}"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("dirs", nargs="+", help="two or more Verify output dirs")
     ap.add_argument("--only", help="comma-separated query subset")
+    ap.add_argument(
+        "--partition-changing", action="store_true",
+        help="the compared configs change partitioning/merge topology "
+             "(AQE, shuffle-partition sweeps): sketch queries are held "
+             "to their error bound instead of bit-identity")
     args = ap.parse_args()
     if len(args.dirs) < 2:
         ap.error("need at least two dirs")
@@ -51,7 +150,7 @@ def main() -> int:
     if args.only:
         wanted = set(args.only.split(","))
         queries = [q for q in queries if q in wanted]
-    bad = 0
+    bad = bounded = 0
     for q in queries:
         ds = {}
         for d in args.dirs:
@@ -60,11 +159,23 @@ def main() -> int:
             except Exception as e:  # missing output in one dir is a diff
                 ds[d] = f"ERR:{e}"
         if len(set(ds.values())) == 1:
-            print(f"IDENTICAL {q}")
+            print(f"IDENTICAL   {q}")
+        elif args.partition_changing and q in SKETCH_BOUNDED:
+            try:
+                ok, detail = bounded_check(args.dirs, q)
+            except Exception as e:
+                ok, detail = False, f"bound check failed: {e}"
+            if ok:
+                bounded += 1
+                print(f"BOUNDED-EST {q} ({detail})")
+            else:
+                bad += 1
+                print(f"DIVERGE     {q} bound exceeded: {detail} {ds}")
         else:
             bad += 1
-            print(f"DIVERGE   {q} {ds}")
-    print(f"== {len(queries) - bad} identical, {bad} diverge ==")
+            print(f"DIVERGE     {q} {ds}")
+    print(f"== {len(queries) - bad - bounded} identical, "
+          f"{bounded} bounded-estimate, {bad} diverge ==")
     return 1 if bad else 0
 
 
