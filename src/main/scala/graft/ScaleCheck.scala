@@ -1197,11 +1197,17 @@ object ScaleCheck {
       // user_id -1; the reserved id is now StreamQueries.SentinelUserId
       // (exact-match filtered by the reader). A cached corpus of the old
       // vintage would leak its sentinels into the parity check — rebuild it.
-      val sent = spark.read
-        .parquet(s"$out/events_stream/zz_sentinel_0.parquet")
-        .agg(min(col("user_id"))).collect()(0).getLong(0)
-      if (sent != stream.StreamQueries.SentinelUserId) {
-        println(s"[scale] events_stream sentinel vintage $sent — rebuilding")
+      // A missing/unreadable sentinel file (interrupted prior build that
+      // left the dir but not the sentinels) is UNKNOWN vintage: rebuild
+      // rather than crash (ADVICE r14).
+      val vintage =
+        try Some(spark.read
+          .parquet(s"$out/events_stream/zz_sentinel_0.parquet")
+          .agg(min(col("user_id"))).collect()(0).getLong(0))
+        catch { case scala.util.control.NonFatal(_) => None }
+      if (!vintage.contains(stream.StreamQueries.SentinelUserId)) {
+        println(s"[scale] events_stream sentinel vintage " +
+          s"${vintage.getOrElse("unreadable")} — rebuilding")
         rmTree(esDir)
       }
     }
@@ -1284,7 +1290,9 @@ object ScaleCheck {
   private def writeSingleFile(df: DataFrame, out: String, name: String): Unit = {
     val tmp = new java.io.File(s"$out/__tmp_$name")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+    val part = Option(tmp.listFiles()).getOrElse(
+        sys.error(s"cannot list just-written tmp dir $tmp for $name"))
+      .find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no parquet part written for $name"))
     java.nio.file.Files.move(part.toPath,
       new java.io.File(out, s"$name.parquet").toPath,

@@ -118,11 +118,30 @@ class CrimePipelineSpec extends AnyFunSuite {
       i -> cb.indices.minBy(j => relDist(ca(i), cb(j))))
     assert(pairing.map(_._2).distinct.length == 10,
       s"centroid nearest-match pairing is not a bijection: $pairing")
+    // Member-set compare through the pairing, tiered by how close the
+    // paired centroids are (ADVICE r14): bit-identical centroids MUST
+    // induce identical member sets (assignment is a pure function of the
+    // centroids); under low-order float drift a near-boundary point can
+    // legitimately flip between clusters, so non-bit-identical pairs get
+    // a small symmetric-difference budget instead of a flaky exact gate.
+    val bitIdentical = pairing.forall { case (i, j) =>
+      ca(i).sameElements(cb(j)) }
+    var flipped = 0L
     pairing.foreach { case (i, j) =>
       val d = relDist(ca(i), cb(j))
       assert(d <= 1e-6, f"paired centroids $i->$j differ: rel dist $d%.3g")
-      assert(ma(i) == mb(j),
-        s"clusters $i->$j: paired centroids, different member sets")
+      if (bitIdentical)
+        assert(ma(i) == mb(j),
+          s"clusters $i->$j: bit-identical centroids, different member sets")
+      else flipped += ((ma(i) diff mb(j)) union (mb(j) diff ma(i))).size
+    }
+    if (!bitIdentical) {
+      val n = ma.map(_.size.toLong).sum
+      // each flip counts twice (once leaving, once arriving); allow up to
+      // 1% of points to sit near enough a boundary to flip under drift
+      assert(flipped / 2 <= math.max(1L, n / 100),
+        s"centroids drifted within 1e-6 but ${flipped / 2} of $n points " +
+          "changed cluster — more than boundary noise")
     }
   }
 }

@@ -89,15 +89,28 @@ def _keyed(dirpath: str, q: str, key: str) -> dict:
 def bounded_check(dirs, q):
     """Return (ok, detail) enforcing q's error bound across dirs."""
     if q == "q_hll_cube":
+        # The relational part of the query — the grouping key set and the
+        # exact countDistinct sibling column — is partitioning-INDEPENDENT
+        # and must be bit-equal across dirs; only est_users may move.
+        # (ADVICE r14: without this, a missing row or a diverged exact
+        # count would be misread as sketch noise and pass BOUNDED-EST.)
+        per = [_keyed(d, q, "key") for d in dirs]
+        keys = set(per[0])
+        if any(set(p) != keys for p in per):
+            return False, "key sets differ across dirs"
+        for k in keys:
+            if len({p[k]["exact_users"] for p in per}) != 1:
+                return False, f"{k}: exact column exact_users differs across dirs"
         worst = 0.0
-        for d in dirs:
-            for key, r in _keyed(d, q, "key").items():
+        for p, d in zip(per, dirs):
+            for key, r in p.items():
                 exact = max(r["exact_users"], 1)
                 rel = abs(r["est_users"] - r["exact_users"]) / exact
                 worst = max(worst, rel)
                 if rel > 0.05:
                     return False, f"{d} {key}: rel err {rel:.4f} > 5%"
-        return True, f"est within 5% of in-row exact (max {worst:.4f})"
+        return True, (f"keys+exact_users bit-equal across dirs; "
+                      f"est within 5% of in-row exact (max {worst:.4f})")
     if q == "q_stream_hll":
         per = [_keyed(d, q, "day") for d in dirs]
         days = set(per[0])
