@@ -65,7 +65,11 @@ class HllSketchSpec extends AnyFunSuite {
     // exact_users is computed by the query itself, so the gate needs no
     // precomputed truth and fails iff merge-order sensitivity ever
     // exceeds the bound.
-    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val dirFile = java.nio.file.Files.createTempDirectory("graft_hll").toFile
+    val dir = dirFile.toString
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(): Unit
+    }
     // 6 days x 5000 rows/day; user_id = id mod 7001 → ~5k distinct/day,
     // 7001 global. 2024-03-01T00:00:00Z epoch base; +id µs stays in-day.
     spark.range(30000L).select(
@@ -95,6 +99,7 @@ class HllSketchSpec extends AnyFunSuite {
     } finally {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
       conf.set("spark.sql.shuffle.partitions", prevParts)
+      rmAll(dirFile)
     }
   }
 }
