@@ -153,9 +153,26 @@ def main() -> int:
         help="the compared configs change partitioning/merge topology "
              "(AQE, shuffle-partition sweeps): sketch queries are held "
              "to their error bound instead of bit-identity")
+    ap.add_argument(
+        "--pin", metavar="FILE",
+        help="write the first dir's digests to FILE as JSON and exit; "
+             "makes the cross-round bit-identity reference durable "
+             "(the /tmp archives it previously relied on die with the "
+             "session)")
+    ap.add_argument(
+        "--pinned", metavar="FILE",
+        help="also compare against the digests pinned in FILE "
+             "(bit-identity only: pins are produced under the default "
+             "Verify config, so --partition-changing does not apply "
+             "to the pin column)")
     args = ap.parse_args()
-    if len(args.dirs) < 2:
-        ap.error("need at least two dirs")
+    if args.pinned and args.partition_changing:
+        # pins are bit-identity under the default (partitioning-fixed)
+        # Verify config; a partition-changing dir may legitimately differ
+        # from the pin on sketch queries, which would force the bounded
+        # path to silently forgive a pin mismatch. Refuse the mix.
+        ap.error("--pinned is bit-identity evidence; it cannot be "
+                 "combined with --partition-changing")
     base = args.dirs[0]
     queries = sorted(
         d for d in os.listdir(base)
@@ -163,6 +180,21 @@ def main() -> int:
     if args.only:
         wanted = set(args.only.split(","))
         queries = [q for q in queries if q in wanted]
+    if args.pin:
+        import json
+        pins = {q: digest(base, q) for q in queries}
+        with open(args.pin, "w") as f:
+            json.dump(pins, f, indent=2, sort_keys=True)
+            f.write("\n")
+        print(f"pinned {len(pins)} digests from {base} -> {args.pin}")
+        return 0
+    pinned = {}
+    if args.pinned:
+        import json
+        with open(args.pinned) as f:
+            pinned = json.load(f)
+    if len(args.dirs) < 2 and not pinned:
+        ap.error("need at least two dirs (or --pinned FILE)")
     bad = bounded = 0
     for q in queries:
         ds = {}
@@ -171,6 +203,8 @@ def main() -> int:
                 ds[d] = digest(d, q)
             except Exception as e:  # missing output in one dir is a diff
                 ds[d] = f"ERR:{e}"
+        if pinned:
+            ds[f"pin:{args.pinned}"] = pinned.get(q, "ERR:not pinned")
         if len(set(ds.values())) == 1:
             print(f"IDENTICAL   {q}")
         elif args.partition_changing and q in SKETCH_BOUNDED:
