@@ -696,7 +696,7 @@ class AlgorithmicFuzzSpec extends AnyFunSuite {
     }
     val withIds = rng.shuffle(evs.toSeq).zipWithIndex
       .map { case ((u, us, t, _), i) => (i + 1L, u, t, us) }
-    val dir = java.nio.file.Files.createTempDirectory("graft_evfuzz").toString
+    val dir = GraftTestSpark.tempPath("graft_evfuzz").toString
     withIds.map { case (id, u, t, us) => (id, u, t, us * 1000L, 1.0) }
       .toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")

@@ -171,14 +171,14 @@ class EdgeCasesSpec extends AnyFunSuite {
     // PRODUCTION query over a temp customer dir (the real corpus is never
     // degenerate, so this fixture is the NaN branch's only coverage and a
     // local formula replica would bind nothing)
-    val dir = java.nio.file.Files.createTempDirectory("graft_zs_edge").toString
+    val dir = GraftTestSpark.tempPath("graft_zs_edge").toString
     Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("c_custkey", "c_acctbal")
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val z = graft.ops.RelationalQueries.zscoreAcctbal(spark, dir)
       .collect().map(_.getAs[Double]("z"))
     assert(z.length == 3 && z.forall(_.isNaN))
     // single row: the n <= 1 guard, not a DIVIDE_BY_ZERO
-    val dir1 = java.nio.file.Files.createTempDirectory("graft_zs1").toString
+    val dir1 = GraftTestSpark.tempPath("graft_zs1").toString
     Seq((1L, 5.0)).toDF("c_custkey", "c_acctbal")
       .write.mode("overwrite").parquet(s"$dir1/customer.parquet")
     val z1 = graft.ops.RelationalQueries.zscoreAcctbal(spark, dir1)
@@ -207,7 +207,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     val docs = (Seq((0L, "tiny", 5L), (1L, "tiny", 9L)) ++
       (0 until cap + 2).map(i => (100L + i, "big", 50L - i)))
       .toDF("doc_id", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("graft_cap_edge").toString
+    val dir = GraftTestSpark.tempPath("graft_cap_edge").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val kept = graft.llm.Curation.sourceCap(spark, dir).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
@@ -252,7 +252,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     // 2-token doc cannot form a shingle → all zeros
     val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y"))
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft_ds_edge").toString
+    val dir = GraftTestSpark.tempPath("graft_ds_edge").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.llm.CorpusQueries.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tokens"),
@@ -268,7 +268,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     // so nothing flags — the degenerate case a stddev z-score turns into
     // 0/0 NaNs
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    val dir = java.nio.file.Files.createTempDirectory("graft_rz_edge").toString
+    val dir = GraftTestSpark.tempPath("graft_rz_edge").toString
     (1 to 6).map(i => (i.toLong, 1L, "t", (base + i * 1000L) * 1000000L, 7.5))
       .toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -323,7 +323,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     val docs = Seq((0L, "othersrc", "common common common"),
         (1L, "othersrc", "rare"), (2L, "othersrc", "common rare"))
       .toDF("doc_id", "source", "text")
-    val dir = java.nio.file.Files.createTempDirectory("graft_iw").toString
+    val dir = GraftTestSpark.tempPath("graft_iw").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = graft.llm.Curation.importanceWeights(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getAs[Double]("llr")).toMap
@@ -354,7 +354,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(kept.count() == 3)
     def ns(sec: Long): Long = sec * 1000000000L
     val rows = Seq((1L, 7L, "solo", ns(1), 1.0), (2L, 7L, "solo", ns(2), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_edge1").toString
+    val dir = GraftTestSpark.tempPath("graft_edge1").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = graft.ops.StatsQueries.skewReport(spark, dir).collect()
@@ -370,7 +370,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     val docs = Seq((1L, "pad pad pad", "a", "s"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_edge2").toString
+    val dir = GraftTestSpark.tempPath("graft_edge2").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     assert(graft.llm.CorpusQueries.bm25Rank(spark, dir).count() == 0)
     def ns(sec: Long): Long = sec * 1000000000L

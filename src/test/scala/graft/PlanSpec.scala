@@ -353,7 +353,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("partition pruning: a partitioned layout skips non-matching directories") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part")
+    val dir = GraftTestSpark.tempPath("graft_part")
     try {
       Tables.table(spark, sf, "events")
         .write.mode("overwrite").partitionBy("event_type").parquet(dir.toString)

@@ -131,7 +131,7 @@ class CorpusQueriesSpec extends AnyFunSuite {
       (3L, "u v w m n o"),
       (4L, "p p x y z p p p a b c")).toDF("doc_id", "text")
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_spans")
+    val tmp = GraftTestSpark.tempPath("graft_spans")
     try {
       docs.coalesce(1).write.mode("overwrite")
         .parquet(s"$tmp/__t/documents.parquet")
@@ -437,7 +437,7 @@ class CorpusQueriesSpec extends AnyFunSuite {
       ("b", "x x y"), ("b", "x y y")).toDF("source", "text")
       .withColumn("doc_id", monotonically_increasing_id())
       .withColumn("n_chars", length($"text").cast("long"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft_kl")
+    val tmp = GraftTestSpark.tempPath("graft_kl")
     try {
       docs.coalesce(1).write.mode("overwrite")
         .parquet(s"$tmp/__t/documents.parquet")
@@ -635,7 +635,7 @@ class CorpusQueriesSpec extends AnyFunSuite {
       (1L, "a b c d", "X"), (2L, "a b c d", "Y"), (3L, "e f g h", "Y"),
       (4L, "p q r s", "Z"))
       .toDF("doc_id", "text", "source")
-    val dir = java.nio.file.Files.createTempDirectory("graft_so").toString
+    val dir = GraftTestSpark.tempPath("graft_so").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = CorpusQueries.sourceOverlap(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
@@ -653,7 +653,7 @@ class CorpusQueriesSpec extends AnyFunSuite {
       (3L, "pad pad pad pad", "a", "s"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    val dir = GraftTestSpark.tempPath("graft_bm25").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = CorpusQueries.bm25Rank(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -680,7 +680,7 @@ class CorpusQueriesSpec extends AnyFunSuite {
     val docs = Seq((1L, text40, "a", "s"), (2L, text10, "a", "s"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length($"text").cast("long"))
-    val dir = java.nio.file.Files.createTempDirectory("graft_chunk").toString
+    val dir = GraftTestSpark.tempPath("graft_chunk").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = CorpusQueries.chunkDocs(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->

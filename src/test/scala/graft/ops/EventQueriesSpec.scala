@@ -24,7 +24,7 @@ class EventQueriesSpec extends AnyFunSuite {
     for (i <- 0 until 20; _ <- 0 until (if (i < 10) 10 else 30)) {
       rows += ((id, 1L, "step", day(i) * 1000000L, 1.0)); id += 1
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    val dir = GraftTestSpark.tempPath("graft_cusum").toString
     rows.toSeq.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = EventQueries.cusumAlarms(spark, dir).collect()
@@ -45,7 +45,7 @@ class EventQueriesSpec extends AnyFunSuite {
       assert(d > 0.0 && d <= n.toDouble + 1e-9, s"decayed $d vs n $n")
     }
     // hand fixture: events 0h/1h/2h before the horizon → 0.25 + 0.5 + 1
-    val dir = java.nio.file.Files.createTempDirectory("graft_decay").toString
+    val dir = GraftTestSpark.tempPath("graft_decay").toString
     // Tables.table expects the driver layout: ts as LONG nanoseconds
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     Seq((1L, 10L, "a", base * 1000000L, 1.0),
@@ -101,7 +101,7 @@ class EventQueriesSpec extends AnyFunSuite {
     for (i <- 0 until 100) {
       rows += ((id, 1L, "spiky", ns(10, 120 + i), 1.0)); id += 1
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft_anom").toString
+    val dir = GraftTestSpark.tempPath("graft_anom").toString
     rows.toSeq.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = EventQueries.anomalyDays(spark, dir).collect()
@@ -126,7 +126,7 @@ class EventQueriesSpec extends AnyFunSuite {
       (1L, 1L, "a", ns(1), 1.0), (2L, 1L, "b", ns(2), 1.0),
       (3L, 1L, "a", ns(3), 1.0), (4L, 1L, "c", ns(4), 1.0),
       (5L, 2L, "a", ns(5), 1.0), (6L, 2L, "b", ns(6), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_trans").toString
+    val dir = GraftTestSpark.tempPath("graft_trans").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val out = EventQueries.eventTransitions(spark, dir).collect()
@@ -169,7 +169,7 @@ class EventQueriesSpec extends AnyFunSuite {
       (10L, 1L, "A", ns(1), 1.0), (11L, 1L, "A", ns(2), 1.0),
       (12L, 1L, "B", ns(3), 1.0), (13L, 1L, "A", ns(4), 1.0),
       (14L, 2L, "C", ns(5), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val dir = GraftTestSpark.tempPath("graft_scd2").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = EventQueries.scd2Intervals(spark, dir).collect()
@@ -194,7 +194,7 @@ class EventQueriesSpec extends AnyFunSuite {
       (1L, 1L, "click", ns(1), 1.0), (2L, 1L, "view", ns(2), 1.0),
       (3L, 1L, "purchase", ns(3), 1.0), (4L, 1L, "click", ns(4), 1.0),
       (5L, 1L, "purchase", ns(5), 1.0), (6L, 2L, "purchase", ns(6), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_attr").toString
+    val dir = GraftTestSpark.tempPath("graft_attr").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = EventQueries.attribution(spark, dir).collect()
@@ -216,7 +216,7 @@ class EventQueriesSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, 1L, "a", ns(1, 1), 1.0), (2L, 1L, "a", ns(1, 2), 1.0),
       (3L, 1L, "a", ns(2, 1), 1.0), (4L, 2L, "a", ns(2, 1), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_nvr").toString
+    val dir = GraftTestSpark.tempPath("graft_nvr").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = EventQueries.newVsReturning(spark, dir).collect()

@@ -65,7 +65,7 @@ class HllSketchSpec extends AnyFunSuite {
     // exact_users is computed by the query itself, so the gate needs no
     // precomputed truth and fails iff merge-order sensitivity ever
     // exceeds the bound.
-    val dirFile = java.nio.file.Files.createTempDirectory("graft_hll").toFile
+    val dirFile = GraftTestSpark.tempPath("graft_hll").toFile
     val dir = dirFile.toString
     def rmAll(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmAll)); f.delete(): Unit

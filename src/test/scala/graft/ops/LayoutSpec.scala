@@ -30,7 +30,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("sortedLayout writes range-partitioned files with disjoint id ranges") {
-    val out = Files.createTempDirectory("graft_sorted").toString + "/t"
+    val out = GraftTestSpark.tempPath("graft_sorted").toString + "/t"
     Layout.sortedLayout(df, 4, col("id")).write.parquet(out)
     val perFile = spark.read.parquet(out)
       .select(col("id"), input_file_name().as("f"))
@@ -77,7 +77,7 @@ class LayoutSpec extends AnyFunSuite {
   }
 
   test("compactDir: sizes output from measured bytes, preserves rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val dir = GraftTestSpark.tempPath("graft_cmp").toString
     (1L to 10000L).toDF("id").repartition(20)
       .write.mode("overwrite").parquet(s"$dir/frag")
     def parts(d: String) = new java.io.File(d).listFiles()
@@ -97,7 +97,7 @@ class LayoutSpec extends AnyFunSuite {
 
   test("compactDir measures PARTITIONED layouts recursively (the " +
       "streaming-sink batch_id=N shape), not just flat directories") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_p").toString
+    val dir = GraftTestSpark.tempPath("graft_cmp_p").toString
     (1L to 10000L).toDF("id").withColumn("p", col("id") % 4)
       .repartition(8)
       .write.partitionBy("p").mode("overwrite").parquet(s"$dir/part")

@@ -116,7 +116,7 @@ class RelationalSpec extends AnyFunSuite {
   test("fkViolations: orphans counted, null keys allowed but reported") {
     val spark2 = GraftTestSpark.spark
     import spark2.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_fk").toString
+    val dir = GraftTestSpark.tempPath("graft_fk").toString
     // nation {1,2}; customer: one ok, one ORPHAN (nation 9), one null key
     Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
       .write.parquet(s"$dir/nation.parquet")

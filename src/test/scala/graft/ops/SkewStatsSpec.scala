@@ -67,7 +67,7 @@ class SkewStatsSpec extends AnyFunSuite {
     // would have its mean dragged to 104.5 by the same point
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val vals = (1 to 9).map(_.toDouble) :+ 1000.0
-    val dir = java.nio.file.Files.createTempDirectory("graft_robust").toString
+    val dir = GraftTestSpark.tempPath("graft_robust").toString
     vals.zipWithIndex.map { case (v, i) =>
       (i.toLong, 1L, "t", (base + i * 1000L) * 1000000L, v)
     }.toDF("event_id", "user_id", "event_type", "ts", "value")
@@ -103,7 +103,7 @@ class SkewStatsSpec extends AnyFunSuite {
     val rows = (0 until 9).map(i =>
       (i.toLong, (i % 4).toLong, "hot", ns(i), 1.0)) :+
       ((9L, 1L, "cold", ns(9), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    val dir = GraftTestSpark.tempPath("graft_skew").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = StatsQueries.skewReport(spark, dir).collect()
@@ -127,7 +127,7 @@ class SkewStatsSpec extends AnyFunSuite {
       (4L, 2L, "signup", ns(0), 1.0), (5L, 2L, "purchase", ns(7), 1.0),
       (6L, 2L, "purchase", ns(20), 1.0),
       (7L, 3L, "signup", ns(3), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_ft").toString
+    val dir = GraftTestSpark.tempPath("graft_ft").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val r = StatsQueries.funnelTime(spark, dir).head()

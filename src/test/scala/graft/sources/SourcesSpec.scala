@@ -11,7 +11,7 @@ class SourcesSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("csvInferred reads header and infers types (S1 reference form)") {
-    val dir = Files.createTempDirectory("graft_csv").toFile
+    val dir = GraftTestSpark.tempPath("graft_csv").toFile
     val f = new java.io.File(dir, "t.csv")
     Files.writeString(f.toPath, "id,name,score\n1,alpha,2.5\n2,beta,3.5\n")
     val df = Sources.csvInferred(spark, f.getAbsolutePath)
@@ -21,7 +21,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("csv with explicit schema skips the inference scan (S1 engine form)") {
-    val dir = Files.createTempDirectory("graft_csv2").toFile
+    val dir = GraftTestSpark.tempPath("graft_csv2").toFile
     val f = new java.io.File(dir, "t.csv")
     Files.writeString(f.toPath, "id,name\n7,x\n")
     val schema = StructType(Seq(
@@ -37,7 +37,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("schema evolution: mergeSchema unifies parquet written in two versions") {
-    val dir = Files.createTempDirectory("graft_evolve").toFile
+    val dir = GraftTestSpark.tempPath("graft_evolve").toFile
     Seq((1L, "a")).toDF("id", "name")
       .write.mode("append").parquet(s"$dir/t")
     Seq((2L, "b", 9.5)).toDF("id", "name", "score")
@@ -53,7 +53,7 @@ class SourcesSpec extends AnyFunSuite {
 
   test("corrupt CSV records land in _corrupt_record under PERMISSIVE mode " +
       "instead of failing the scan") {
-    val dir = Files.createTempDirectory("graft_corrupt").toFile
+    val dir = GraftTestSpark.tempPath("graft_corrupt").toFile
     val f = new java.io.File(dir, "t.csv")
     Files.writeString(f.toPath,
       "id,score\n1,2.5\nnot_a_number,whoops_extra,3\n2,4.5\n")
@@ -79,7 +79,7 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("writeParquet partitionBy produces prunable directory layout (S8)") {
-    val out = Files.createTempDirectory("graft_pq").toFile.getAbsolutePath + "/t"
+    val out = GraftTestSpark.tempPath("graft_pq").toFile.getAbsolutePath + "/t"
     val df = Seq((1, "x"), (2, "y"), (3, "x")).toDF("id", "k")
     Sources.writeParquet(df, out, partitionBy = Seq("k"))
     assert(new java.io.File(out, "k=x").exists())

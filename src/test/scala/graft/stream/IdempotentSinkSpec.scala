@@ -18,7 +18,7 @@ class IdempotentSinkSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    GraftTestSpark.tempPath(prefix).toString
 
   private def snapshot(target: String): (Long, Long, Seq[Long]) = {
     val df = spark.read.parquet(target)

@@ -258,7 +258,7 @@ class IngestSpec extends AnyFunSuite {
 
   test("streaming parquet file sink commits batches durably") {
     implicit val sq = spark.sqlContext
-    val base = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val base = GraftTestSpark.tempPath("graft_sink_").toString
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("id", "v").writeStream
       .format("parquet")

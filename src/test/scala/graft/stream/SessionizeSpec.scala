@@ -88,7 +88,7 @@ class SessionizeSpec extends AnyFunSuite {
     // the ScaleCheck heavy-tier harness shape at hand-fixture size: three
     // time-ordered data files + two far-future sentinels, mod-times
     // ascending (FileStreamSource picks pending files oldest-first)
-    val root = java.nio.file.Files.createTempDirectory("graft_ssf").toString
+    val root = GraftTestSpark.tempPath("graft_ssf").toString
     val streamDir = new java.io.File(s"$root/events_stream"); streamDir.mkdirs()
     def writeFile(name: String, mtime: Long,
                   rows: (Long, String)*): Unit = {
@@ -135,7 +135,7 @@ class SessionizeSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, 1L, "A", ns(0), 1.0), (2L, 1L, "B", ns(1), 1.0),
       (3L, 1L, "C", ns(10), 1.0), (4L, 2L, "D", ns(0), 1.0))
-    val dir = java.nio.file.Files.createTempDirectory("graft_ss").toString
+    val dir = GraftTestSpark.tempPath("graft_ss").toString
     rows.toDF("event_id", "user_id", "event_type", "ts", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = StreamQueries.sessionStats(spark, dir).collect()

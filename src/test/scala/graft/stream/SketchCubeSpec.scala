@@ -20,7 +20,7 @@ class SketchCubeSpec extends AnyFunSuite {
 
   test("cross-batch sketch merge: two half-batches answer exactly like " +
       "the one-shot batch cube") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cube1").toString
+    val dir = GraftTestSpark.tempPath("graft_cube1").toString
     val target = s"$dir/cube"
     val ev = graft.Tables.table(spark, sf, "events")
       .select(col("ts"), col("user_id"), col("event_id"))
@@ -33,7 +33,7 @@ class SketchCubeSpec extends AnyFunSuite {
 
   test("streaming run builds the cube; batch replay is a no-op; a second " +
       "stream run with a lost checkpoint changes nothing") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_cube2").toString
+    val dir = GraftTestSpark.tempPath("graft_cube2").toString
     val target = s"$dir/cube"
     val n = SketchCube.run(spark, sf, target, s"$dir/ckpt")
     assert(n >= 1L)
