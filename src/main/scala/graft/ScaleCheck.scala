@@ -39,15 +39,20 @@ object ScaleCheck {
     val out = if (args.length > 1) args(1) else "target/sf1"
     val replicas = if (args.length > 2) args(2).toInt else 10
     val tier = if (args.length > 3) args(3) else "full"
-    if (tier == "heavy") {
+    if (tier == "heavy" && replicas >= 100) {
       // fail fast on an undersized heap: below ~80g the x100 tier dies
       // minutes in with an executor OOM/heartbeat cascade (r9 lesson,
       // re-hit r15 under the 8g default). 60g leaves headroom for a
       // future environment that rounds the 80g request down a little.
-      val maxGb = Runtime.getRuntime.maxMemory() / (1L << 30)
-      require(maxGb >= 60,
-        s"heavy tier needs SPARK_DRIVER_MEM=80g (JVM max heap is ${maxGb}g;" +
-          " the x100 corpus OOMs the 8g default after ~2 min)")
+      // The OOM evidence is specific to the x100 corpus, so a smaller
+      // heavy smoke run (replicas < 100) is not refused.
+      val maxGb = Runtime.getRuntime.maxMemory() / (1L << 30).toDouble
+      if (maxGb < 60) {
+        println(f"[scale] ABORT: heavy tier at x$replicas%d needs " +
+          f"SPARK_DRIVER_MEM=80g (JVM max heap is $maxGb%.1fg; the x100 " +
+          "corpus OOMs the 8g default after ~2 min)")
+        sys.exit(1)
+      }
     }
     val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

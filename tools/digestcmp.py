@@ -193,6 +193,14 @@ def main() -> int:
         import json
         with open(args.pinned) as f:
             pinned = json.load(f)
+        # the pin is the authoritative query list: a query pinned but
+        # absent from the compared dir (partial Verify run) must surface
+        # as DIVERGE (digest() -> ERR), not be silently skipped — the
+        # whole point of the pin is that the checked set cannot shrink.
+        extra = sorted(set(pinned) - set(queries))
+        if args.only:
+            extra = [q for q in extra if q in set(args.only.split(","))]
+        queries = sorted(set(queries) | set(extra))
     if len(args.dirs) < 2 and not pinned:
         ap.error("need at least two dirs (or --pinned FILE)")
     bad = bounded = 0
