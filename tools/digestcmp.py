@@ -35,9 +35,15 @@ event):
 Usage:
   python3 tools/digestcmp.py DIR1 DIR2 [DIR3 ...] [--only q_a,q_b]
       [--partition-changing]
+  python3 tools/digestcmp.py DIR --pin FILE [--only ...]     # write pins
+  python3 tools/digestcmp.py DIR [...] --pinned FILE         # compare vs pins
 
 Exit 0 iff every compared query is identical (or, with
---partition-changing, bounded) in all dirs.
+--partition-changing, bounded) in all dirs. With --pinned, queries in
+the pin file join the compared set (a pinned query missing from a dir
+is a DIVERGE); queries not in the pin file are compared across dirs
+only and reported in a trailing count — on a single-dir run those are
+trivially "identical", so the pin column is the only real check there.
 """
 import argparse
 import hashlib
