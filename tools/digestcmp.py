@@ -39,11 +39,14 @@ Usage:
   python3 tools/digestcmp.py DIR [...] --pinned FILE         # compare vs pins
 
 Exit 0 iff every compared query is identical (or, with
---partition-changing, bounded) in all dirs. With --pinned, queries in
-the pin file join the compared set (a pinned query missing from a dir
-is a DIVERGE); queries not in the pin file are compared across dirs
-only and reported in a trailing count — on a single-dir run those are
-trivially "identical", so the pin column is the only real check there.
+--partition-changing, bounded) in all dirs. The compared set is the
+UNION of all dirs' listings (a query missing from any dir digests to
+ERR there and DIVERGEs). With --pinned, queries in the pin file also
+join the compared set (a pinned query missing from a dir is a
+DIVERGE); queries not in the pin file are compared across dirs only
+and reported in a trailing count — on a single-dir run those are
+printed as UNPINNED (nothing was compared), so the pin column is the
+only real check there.
 """
 import argparse
 import hashlib
@@ -180,9 +183,15 @@ def main() -> int:
         ap.error("--pinned is bit-identity evidence; it cannot be "
                  "combined with --partition-changing")
     base = args.dirs[0]
-    queries = sorted(
-        d for d in os.listdir(base)
-        if d.startswith("q") and os.path.isdir(os.path.join(base, d)))
+    # union the listings across ALL dirs (ADVICE r16): listing only the
+    # first dir reproduced the pin-union bug class on the cross-dir path
+    # — a query present in dir2+ but absent from dir1 (partial first run)
+    # was silently dropped from the compared set. With the union, such a
+    # query digests to ERR in the dir that lacks it and DIVERGEs.
+    queries = sorted(set().union(*[
+        {q for q in os.listdir(d)
+         if q.startswith("q") and os.path.isdir(os.path.join(d, q))}
+        for d in args.dirs]))
     if args.only:
         wanted = set(args.only.split(","))
         queries = [q for q in queries if q in wanted]
@@ -209,7 +218,7 @@ def main() -> int:
         queries = sorted(set(queries) | set(extra))
     if len(args.dirs) < 2 and not pinned:
         ap.error("need at least two dirs (or --pinned FILE)")
-    bad = bounded = unpinned = 0
+    identical = bad = bounded = unpinned = 0
     for q in queries:
         ds = {}
         for d in args.dirs:
@@ -225,7 +234,16 @@ def main() -> int:
             ds[f"pin:{args.pinned}"] = pinned[q]
         elif pinned:
             unpinned += 1
+            if len(args.dirs) < 2:
+                # single dir + no pin entry: nothing was compared at all
+                # (ADVICE r16: printing IDENTICAL here invited misreading
+                # a no-op as evidence). Honest marker, excluded from the
+                # identical count.
+                print(f"UNPINNED    {q} (single dir, no pin entry -- "
+                      "not compared)")
+                continue
         if len(set(ds.values())) == 1:
+            identical += 1
             print(f"IDENTICAL   {q}")
         elif args.partition_changing and q in SKETCH_BOUNDED:
             try:
@@ -242,7 +260,7 @@ def main() -> int:
             bad += 1
             print(f"DIVERGE     {q} {ds}")
     note = f", {unpinned} without a pin entry" if unpinned else ""
-    print(f"== {len(queries) - bad - bounded} identical, "
+    print(f"== {identical} identical, "
           f"{bounded} bounded-estimate, {bad} diverge{note} ==")
     return 1 if bad else 0
 
