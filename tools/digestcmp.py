@@ -175,6 +175,15 @@ def main() -> int:
              "Verify config, so --partition-changing does not apply "
              "to the pin column)")
     args = ap.parse_args()
+    if args.pin and len(args.dirs) > 1:
+        # pins are by definition the digests of ONE dir; with multiple
+        # dirs the compared set is the union of all listings, so a query
+        # present only in a later dir would crash digest(base, q) with a
+        # raw FileNotFoundError (ADVICE r17, reproduced). Refuse the mix
+        # rather than silently pinning from base while the caller thinks
+        # the other dirs participated.
+        ap.error("--pin takes exactly one dir (pins are that dir's "
+                 "digests; run the cross-dir compare separately)")
     if args.pinned and args.partition_changing:
         # pins are bit-identity under the default (partitioning-fixed)
         # Verify config; a partition-changing dir may legitimately differ
@@ -192,11 +201,21 @@ def main() -> int:
         {q for q in os.listdir(d)
          if q.startswith("q") and os.path.isdir(os.path.join(d, q))}
         for d in args.dirs]))
-    if args.only:
-        wanted = set(args.only.split(","))
+    wanted = set(args.only.split(",")) if args.only else None
+
+    def check_only_covered(qs):
+        # a typo'd --only entry must not shrink the run to a vacuous
+        # "0 identical, 0 diverge" exit-0 (fresh-eyes audit, r18): every
+        # requested query has to resolve to an output dir or a pin entry.
+        missing = sorted(wanted - set(qs)) if wanted else []
+        if missing:
+            ap.error(f"--only names not found anywhere: {','.join(missing)}")
+
+    if wanted is not None:
         queries = [q for q in queries if q in wanted]
     if args.pin:
         import json
+        check_only_covered(queries)
         pins = {q: digest(base, q) for q in queries}
         with open(args.pin, "w") as f:
             json.dump(pins, f, indent=2, sort_keys=True)
@@ -213,26 +232,22 @@ def main() -> int:
         # as DIVERGE (digest() -> ERR), not be silently skipped — the
         # whole point of the pin is that the checked set cannot shrink.
         extra = sorted(set(pinned) - set(queries))
-        if args.only:
-            extra = [q for q in extra if q in set(args.only.split(","))]
+        if wanted is not None:
+            extra = [q for q in extra if q in wanted]
         queries = sorted(set(queries) | set(extra))
+    check_only_covered(queries)
     if len(args.dirs) < 2 and not pinned:
         ap.error("need at least two dirs (or --pinned FILE)")
     identical = bad = bounded = unpinned = 0
     for q in queries:
-        ds = {}
-        for d in args.dirs:
-            try:
-                ds[d] = digest(d, q)
-            except Exception as e:  # missing output in one dir is a diff
-                ds[d] = f"ERR:{e}"
         # the pin column applies only to queries the pin file covers: an
         # unpinned query (e.g. the oracled 148 when comparing full dirs
         # against the 9-query adjudicated pin) is compared across dirs
-        # only, rather than forced to DIVERGE on a phantom pin mismatch
-        if pinned and q in pinned:
-            ds[f"pin:{args.pinned}"] = pinned[q]
-        elif pinned:
+        # only, rather than forced to DIVERGE on a phantom pin mismatch.
+        # Resolved BEFORE the digest loop (ADVICE r17): on a single-dir
+        # --pinned run an unpinned query is skipped entirely, not fully
+        # digested (parquet read + sha256 over all values) and discarded.
+        if pinned and q not in pinned:
             unpinned += 1
             if len(args.dirs) < 2:
                 # single dir + no pin entry: nothing was compared at all
@@ -242,6 +257,14 @@ def main() -> int:
                 print(f"UNPINNED    {q} (single dir, no pin entry -- "
                       "not compared)")
                 continue
+        ds = {}
+        for d in args.dirs:
+            try:
+                ds[d] = digest(d, q)
+            except Exception as e:  # missing output in one dir is a diff
+                ds[d] = f"ERR:{e}"
+        if pinned and q in pinned:
+            ds[f"pin:{args.pinned}"] = pinned[q]
         if len(set(ds.values())) == 1:
             identical += 1
             print(f"IDENTICAL   {q}")
