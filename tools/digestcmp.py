@@ -175,6 +175,20 @@ def main() -> int:
              "Verify config, so --partition-changing does not apply "
              "to the pin column)")
     args = ap.parse_args()
+    if args.pin and args.pinned:
+        # the pin-write path returns before the pin file would be loaded,
+        # so mixing the flags silently produced no comparison at all
+        # (ADVICE r18). Refuse, matching the other mutual-exclusion guards.
+        ap.error("--pin writes pins and exits; it cannot be combined "
+                 "with --pinned (run the compare separately)")
+    if args.pin and args.partition_changing:
+        # pins are bit-identity evidence produced under the default Verify
+        # config; pinning from a partition-changing run would bake in
+        # sketch digests (q_hll_cube etc.) that may later legitimately
+        # move within their error bound and red a pinned gate (ADVICE
+        # r18), mirroring the --pinned/--partition-changing refusal.
+        ap.error("--pin records bit-identity references; it cannot be "
+                 "combined with --partition-changing")
     if args.pin and len(args.dirs) > 1:
         # pins are by definition the digests of ONE dir; with multiple
         # dirs the compared set is the union of all listings, so a query
@@ -201,7 +215,11 @@ def main() -> int:
         {q for q in os.listdir(d)
          if q.startswith("q") and os.path.isdir(os.path.join(d, q))}
         for d in args.dirs]))
-    wanted = set(args.only.split(",")) if args.only else None
+    # drop empty tokens (trailing comma / stray space in --only) so they
+    # don't trip check_only_covered with a blank name (ADVICE r18); an
+    # --only that is ALL empty tokens is a no-op filter, same as absent.
+    wanted = ({s.strip() for s in args.only.split(",") if s.strip()} or None
+              ) if args.only else None
 
     def check_only_covered(qs):
         # a typo'd --only entry must not shrink the run to a vacuous
