@@ -245,6 +245,14 @@ def main() -> int:
         import json
         with open(args.pinned) as f:
             pinned = json.load(f)
+        if not pinned:
+            # an empty pin file is never intentional: on a single dir the
+            # old behavior fell through to the misleading "need at least
+            # two dirs" error (r19 audit note), and on multiple dirs the
+            # pin column silently checked nothing while the caller
+            # believed pins participated. Refuse it by name instead.
+            ap.error(f"pin file {args.pinned} is empty — nothing to "
+                     "compare against (re-run --pin, or drop --pinned)")
         # the pin is the authoritative query list: a query pinned but
         # absent from the compared dir (partial Verify run) must surface
         # as DIVERGE (digest() -> ERR), not be silently skipped — the

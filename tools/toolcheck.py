@@ -20,6 +20,9 @@ with executable evidence instead of a prose note:
       counted covered-and-skipped.             (r18 verdict audit ask)
   D5  digestcmp: --only with a genuinely unknown name still errors
       (the r18 coverage guard holds through the token filter).
+  D6  digestcmp: an empty --pinned file is refused by name instead of
+      the misleading "need at least two dirs" error / a silently
+      vacuous pin column.                   (r19 audit note, fixed r19)
 
 Usage: python3 tools/toolcheck.py    (exit 0 iff all fixtures pass)
 """
@@ -129,6 +132,16 @@ def main():
                 "--only", "q_typo,")
         ok &= check("D5 unknown --only name still errors",
                     r.returncode == 2 and "q_typo" in r.stderr)
+
+        # D6: an empty pin file is refused by name (was: misleading
+        # "need at least two dirs" on a single dir, silently-vacuous
+        # pin column on multiple).          (r19 audit note, fixed r19)
+        emptypins = os.path.join(tmp, "empty_pins.json")
+        with open(emptypins, "w") as f:
+            json.dump({}, f)
+        r = run("digestcmp.py", vd, "--pinned", emptypins)
+        ok &= check("D6 empty pin file refused",
+                    r.returncode == 2 and "empty" in r.stderr)
 
     print("== toolcheck", "OK" if ok else "FAILED", "==")
     return 0 if ok else 1
