@@ -216,10 +216,15 @@ def main() -> int:
          if q.startswith("q") and os.path.isdir(os.path.join(d, q))}
         for d in args.dirs]))
     # drop empty tokens (trailing comma / stray space in --only) so they
-    # don't trip check_only_covered with a blank name (ADVICE r18); an
-    # --only that is ALL empty tokens is a no-op filter, same as absent.
-    wanted = ({s.strip() for s in args.only.split(",") if s.strip()} or None
-              ) if args.only else None
+    # don't trip check_only_covered with a blank name (ADVICE r18).
+    wanted = ({s.strip() for s in args.only.split(",") if s.strip()}
+              if args.only else None)
+    if args.only and not wanted:
+        # an --only of ONLY empty tokens (e.g. --only ',') previously
+        # degraded to no filter — an intended subset run silently became
+        # a full compare (ADVICE r20). Refuse instead.
+        ap.error(f"--only {args.only!r} contains no query names "
+                 "(drop the flag to compare everything)")
 
     def check_only_covered(qs):
         # a typo'd --only entry must not shrink the run to a vacuous

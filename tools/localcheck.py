@@ -10,6 +10,7 @@ Usage: python3 tools/localcheck.py <sfDir> <verifyOutDir>
 import glob
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -40,6 +41,17 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+            # An empty glob is ALSO what a never-written query looks like
+            # (partial/crashed Verify run): only degrade when the dir
+            # exists and Spark's _SUCCESS commit marker is present —
+            # otherwise an empty-result oracle would count a missing
+            # output as PASS (ADVICE r19). A missing dir fails loudly.
+            if not (os.path.isdir(f"{out_dir}/{name}")
+                    and os.path.exists(f"{out_dir}/{name}/_SUCCESS")):
+                print(f"FAIL {name}: missing output dir (no _SUCCESS; "
+                      "partial Verify run?)")
+                n_fail += 1
+                continue
             # zero-part-file Spark output: a 0-partition empty frame
             # writes only _SUCCESS, so the read_parquet glob would raise
             # even when the result is legitimately empty (recorded r18

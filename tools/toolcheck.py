@@ -23,6 +23,13 @@ with executable evidence instead of a prose note:
   D6  digestcmp: an empty --pinned file is refused by name instead of
       the misleading "need at least two dirs" error / a silently
       vacuous pin column.                   (r19 audit note, fixed r19)
+  L3  localcheck: an output dir MISSING entirely (partial/crashed
+      Verify run) with an empty-result oracle -> FAIL 'missing output
+      dir', never the degraded empty-vs-empty PASS; the degraded path
+      requires the dir + _SUCCESS to exist.     (ADVICE r20, fixed r20)
+  D7  digestcmp: an --only of only empty tokens (e.g. --only ',') is
+      refused, not silently degraded to a full-compare no-op filter.
+                                              (ADVICE r20, fixed r20)
 
 Usage: python3 tools/toolcheck.py    (exit 0 iff all fixtures pass)
 """
@@ -142,6 +149,26 @@ def main():
         r = run("digestcmp.py", vd, "--pinned", emptypins)
         ok &= check("D6 empty pin file refused",
                     r.returncode == 2 and "empty" in r.stderr)
+
+        # L3: output dir missing entirely (crashed Verify) + an oracle
+        # that returns 0 rows must FAIL 'missing output dir', not take
+        # the degraded empty-vs-empty PASS (the masked case: before the
+        # fix this read as a green gate over a never-written query).
+        out3 = os.path.join(tmp, "out3")
+        os.makedirs(out3)  # out dir exists, but q_empty/ does not
+        with open(os.path.join(out3, "oracle_sql.json"), "w") as f:
+            json.dump({"q_empty": "SELECT x FROM lineitem WHERE x < 0"}, f)
+        r = run("localcheck.py", sf, out3)
+        ok &= check("L3 missing output dir + empty oracle -> FAIL",
+                    r.returncode == 1 and "FAIL q_empty" in r.stdout
+                    and "missing output dir" in r.stdout)
+
+        # D7: --only consisting solely of empty tokens is refused (was:
+        # silent degradation to no filter, i.e. a full compare the
+        # caller did not ask for).
+        r = run("digestcmp.py", vd, "--pinned", pinfile, "--only", ",")
+        ok &= check("D7 all-empty --only refused",
+                    r.returncode == 2 and "no query names" in r.stderr)
 
     print("== toolcheck", "OK" if ok else "FAILED", "==")
     return 0 if ok else 1
