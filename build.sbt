@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for experiments (GC logging, GC algorithm sweeps);
+  // empty by default so the standing bench/test configuration is unchanged
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.trim).filter(_.nonEmpty)
+    .map(_.split("\\s+").toSeq).getOrElse(Nil)

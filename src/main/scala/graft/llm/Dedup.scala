@@ -68,14 +68,51 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, minJaccard: Double,
                           textCol: String = "text", idCol: String = "doc_id",
                           numHashes: Int = 24, bands: Int = 3): DataFrame = {
-    val toks = tokenHashSets(docs, textCol, idCol)
-    val buckets = minhashBandBuckets(toks, numHashes, bands)
-    val cand = buckets.as("x").join(buckets.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // materialize the signature index ONCE (round-21, guide §1.2/§2.4):
+    // the previous lazy form re-evaluated tokenize+hashset 4× per run
+    // (both sides of the bucket self-join + both verify sides) and the
+    // 24-hash signature 2× — 8 scans of the corpus in one query plan.
+    // At 100 TB this materialization IS the production shape: sign the
+    // corpus once, keep the (id, hset) index, join against it.
+    val toks = tokenHashSets(docs, textCol, idCol).localCheckpoint()
+    val buckets = minhashBandBuckets(toks, numHashes, bands).localCheckpoint()
+    val cand = bandCandidates(buckets, buckets, minJaccard, bands,
+      requireIdOrder = true)
     verifyJaccard(cand, toks, minJaccard)
+  }
+
+  /** Band-bucket candidate join with two result-preserving prunes
+    * (round-21): the PPJoin LENGTH filter (J(A,B) ≥ t ⟹ t·|A| ≤ |B| and
+    * t·|B| ≤ |A|, because J ≤ min/max — the `- 1e-9` nudge absorbs the
+    * float-product ulp exactly as in [[prefixJaccardPairs]]), and
+    * FIRST-BAND dedup: a pair agreeing on k bands previously surfaced k
+    * times and was re-verified k times (measured 1.43× duplicate factor
+    * at sf0.1); emitting it only from its lowest agreeing band makes
+    * candidates unique without any shuffle — a plain codegen'd filter on
+    * the carried band keys. Matched rows always have non-null band keys
+    * (a null text nulls the WHOLE signature, so null keys never
+    * equi-join), so the null-safe `<=>` negation is purely defensive.
+    * Both prunes drop only pairs the exact verify would reject — the
+    * output set is bit-identical (oracle-checked).
+    */
+  private def bandCandidates(bx: DataFrame, by: DataFrame,
+                             minJaccard: Double, bands: Int,
+                             requireIdOrder: Boolean): DataFrame = {
+    val sameBucket = col("x.band_idx") === col("y.band_idx") &&
+      col("x.band_key") === col("y.band_key")
+    val idOrder = if (requireIdOrder) col("x.id") < col("y.id") else lit(true)
+    val lengthOk =
+      col("y.n") >= lit(minJaccard) * col("x.n") - lit(1e-9) &&
+        col("x.n") >= lit(minJaccard) * col("y.n") - lit(1e-9)
+    // candidate survives only in its FIRST agreeing band: for band_idx=i
+    // every earlier band must disagree
+    val firstBand = (0 until bands).map { i =>
+      col("x.band_idx") === i && (0 until i).map { j =>
+        !(col(s"x.band$j") <=> col(s"y.band$j"))
+      }.foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    bx.as("x").join(by.as("y"), sameBucket && idOrder && lengthOk && firstBand)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
   }
 
   /** Incremental ingest near-dedup: pairs (existing, incoming) where an
@@ -94,13 +131,15 @@ object Dedup {
                               minJaccard: Double, textCol: String = "text",
                               idCol: String = "doc_id", numHashes: Int = 24,
                               bands: Int = 3): DataFrame = {
-    val te = tokenHashSets(existing, textCol, idCol)
-    val ti = tokenHashSets(incoming, textCol, idCol)
-    val cand = minhashBandBuckets(te, numHashes, bands).as("x")
-      .join(minhashBandBuckets(ti, numHashes, bands).as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // same materialize-once + pruned-candidate shape as the batch form
+    // (round-21); the bipartite join keeps both directions, so no id
+    // order — first-band dedup and the length filter apply unchanged
+    val te = tokenHashSets(existing, textCol, idCol).localCheckpoint()
+    val ti = tokenHashSets(incoming, textCol, idCol).localCheckpoint()
+    val cand = bandCandidates(
+      minhashBandBuckets(te, numHashes, bands).localCheckpoint(),
+      minhashBandBuckets(ti, numHashes, bands).localCheckpoint(),
+      minJaccard, bands, requireIdOrder = false)
     verifyJaccard(cand, te.unionByName(ti), minJaccard)
   }
 
@@ -131,7 +170,11 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, minJaccard: Double, maxId: Long,
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
+    // materialize the hash-set index once (round-21): the lazy form
+    // re-evaluated tokenize+hashset for the df aggregate, the index join,
+    // both prefix self-join sides and both verify sides — 6 evaluations
     val toks = tokenHashSets(docs.filter(col(idCol) < maxId), textCol, idCol)
+      .localCheckpoint()
     // explode_outer + null filter, NOT plain explode: InferFiltersFromGenerate
     // would add a size(hset)>0 pre-filter whose pushdown re-inlines the whole
     // tokenize+hash chain into a per-row Filter under the scan, evaluating it
@@ -141,11 +184,14 @@ object Dedup {
       .filter(col("h").isNotNull)
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df").asc, col("h").asc)
+    // the prefix index is self-joined below: materialize it so the
+    // df-aggregate + window chain runs once, not twice
     val prefix = ex.join(dfreq, "h")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <=
         col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1)
       .select("id", "h", "n")
+      .localCheckpoint()
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
           col("y.n") >= lit(minJaccard) * col("x.n") - lit(1e-9) &&
@@ -168,12 +214,17 @@ object Dedup {
       graft.functions.HashFamily.tokenHashSet(
         TextStats.tokens(col(textCol))).as("hset"))
 
-  /** (id, band_idx, band_key) LSH buckets from the minhash signature. */
+  /** (id, n, band0..band{b-1}, band_idx, band_key) LSH buckets from the
+    * minhash signature. Besides the exploded (band_idx, band_key) join
+    * key, every row carries the token-set size `n` (for the candidate
+    * length filter) and ALL band keys (for first-band dedup) — b longs
+    * and an int of width per row, paid once in the materialized index.
+    */
   private def minhashBandBuckets(toks: DataFrame, numHashes: Int,
                                  bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = toks.select(col("id"),
+    val sigs = toks.select(col("id"), size(col("hset")).as("n"),
       graft.functions.HashFamily.minhashSignature(col("hset"), numHashes)
         .as("sig"))
     val bandCols = (0 until bands).map { b =>
@@ -185,8 +236,12 @@ object Dedup {
       when(slice.map(_.isNull).reduce(_ || _), lit(null).cast("long"))
         .otherwise(xxhash64((lit(b) +: slice): _*)).as(s"band$b")
     }
-    sigs.select(col("id"), posexplode(array(bandCols: _*)))
-      .toDF("id", "band_idx", "band_key")
+    val withBands = sigs.select(col("id") +: col("n") +: bandCols: _*)
+    withBands.select(col("id") +: col("n") +:
+        (0 until bands).map(b => col(s"band$b")) :+
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)): _*)
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
   }
 
   /** Exact jaccard verify of a candidate pair list against the hash sets.
@@ -311,13 +366,17 @@ object Dedup {
     // resurrecting the O(len²) form winnowedDocs exists to avoid
     // (measured 94 s vs 0.7 s at sf0.1). The outer form infers nothing;
     // the null rows filter out AFTER the generate, on a bound attribute.
+    // materialize the fingerprint postings once (round-21): `indexed` is
+    // self-joined and itself contains fp⋈rare, so the lazy form re-ran
+    // the staged winnowing chain up to 4× per query
     val fp = TextStats.winnowedDocs(docs, idCol = idCol, textCol = textCol)
       .select(col("id"), explode_outer(col("fps")).as("fp"))
       .filter(col("fp").isNotNull)
+      .localCheckpoint()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
       .select("fp")
-    val indexed = fp.join(rare, Seq("fp"), "left_semi")
+    val indexed = fp.join(rare, Seq("fp"), "left_semi").localCheckpoint()
     indexed.as("x").join(indexed.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -341,15 +400,14 @@ object Dedup {
                           maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE: every round joins it, and without
     // the checkpoint each round would re-run the (expensive) pair
-    // detection that produced it. The symmetrizing union DOES evaluate
-    // `pairs` twice inside this one job — measured adjudication: a
-    // pre-checkpoint of the pair list serializes two jobs and benched
-    // SLOWER at sf0.1 (q_dup_clusters 3.1 -> 3.85 s steady; the two
-    // branches run concurrently on idle cores here). On a saturated
-    // cluster where 2x pair-detection work is real, checkpoint the pair
-    // frame at the CALL SITE and pass the materialized frame in.
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // detection that produced it. Round-21: symmetrize by EXPLODING each
+    // pair into its two directions instead of a self-union — the union
+    // form evaluated `pairs` (the expensive detection join) twice inside
+    // this one job; the explode form is one evaluation, same rows.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint()
     try {
       var cur = nodes.select(col("id"), col("id").as("component"),
@@ -417,19 +475,30 @@ object Dedup {
     val shingled = toks.select(col("id"),
       array_distinct(if (n == 1) col("toks")
                      else TextStats.shingles(col("toks"), n)).as("shingles"))
-    val sizes = shingled.select(col("id"), size(col("shingles")).as("n_sh"))
     // explode_outer + null filter: plain explode would let the optimizer
     // push a size(shingles)>0 pre-filter that re-inlines the shingle HOF
-    // stack into the scan Filter (see prefixJaccardPairs)
-    val inv = shingled.select(col("id"), explode_outer(col("shingles")).as("sh"))
+    // stack into the scan Filter (see prefixJaccardPairs).
+    // Round-21 restructure (guide §1.2/§2.3): each posting row carries its
+    // document's shingle count `n_sh`, and the index is MATERIALIZED once
+    // — the previous form re-ran tokenize+shingle for both self-join
+    // sides AND twice more via the separate `sizes` joins (4 evaluations,
+    // plus two extra shuffled joins). The PPJoin length filter inside the
+    // join condition (J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, the `- 1e-9` ulp
+    // nudge as in prefixJaccardPairs) prunes candidate rows BEFORE the
+    // pair aggregation — it only drops pairs the exact jaccard filter
+    // below would reject, so the output set is identical (oracle-checked).
+    val inv = shingled.select(col("id"), size(col("shingles")).as("n_sh"),
+        explode_outer(col("shingles")).as("sh"))
       .filter(col("sh").isNotNull)
+      .localCheckpoint()
     val shared = inv.as("x").join(inv.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+          col("y.n_sh") >= lit(minJaccard) * col("x.n_sh") - lit(1e-9) &&
+          col("x.n_sh") >= lit(minJaccard) * col("y.n_sh") - lit(1e-9))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= minJaccard)
