@@ -259,7 +259,12 @@ object TextStats {
     val grams = docs.select(col(idCol),
         explode_outer(array_distinct(shingles(tokens(col(textCol)), n))).as("g"))
       .filter(col("g").isNotNull)
-    val bench = grams.filter(col(idCol) < benchMaxId) // pushed under explode
+      // round-21: materialized once — the benchmark gram set and the
+      // corpus-side aggregation both read `grams`; the bench subtree's
+      // pushed-down id filter makes the two subtrees differ, so the lazy
+      // form re-ran tokenize+shingle for each (plan-counted 3 scans)
+      .localCheckpoint()
+    val bench = grams.filter(col(idCol) < benchMaxId)
       .select("g").distinct()
       .withColumn("__hit", lit(1))
     val perDoc = grams.join(broadcast(bench), Seq("g"), "left")
