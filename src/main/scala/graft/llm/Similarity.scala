@@ -181,6 +181,9 @@ object Similarity {
       .withColumn("rel", round(col("rel_raw"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= m)
+      // round-21: `cand` feeds both pair sides AND the singles sentinel —
+      // materialize so the corpus-wide scoring pass runs once, not 3×
+      .localCheckpoint()
     val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"),
       col("rel_raw").as("relraw_a"), col("rel").as("rel_a"),
       col("cv").as("va"))
@@ -259,6 +262,9 @@ object Similarity {
     val v = corpus.filter(col(idCol) < maxId)
       .select(col(idCol).as("id"),
         unitNormalize(col(vecCol)).as("u"))
+      // round-21: both self-join sides read `v` — materialize so the
+      // (interpreted-HOF) unit normalization runs once per vector
+      .localCheckpoint()
     val a = v.select(col("id").as("id_a"), col("u").as("ua"))
     val b = v.select(col("id").as("id_b"), col("u").as("ub"))
     a.join(b, col("id_a") < col("id_b"))
@@ -358,6 +364,11 @@ object Similarity {
     val corpusU = corpus.filter(col(idCol) < maxId)
       .select(col(idCol).as("id"), unitNormalize(col(vecCol)).as("u"))
       .withColumn("uv", array_to_vector(col("u")))
+      // round-21: read by the KMeans fit AND the assignment pass —
+      // materialize so unit-normalization runs once. The fit's input
+      // layout stays identical (fitLayout re-keys deterministically
+      // downstream of this checkpoint), so the pinned digests hold.
+      .localCheckpoint()
     // 5 iterations, not convergence: cells only need to be a balanced
     // space partition (the IVF index-build economics) — recall is what's
     // gated, and it holds with margin vs the 0.5 gate
@@ -379,6 +390,9 @@ object Similarity {
         Window.partitionBy("id").orderBy(desc("csim"), asc("cell"))))
       .filter(col("crk") <= nassign)
       .select("id", "u", "cell")
+      // round-21: self-joined below — materialize so the centroid-rank
+      // assignment (crossJoin + window) runs once, not per join side
+      .localCheckpoint()
     assigned.as("x").join(assigned.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
@@ -409,7 +423,11 @@ object Similarity {
     def unit(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
       unitNormalize(col(vecCol)).as("u"))
 
+    // round-21: read by the KMeans fit AND the post-fit assignment —
+    // materialize so unit-normalization runs once (fitLayout re-keys
+    // deterministically downstream, so the pinned digests hold)
     val corpusU = unit(corpus).withColumn("uv", array_to_vector(col("u")))
+      .localCheckpoint()
     // index-build economics (what faiss does for IVF training): centroids
     // don't need a converged clustering, only a balanced space partition —
     // random init + few iterations replaces k-means||'s multiple full
@@ -470,9 +488,14 @@ object Similarity {
     // at most sampleN unit vectors. The collect is bounded by sampleN
     // regardless of corpus size; at 100 TB this is the offline index
     // build on a sample, exactly like the IVF centroid fit.
-    val sample = corpus
-      .select(col(idCol).as("id"), unitNormalize(col(vecCol)).as("u"))
-      .orderBy("id").limit(sampleN)
+    // round-21: the codebook sample, the encode pass and the exact
+    // rerank all read unit-normalized corpus vectors — materialize them
+    // once (per-row deterministic, so the pinned digests hold)
+    val corpusU = corpus
+      .select(col(idCol).as("neighbor_id"), unitNormalize(col(vecCol)).as("u"))
+      .localCheckpoint()
+    val sample = corpusU
+      .orderBy("neighbor_id").limit(sampleN)
       .select("u").collect().map(_.getSeq[Double](0).toArray)
     if (sample.isEmpty) {
       // empty corpus: nothing to train codebooks on and nothing to find —
@@ -496,8 +519,7 @@ object Similarity {
     // bit-identical to the HOF reference form below, spec-pinned). The
     // encode pass walks EVERY corpus vector, so at 100 TB it must stay
     // inside whole-stage codegen like DotProduct/CharEntropy.
-    val staged = corpus
-      .select(col(idCol).as("neighbor_id"), unitNormalize(col(vecCol)).as("u"))
+    val staged = corpusU
       .select(col("neighbor_id"),
         graft.functions.PqEncode.pqEncode(col("u"), books).as("codes"))
 
@@ -531,8 +553,8 @@ object Similarity {
     // so only shortlisted vectors are ever re-read at full precision.
     val wFinal = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("neighbor_id"))
-    val corpusVecs = corpus.select(col(idCol).as("neighbor_id"),
-      unitNormalize(col(vecCol)).as("cu"))
+    val corpusVecs = corpusU.select(col("neighbor_id"),
+      col("u").as("cu"))
     corpusVecs.join(broadcast(short), Seq("neighbor_id"))
       .join(broadcast(qU), Seq("query_id"))
       .withColumn("score", round(dotProduct(col("cu"), col("qu")), 6))
@@ -646,6 +668,10 @@ object Similarity {
         unitNormalize(col(vecCol)).as("u"))
       .withColumn("__ok",
         size(col("u")) === d && !exists(col("u"), x => x.isNull))
+      // round-21: `unit` feeds the projection/bucketing chain AND both
+      // exact-verify sides — materialize so unit-normalization (an
+      // interpreted HOF) runs once per vector, not 3-4×
+      .localCheckpoint()
     val bucketCols = projections.zipWithIndex.map { case (g, i) =>
       floor(when(col("__ok"), dotProduct(col("u"), typedlit(g.toSeq)))
         .otherwise(lit(null)) / bucketLength)
@@ -663,6 +689,9 @@ object Similarity {
     }
     val buckets = bucketed.select(col("id"), posexplode(array(bandCols: _*)))
       .toDF("id", "band_idx", "band_key")
+      // round-21: self-joined below — materialize so the 8 hyperplane
+      // projections are computed once per vector, not per join side
+      .localCheckpoint()
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
