@@ -197,7 +197,7 @@ object Dedup {
           col("y.n") >= lit(minJaccard) * col("x.n") - lit(1e-9) &&
           col("x.n") >= lit(minJaccard) * col("y.n") - lit(1e-9))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-    verifyJaccard(cand, toks, minJaccard)
+    verifyJaccard(cand, toks, minJaccard, dedupPairs = true)
   }
 
   /** Token SET as sorted int64 hashes: one xxhash64 per token per DOC, so
@@ -245,23 +245,26 @@ object Dedup {
   }
 
   /** Exact jaccard verify of a candidate pair list against the hash sets.
-    * A pair matching k bands is verified k times and deduplicated AFTER
-    * the jaccard filter: the merge-verify is so cheap that re-checking
-    * duplicates costs less than a distinct() shuffle of the (much larger)
-    * raw candidate set — the surviving near-dup set is the small side.
+    * The minhash band paths hand over candidates already unique
+    * (first-band dedup in [[bandCandidates]]), so they skip the trailing
+    * distinct; [[prefixJaccardPairs]] can surface a pair once per shared
+    * prefix token and dedups AFTER the jaccard filter — the merge-verify
+    * is so cheap that re-checking duplicates costs less than a distinct()
+    * shuffle of the (much larger) raw candidate set.
     */
   private def verifyJaccard(cand: DataFrame, toks: DataFrame,
-                            minJaccard: Double): DataFrame = {
+                            minJaccard: Double,
+                            dedupPairs: Boolean = false): DataFrame = {
     val ta = toks.select(col("id").as("id_a"), col("hset").as("hset_a"))
     val tb = toks.select(col("id").as("id_b"), col("hset").as("hset_b"))
-    cand.join(ta, "id_a").join(tb, "id_b")
+    val verified = cand.join(ta, "id_a").join(tb, "id_b")
       .withColumn("inter",
         graft.functions.SetMath.sortedIntersectCount(col("hset_a"), col("hset_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("hset_a")) + size(col("hset_b")) - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
-      .distinct()
+    if (dedupPairs) verified.distinct() else verified
   }
 
   /** Greedy near-dedup: retain every document that never appears as the

@@ -165,24 +165,38 @@ object Similarity {
     * see the same 0.30000000000000004; ties break on id asc; round 1
     * scores λ·rel (empty S ⇒ no diversity term).
     */
-  def mmrSelect(corpus: DataFrame, queries: DataFrame, m: Int, k: Int,
-                lambda: Double, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  /** MMR candidate stage: each query's top-`m` by rounded cosine. Kept as
+    * its own method so the WindowGroupLimit plan gate (PlanSpec) can
+    * assert on the candidate subtree BEFORE [[mmrSelect]] checkpoints it
+    * (a checkpointed frame plans as Scan ExistingRDD, hiding the window
+    * pushdown from the final plan).
+    */
+  def mmrCandidates(corpus: DataFrame, queries: DataFrame, m: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val w = Window.partitionBy("query_id").orderBy(desc("rel"),
       asc("neighbor_id"))
-    val cand = c.join(q, col("query_id") =!= col("neighbor_id"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("cv"),
         cosine(col("cv"), col("qv")).as("rel_raw"))
       .withColumn("rel", round(col("rel_raw"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= m)
-      // round-21: `cand` feeds both pair sides AND the singles sentinel —
-      // materialize so the corpus-wide scoring pass runs once, not 3×
+  }
+
+  def mmrSelect(corpus: DataFrame, queries: DataFrame, m: Int, k: Int,
+                lambda: Double, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // round-21: `cand` feeds both pair sides AND the singles sentinel —
+    // materialize so the corpus-wide scoring pass runs once, not 3×.
+    // WindowGroupLimit pushdown on the candidate stage is asserted
+    // pre-checkpoint by PlanSpec via [[mmrCandidates]].
+    val cand = mmrCandidates(corpus, queries, m, idCol, vecCol)
       .localCheckpoint()
     val a = cand.select(col("query_id"), col("neighbor_id").as("id_a"),
       col("rel_raw").as("relraw_a"), col("rel").as("rel_a"),

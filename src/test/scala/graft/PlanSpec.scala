@@ -158,8 +158,13 @@ class PlanSpec extends AnyFunSuite {
   test("MMR candidate stage keeps the WindowGroupLimit pushdown") {
     // the top-m rank window over the corpus-sized scored frame must
     // pre-prune per input partition, or every score row crosses the
-    // per-query exchange
-    val p = plan(llm.LlmQueries.mmrDiverse(spark, sf))
+    // per-query exchange. mmrSelect localCheckpoints this frame (it
+    // feeds 3 consumers), which plans the final query as Scan
+    // ExistingRDD — so the pushdown is asserted on the candidate stage
+    // itself, pre-checkpoint (same inputs as q_mmr_diverse).
+    val emb = Tables.table(spark, sf, "embeddings")
+    val p = plan(llm.Similarity.mmrCandidates(
+      emb, emb.filter(col("vec_id") < 5), m = 20))
     assert(p.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$p")
   }
 
