@@ -145,6 +145,29 @@ object Prof {
           graft.llm.Dedup.connectedComponents(nodes,
             graft.llm.Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
               maxId = 1000L))
+        })),
+      // round-22: pair-source A/B for the CC family — full inverted-index
+      // join vs the PPJoin prefix form (identical result set)
+      "gpairs" -> Seq(
+        ("ngram pairs 1000 (full index)", () =>
+          graft.llm.Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+            maxId = 1000L)),
+        ("prefix pairs 1000 (PPJoin)", () =>
+          graft.llm.Dedup.prefixJaccardPairs(docs, minJaccard = 0.9,
+            maxId = 1000L)),
+        ("cc over ngram pairs 1000", () => {
+          val nodes = docs.filter(col("doc_id") < 1000L)
+            .select(col("doc_id").as("id"))
+          graft.llm.Dedup.connectedComponents(nodes,
+            graft.llm.Dedup.ngramJaccardPairs(docs, n = 1, minJaccard = 0.9,
+              maxId = 1000L))
+        }),
+        ("cc over prefix pairs 1000", () => {
+          val nodes = docs.filter(col("doc_id") < 1000L)
+            .select(col("doc_id").as("id"))
+          graft.llm.Dedup.connectedComponents(nodes,
+            graft.llm.Dedup.prefixJaccardPairs(docs, minJaccard = 0.9,
+              maxId = 1000L))
         }))
     )
   }

@@ -46,16 +46,23 @@ class DedupSpec extends AnyFunSuite {
 
   test("prefix-filtered jaccard equals the full inverted-index form") {
     // real corpus slice: the prefix candidate plan must reproduce the
-    // exact result SET (the prefix principle is lossless), not a sample
+    // exact result SET (the prefix principle is lossless), not a sample.
+    // Full ROWS including the rounded jaccard, at BOTH bounded-block
+    // sizes the query surface uses (200 and the CC family's GraphSlice
+    // 1000) — round 22 switched the CC/graph pair source to the prefix
+    // form, so this equality is what keeps those oracles green.
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val full = Dedup.ngramJaccardPairs(corpus, n = 1, minJaccard = 0.9,
-        maxId = 200L).select("id_a", "id_b")
-      .as[(Long, Long)].collect().toSet
-    val pref = Dedup.prefixJaccardPairs(corpus, minJaccard = 0.9,
-        maxId = 200L).select("id_a", "id_b")
-      .as[(Long, Long)].collect().toSet
-    assert(full.nonEmpty && pref == full,
-      s"missing=${(full -- pref).take(5)} extra=${(pref -- full).take(5)}")
+    for (bound <- Seq(200L, 1000L)) {
+      val full = Dedup.ngramJaccardPairs(corpus, n = 1, minJaccard = 0.9,
+          maxId = bound)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.prefixJaccardPairs(corpus, minJaccard = 0.9,
+          maxId = bound)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(full.nonEmpty && pref == full,
+        s"bound=$bound missing=${(full -- pref).take(5)} " +
+          s"extra=${(pref -- full).take(5)}")
+    }
 
     // and the point of the algorithm: the indexed prefix is a small
     // fraction of the full token explode (t=0.9 → ~10% + 1 token/doc)
