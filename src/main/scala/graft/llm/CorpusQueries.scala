@@ -321,9 +321,14 @@ object CorpusQueries {
       .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("sp"),
         col("col").as("g"))
       .localCheckpoint()
-    val dupg = pos.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1L).select("g")
+    // "appears in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over the
+    // raw occurrence rows — one partially-aggregated exchange of (g, 2
+    // longs) instead of the former distinct-pairs shuffle PLUS a second
+    // g-keyed count exchange (round 22; the df value itself was only
+    // ever compared to 1, never output)
+    val dupg = pos.groupBy("g")
+      .agg(min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx")).select("g")
     // interval merge, not a covered-position explode: each dup-shingle
     // occurrence covers the contiguous token range [sp, sp+2], and (doc,
     // sp) is unique by construction, so merging overlapping/adjacent
