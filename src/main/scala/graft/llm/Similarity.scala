@@ -397,23 +397,34 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }
       .toSeq.toDF("cell", "centroid")
+    // each assignment row carries the id's FULL probed cell set (a second
+    // window over the same id partitioning — no extra exchange), so the
+    // pair join below can dedupe multi-probe collisions with a plain
+    // filter instead of shuffling the candidate list
     val assigned = corpusU.select(col("id"), col("u"))
       .crossJoin(broadcast(centroids))
       .withColumn("csim", dotProduct(col("u"), col("centroid")))
       .withColumn("crk", row_number().over(
         Window.partitionBy("id").orderBy(desc("csim"), asc("cell"))))
       .filter(col("crk") <= nassign)
-      .select("id", "u", "cell")
+      .withColumn("cells", collect_set(col("cell"))
+        .over(Window.partitionBy("id")))
+      .select("id", "u", "cell", "cells")
       // round-21: self-joined below — materialize so the centroid-rank
       // assignment (crossJoin + window) runs once, not per join side
       .localCheckpoint()
+    // round-22: a pair probing both cells in common used to arrive twice
+    // and pay a dropDuplicates shuffle of the candidate list WITH its
+    // vector payloads; emitting it only from the SMALLEST shared cell
+    // (array_min ∘ array_intersect on the carried cell sets — a codegen
+    // filter, order-insensitive) is exactly-once by construction, so the
+    // verify still runs once per candidate and no exchange remains
     assigned.as("x").join(assigned.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+          col("x.cell") ===
+            array_min(array_intersect(col("x.cells"), col("y.cells"))))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.u").as("ua"), col("y.u").as("ub"))
-      // a pair sharing both probed cells arrives twice: dedupe BEFORE the
-      // per-pair dot product so the verify runs once per candidate
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cosine", round(dotProduct(col("ua"), col("ub")), 6))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
@@ -701,17 +712,31 @@ object Similarity {
       when(slice.map(_.isNull).reduce(_ || _), lit(null).cast("long"))
         .otherwise(xxhash64((lit(b) +: slice): _*)).as(s"band$b")
     }
-    val buckets = bucketed.select(col("id"), posexplode(array(bandCols: _*)))
-      .toDF("id", "band_idx", "band_key")
+    // round-22: every row carries ALL band keys (the minhashBandBuckets
+    // shape) so a pair agreeing on k bands can be emitted only from its
+    // LOWEST agreeing band — a plain codegen filter replaces the former
+    // distinct() shuffle of the candidate pair list. Within one band a
+    // pair meets at most once (one row per id per band), so first-band
+    // emission IS exactly-once — the output set is unchanged.
+    val withBands = bucketed.select(col("id") +: bandCols: _*)
+    val buckets = withBands.select(col("id") +:
+        (0 until bands).map(b => col(s"band$b")) :+
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)): _*)
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
       // round-21: self-joined below — materialize so the 8 hyperplane
       // projections are computed once per vector, not per join side
       .localCheckpoint()
+    val firstBand = (0 until bands).map { i =>
+      col("x.band_idx") === i && (0 until i).map { j =>
+        !(col(s"x.band$j") <=> col(s"y.band$j"))
+      }.foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") && firstBand)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     val ua = unit.select(col("id").as("id_a"), col("u").as("ua"))
     val ub = unit.select(col("id").as("id_b"), col("u").as("ub"))
     cand.join(ua, "id_a").join(ub, "id_b")

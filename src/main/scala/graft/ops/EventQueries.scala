@@ -17,21 +17,26 @@ object EventQueries {
 
   /** Cohort retention: users bucketed by first-active day, activity
     * counted by day offset from that cohort day — the classic retention
-    * triangle. Shape at scale: distinct (user, day) with map-side
-    * combine, a per-user min aggregate, and a user-keyed equi-join —
-    * the distinct and the groupBy reuse the same hash partitioning on
-    * user_id, and nothing is ever event-row-quadratic. Events load via
-    * [[graft.Tables.table]] (the nanosecond-timestamp parquet trap).
+    * triangle. Shape at scale: ONE user-keyed exchange — collect_set(day)
+    * per user (map-side partial merge dedups locally, per-user state is
+    * calendar-bounded, never event-row-sized), cohort day = array_min of
+    * the same set, offsets by exploding it. Round 22: this replaces the
+    * former distinct (user, day) shuffle + separate per-user min
+    * aggregate + user-keyed join — three user-keyed exchanges → one,
+    * identical output (events carry no null ts/user_id at any SF by the
+    * generator contract; collect_set's null-dropping is therefore
+    * unobservable). Events load via [[graft.Tables.table]] (the
+    * nanosecond-timestamp parquet trap).
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val days = table(spark, dir, "events")
+    val perUser = table(spark, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
-    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-    days.join(cohort, Seq("user_id"))
+      .groupBy("user_id").agg(collect_set(col("day")).as("ds"))
+      .select(array_min(col("ds")).as("cohort_day"), explode(col("ds")).as("day"))
+    perUser
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("bigint").as("day_offset"))
-      .agg(count(lit(1)).as("users")) // distinct (user, day) upstream
+      .agg(count(lit(1)).as("users")) // set-exploded rows = distinct (user, day)
       .orderBy("cohort_day", "day_offset")
   }
 
