@@ -311,17 +311,28 @@ object Dedup {
       shiftrightunsigned(col("sig"), i * width)
         .bitwiseAND(lit(mask)).as(s"band$i")
     }
+    // round-22: rows keep ALL band slices through the explode so a pair
+    // agreeing on k bands is emitted only from its lowest agreeing band
+    // (the minhash/LSH first-band filter) — replaces the distinct()
+    // shuffle of the candidate list; within one band a pair meets at
+    // most once, so first-band emission is exactly-once, same set
     val buckets = sigs.select(col("id") +: col("sig") +: bandCols: _*)
-      .select(col("id"), col("sig"), posexplode(array((0 until b)
-        .map(i => col(s"band$i")): _*)))
-      .toDF("id", "sig", "band_idx", "band_key")
+      .select(col("id") +: col("sig") +:
+        (0 until b).map(i => col(s"band$i")) :+
+        posexplode(array((0 until b).map(i => col(s"band$i")): _*)): _*)
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val firstBand = (0 until b).map { i =>
+      col("x.band_idx") === i && (0 until i).map { j =>
+        !(col(s"x.band$j") <=> col(s"y.band$j"))
+      }.foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.id") < col("y.id"))
+          col("x.id") < col("y.id") && firstBand)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
     cand.withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
