@@ -112,6 +112,11 @@ object Graph {
         greatest(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    // round-22: carry the surviving-edge count across rounds — the old
+    // `next.count() == cur.count()` re-counted the PREVIOUS frame every
+    // round (it was already counted as next last round), one redundant
+    // job per peel round
+    var curCount = cur.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -123,7 +128,9 @@ object Graph {
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .localCheckpoint()
-      converged = next.count() == cur.count()
+      val nextCount = next.count()
+      converged = nextCount == curCount
+      curCount = nextCount
       bridge.releaseLocalCheckpoint(cur)
       cur = next
       iter += 1
