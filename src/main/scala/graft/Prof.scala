@@ -168,7 +168,40 @@ object Prof {
           graft.llm.Dedup.connectedComponents(nodes,
             graft.llm.Dedup.prefixJaccardPairs(docs, minJaccard = 0.9,
               maxId = 1000L))
-        }))
+        })),
+      // round-22: old (inline pre-round shapes) vs new (live code) for the
+      // remaining batch — run under contention, interleaving is the
+      // contention-robust instrument
+      "r22b" -> {
+        val events = Tables.table(spark, sfDir, "events")
+        def oldCohort(): DataFrame = {
+          val days = events
+            .select(col("user_id"), to_date(col("ts")).as("day"))
+            .distinct()
+          val cohort = days.groupBy("user_id")
+            .agg(min(col("day")).as("cohort_day"))
+          days.join(cohort, Seq("user_id"))
+            .groupBy(col("cohort_day"),
+              datediff(col("day"), col("cohort_day")).cast("bigint")
+                .as("day_offset"))
+            .agg(count(lit(1)).as("users"))
+            .orderBy("cohort_day", "day_offset")
+        }
+        val emb = Tables.table(spark, sfDir, "embeddings")
+        Seq(
+          ("old q_cohort_retention", () => oldCohort()),
+          ("new q_cohort_retention", () =>
+            graft.ops.EventQueries.cohortRetention(spark, sfDir)),
+          ("new q_semantic_dedup", () =>
+            graft.llm.Similarity.semanticDedupPairs(emb,
+              minCosine = 0.3, maxId = 1000L).orderBy("id_a", "id_b")),
+          ("new q_lsh_cosine_pairs", () =>
+            graft.llm.LlmQueries.all("q_lsh_cosine_pairs")(spark, sfDir)),
+          ("new q_simhash_banded", () =>
+            graft.llm.LlmQueries.all("q_simhash_banded")(spark, sfDir)),
+          ("new q_dup_spans", () =>
+            graft.llm.CorpusQueries.dupSpans(spark, sfDir)))
+      }
     )
   }
 }
